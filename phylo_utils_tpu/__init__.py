@@ -1,0 +1,35 @@
+"""phylo_utils_tpu — a TPU-native phylogenetic likelihood engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference library ``kgori/phylo_utils`` (see SURVEY.md; the reference mount
+was empty this session, so capability citations are given as
+``phylo_utils/<module> [confidence]`` per SURVEY.md §0):
+
+* substitution models: JC69/K80/F81/F84/HKY85/TN93/GTR (DNA),
+  LG/WAG (protein), UNREST (non-reversible)      [models.py, HIGH]
+* transition matrices via reversible eigendecomposition, with
+  dP/dt and d2P/dt2                               [markov.py, MED]
+* Felsenstein pruning over post-order schedules with per-node
+  rescaling                                       [likcalc.pyx, HIGH]
+* discrete-gamma + invariant-sites rate mixtures  [likelihood.py, HIGH]
+* branch-length and model-parameter optimization  [optimisation.py, MED]
+* sequence simulation                             [simulation.py, MED]
+* alignment ingestion incl. IUPAC ambiguity codes and site-pattern
+  compression                                     [__init__/data.py, HIGH]
+
+The design is TPU-first, not a port: pure functions over PyTrees with static
+shapes, tree topologies compiled to padded level schedules, rate categories
+vmapped, sites sharded data-parallel over a ``jax.sharding.Mesh``, and the
+pruning hot loop available both as a fused Pallas TPU kernel and a pure-XLA
+einsum path.
+"""
+
+__version__ = "0.1.0"
+
+from phylo_utils_tpu.alphabets import (  # noqa: F401
+    DNA,
+    PROTEIN,
+    Alphabet,
+    seq_to_partials,
+    encode_alignment,
+)

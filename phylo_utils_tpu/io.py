@@ -1,0 +1,292 @@
+"""Alignment and tree I/O + site-pattern compression.
+
+The reference delegates trees to dendropy and takes alignments as plain dicts
+(SURVEY.md §1 [HIGH]); dendropy is not available in this environment, so this
+module provides a self-contained Newick parser and FASTA/PHYLIP readers.
+
+Pattern compression (reference capability, SURVEY.md §2 [MED location,
+HIGH capability]): identical alignment columns are collapsed to unique
+patterns with integer weights so logL = sum_p w_p * lnL_p. This is also the
+key data reduction before sharding sites across a device mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from phylo_utils_tpu import trees as _trees
+
+__all__ = [
+    "parse_newick",
+    "write_newick",
+    "read_fasta",
+    "read_phylip",
+    "read_alignment",
+    "compress_patterns",
+    "CompressedAlignment",
+]
+
+
+# ---------------------------------------------------------------------------
+# Newick
+# ---------------------------------------------------------------------------
+
+class NewickError(ValueError):
+    pass
+
+
+def _tokenize_newick(text: str):
+    """Yield newick tokens; handles quoted labels and [...] comments."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+        elif c in "(),;:":
+            yield c
+            i += 1
+        elif c == "[":  # comment — skip to matching ]
+            depth = 1
+            i += 1
+            while i < n and depth:
+                if text[i] == "[":
+                    depth += 1
+                elif text[i] == "]":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise NewickError("unterminated [comment]")
+        elif c == "'":
+            j = i + 1
+            buf = []
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":  # escaped quote
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                buf.append(text[j])
+                j += 1
+            else:
+                raise NewickError("unterminated quoted label")
+            yield ("LABEL", "".join(buf))
+            i = j + 1
+        else:
+            j = i
+            while j < n and text[j] not in "(),;:[" and not text[j].isspace():
+                j += 1
+            yield ("LABEL", text[i:j])
+            i = j
+
+
+def parse_newick(text: str) -> "_trees.Tree":
+    """Parse a single Newick tree string into a :class:`trees.Tree`.
+
+    Supports arbitrary multifurcations (incl. the conventional trifurcating
+    root of unrooted trees), branch lengths, internal labels, quoted labels,
+    and bracketed comments.
+    """
+    tokens = list(_tokenize_newick(text))
+    if not tokens:
+        raise NewickError("empty newick string")
+
+    builder = _trees.TreeBuilder()
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def parse_clade() -> int:
+        nonlocal pos
+        children: List[int] = []
+        if peek() == "(":
+            pos += 1
+            while True:
+                children.append(parse_clade())
+                tok = peek()
+                if tok == ",":
+                    pos += 1
+                    continue
+                if tok == ")":
+                    pos += 1
+                    break
+                raise NewickError(f"expected ',' or ')' near token {pos}")
+        # optional label
+        name: Optional[str] = None
+        tok = peek()
+        if isinstance(tok, tuple) and tok[0] == "LABEL":
+            name = tok[1]
+            pos += 1
+        # optional :length
+        length: Optional[float] = None
+        if peek() == ":":
+            pos += 1
+            tok = peek()
+            if not (isinstance(tok, tuple) and tok[0] == "LABEL"):
+                raise NewickError("expected branch length after ':'")
+            length = float(tok[1])
+            pos += 1
+        if not children and name is None:
+            raise NewickError("leaf without a name")
+        return builder.add_node(name=name, length=length, children=children)
+
+    root = parse_clade()
+    if peek() == ";":
+        pos += 1
+    if pos != len(tokens):
+        raise NewickError(f"trailing tokens after tree: {tokens[pos:]}")
+    return builder.build(root)
+
+
+def write_newick(tree: "_trees.Tree", lengths: Optional[np.ndarray] = None) -> str:
+    """Serialize a Tree back to Newick (branch lengths from the tree or
+    an override vector indexed by node id)."""
+    lens = tree.lengths if lengths is None else np.asarray(lengths)
+
+    def fmt(node: int) -> str:
+        kids = tree.children[node]
+        if kids:
+            inner = ",".join(fmt(k) for k in kids)
+            label = tree.names[node] or ""
+            s = f"({inner}){label}"
+        else:
+            s = tree.names[node]
+        if node != tree.root:
+            s += f":{lens[node]:.10g}"
+        return s
+
+    return fmt(tree.root) + ";"
+
+
+# ---------------------------------------------------------------------------
+# Alignment readers
+# ---------------------------------------------------------------------------
+
+def _maybe_read(path_or_text: str) -> str:
+    if "\n" not in path_or_text and os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            return fh.read()
+    return path_or_text
+
+
+def read_fasta(path_or_text: str) -> Dict[str, str]:
+    text = _maybe_read(path_or_text)
+    seqs: Dict[str, List[str]] = {}
+    name = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(">"):
+            name = line[1:].split()[0]
+            if name in seqs:
+                raise ValueError(f"duplicate sequence name {name!r}")
+            seqs[name] = []
+        else:
+            if name is None:
+                raise ValueError("FASTA sequence data before first '>' header")
+            seqs[name].append(line)
+    return {k: "".join(v) for k, v in seqs.items()}
+
+
+def read_phylip(path_or_text: str) -> Dict[str, str]:
+    """Sequential or interleaved relaxed PHYLIP."""
+    text = _maybe_read(path_or_text)
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        raise ValueError("empty phylip input")
+    header = lines[0].split()
+    ntax, nchar = int(header[0]), int(header[1])
+    names: List[str] = []
+    seqs: Dict[str, List[str]] = {}
+    idx = 0
+    for ln in lines[1:]:
+        parts = ln.split()
+        if len(names) < ntax:
+            nm = parts[0]
+            names.append(nm)
+            seqs[nm] = ["".join(parts[1:])]
+        else:  # interleaved continuation
+            nm = names[idx % ntax]
+            seqs[nm].append("".join(parts))
+            idx += 1
+    out = {k: "".join(v) for k, v in seqs.items()}
+    for k, v in out.items():
+        if len(v) != nchar:
+            raise ValueError(f"sequence {k!r} length {len(v)} != header {nchar}")
+    return out
+
+
+def read_alignment(path: str) -> Dict[str, str]:
+    text = _maybe_read(path)
+    stripped = text.lstrip()
+    if stripped.startswith(">"):
+        return read_fasta(text)
+    return read_phylip(text)
+
+
+# ---------------------------------------------------------------------------
+# Site-pattern compression
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CompressedAlignment:
+    """Unique site patterns + weights.
+
+    ``partials``: (n_taxa, n_patterns, n_states) leaf partial rows.
+    ``weights``:  (n_patterns,) pattern multiplicities (float for device use).
+    ``site_to_pattern``: (n_sites,) index mapping for sitewise expansion.
+    """
+
+    names: Tuple[str, ...]
+    partials: np.ndarray
+    weights: np.ndarray
+    site_to_pattern: np.ndarray
+
+    @property
+    def n_patterns(self) -> int:
+        return self.partials.shape[1]
+
+    @property
+    def n_sites(self) -> int:
+        return int(self.site_to_pattern.shape[0])
+
+
+def compress_patterns(
+    sequences: Dict[str, str], alphabet="dna", dtype=np.float64
+) -> CompressedAlignment:
+    """Collapse identical alignment columns into unique patterns + weights.
+
+    Compression happens on the raw character matrix (cheap, exact) before
+    encoding to partials. Uses the native C++ fast path when available.
+    """
+    from phylo_utils_tpu.alphabets import get_alphabet, _charmap_table
+
+    names = list(sequences.keys())
+    alpha = get_alphabet(alphabet)
+    try:
+        from phylo_utils_tpu.native import compress_chars_native
+
+        chars, uniq_cols, site_to_pattern, counts = compress_chars_native(
+            [sequences[n] for n in names]
+        )
+    except Exception:
+        chars = np.array(
+            [np.frombuffer(sequences[n].upper().encode("ascii"), dtype=np.uint8) for n in names]
+        )  # (taxa, sites)
+        uniq_cols, site_to_pattern, counts = np.unique(
+            chars.T, axis=0, return_inverse=True, return_counts=True
+        )
+        uniq_cols = uniq_cols.T  # (taxa, patterns)
+    table = _charmap_table(alpha, dtype)
+    partials = table[uniq_cols]  # (taxa, patterns, states)
+    return CompressedAlignment(
+        names=tuple(names),
+        partials=partials,
+        weights=counts.astype(dtype),
+        site_to_pattern=site_to_pattern.astype(np.int32).ravel(),
+    )

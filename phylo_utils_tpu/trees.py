@@ -1,0 +1,231 @@
+"""Tree topology and its compilation to a static-shape pruning schedule.
+
+The reference attaches per-node mutable state to dendropy node objects and
+walks dendropy's post-order iterator in Python (SURVEY.md §1/§3.2 [HIGH]).
+That is the one design we deliberately do NOT reproduce: on TPU the topology
+is compiled once into padded integer index arrays — a *level schedule* — so
+the whole pruning pass is a jit-compiled pure function of
+``(P_matrices, leaf_partials, schedule)`` with static shapes. Recompilation
+happens only on topology change, never on parameter change.
+
+Level schedule: internal nodes are grouped by height (1 + max child height;
+leaves = 0). All nodes in one level depend only on lower levels, so each
+level is one batched combine over (nodes_in_level x categories x sites).
+Levels are padded to the widest level; padded slots write to a trash row
+(index ``n_nodes``) and gather masked children whose contribution is
+replaced by ones.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "Tree",
+    "TreeBuilder",
+    "PruningSchedule",
+    "compile_schedule",
+    "random_tree",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Tree:
+    """Immutable tree. Node ids: leaves are [0, n_leaves) in left-to-right
+    Newick order; internal nodes follow in post-order; the root is the last id.
+
+    ``lengths[i]`` is the length of the edge *above* node i (root entry 0).
+    """
+
+    names: Tuple[str, ...]              # per node; internal may be ""
+    parent: np.ndarray                  # (N,) int32; root's parent == -1
+    lengths: np.ndarray                 # (N,) float64
+    children: Tuple[Tuple[int, ...], ...]
+    n_leaves: int
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.names)
+
+    @property
+    def root(self) -> int:
+        return self.n_nodes - 1
+
+    @property
+    def leaf_names(self) -> Tuple[str, ...]:
+        return self.names[: self.n_leaves]
+
+    def leaf_index(self) -> Dict[str, int]:
+        return {n: i for i, n in enumerate(self.leaf_names)}
+
+    def postorder(self):
+        """Yield node ids in post-order (children before parents)."""
+        stack = [(self.root, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if expanded or not self.children[node]:
+                yield node
+            else:
+                stack.append((node, True))
+                for c in reversed(self.children[node]):
+                    stack.append((c, False))
+
+    def with_lengths(self, lengths) -> "Tree":
+        arr = np.asarray(lengths, dtype=np.float64)
+        if arr.shape != self.lengths.shape:
+            raise ValueError("length vector shape mismatch")
+        return dataclasses.replace(self, lengths=arr)
+
+
+class TreeBuilder:
+    """Incremental builder used by the Newick parser."""
+
+    def __init__(self):
+        self._names: List[Optional[str]] = []
+        self._lengths: List[Optional[float]] = []
+        self._children: List[List[int]] = []
+
+    def add_node(self, name: Optional[str], length: Optional[float],
+                 children: Sequence[int]) -> int:
+        self._names.append(name)
+        self._lengths.append(length)
+        self._children.append(list(children))
+        return len(self._names) - 1
+
+    def build(self, root: int) -> Tree:
+        # Renumber: leaves first (in left-to-right order), then internal nodes
+        # in post-order, root last.
+        order_leaves: List[int] = []
+        order_internal: List[int] = []
+        stack = [(root, False)]
+        while stack:
+            node, expanded = stack.pop()
+            kids = self._children[node]
+            if not kids:
+                order_leaves.append(node)
+            elif expanded:
+                order_internal.append(node)
+            else:
+                stack.append((node, True))
+                for c in reversed(kids):
+                    stack.append((c, False))
+        remap = {old: new for new, old in enumerate(order_leaves + order_internal)}
+        n = len(remap)
+        names = [""] * n
+        lengths = np.zeros(n, dtype=np.float64)
+        children: List[Tuple[int, ...]] = [()] * n
+        parent = np.full(n, -1, dtype=np.int32)
+        for old, new in remap.items():
+            names[new] = self._names[old] or ""
+            lengths[new] = self._lengths[old] if self._lengths[old] is not None else 0.0
+            kids = tuple(remap[c] for c in self._children[old])
+            children[new] = kids
+            for c in kids:
+                parent[c] = new
+        n_leaves = len(order_leaves)
+        leaf_names = [names[i] for i in range(n_leaves)]
+        if len(set(leaf_names)) != n_leaves:
+            raise ValueError("duplicate leaf names in tree")
+        return Tree(
+            names=tuple(names),
+            parent=parent,
+            lengths=lengths,
+            children=tuple(children),
+            n_leaves=n_leaves,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PruningSchedule:
+    """Padded level schedule for Felsenstein pruning (all numpy, host-side).
+
+    Shapes: L = number of levels, W = widest level, C = max children/node.
+
+    ``level_nodes``    (L, W) int32 — destination node id; padding = n_nodes
+                        (a trash row appended to the partials buffer).
+    ``level_children`` (L, W, C) int32 — source child node ids; padding = 0.
+    ``level_childmask``(L, W, C) float32 — 1.0 for a real (node, child) slot.
+    """
+
+    n_nodes: int
+    n_leaves: int
+    root: int
+    n_children_max: int
+    level_nodes: np.ndarray
+    level_children: np.ndarray
+    level_childmask: np.ndarray
+
+    @property
+    def n_levels(self) -> int:
+        return self.level_nodes.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.level_nodes.shape[1]
+
+
+def compile_schedule(tree: Tree) -> PruningSchedule:
+    """Group internal nodes into dependency levels and pad to rectangles."""
+    n = tree.n_nodes
+    height = np.zeros(n, dtype=np.int64)
+    internal_by_level: Dict[int, List[int]] = {}
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            continue
+        h = 1 + max(int(height[c]) for c in kids)
+        height[node] = h
+        internal_by_level.setdefault(h, []).append(node)
+
+    n_levels = max(internal_by_level) if internal_by_level else 0
+    width = max((len(v) for v in internal_by_level.values()), default=0)
+    cmax = max((len(tree.children[i]) for i in range(n) if tree.children[i]), default=0)
+
+    level_nodes = np.full((n_levels, width), n, dtype=np.int32)  # pad -> trash row
+    level_children = np.zeros((n_levels, width, cmax), dtype=np.int32)
+    level_childmask = np.zeros((n_levels, width, cmax), dtype=np.float32)
+    for lvl in range(1, n_levels + 1):
+        for w, node in enumerate(internal_by_level.get(lvl, [])):
+            level_nodes[lvl - 1, w] = node
+            for c, child in enumerate(tree.children[node]):
+                level_children[lvl - 1, w, c] = child
+                level_childmask[lvl - 1, w, c] = 1.0
+    return PruningSchedule(
+        n_nodes=n,
+        n_leaves=tree.n_leaves,
+        root=tree.root,
+        n_children_max=cmax,
+        level_nodes=level_nodes,
+        level_children=level_children,
+        level_childmask=level_childmask,
+    )
+
+
+def random_tree(
+    n_taxa: int,
+    seed: int = 0,
+    mean_brlen: float = 0.1,
+    rooted: bool = True,
+    names: Optional[Sequence[str]] = None,
+) -> Tree:
+    """Random binary topology (sequential random joins) with exponential
+    branch lengths — used by benchmarks and property tests."""
+    rng = np.random.default_rng(seed)
+    if names is None:
+        names = [f"t{i}" for i in range(n_taxa)]
+    b = TreeBuilder()
+    nodes = [
+        b.add_node(name=names[i], length=float(rng.exponential(mean_brlen)), children=[])
+        for i in range(n_taxa)
+    ]
+    while len(nodes) > (2 if rooted else 3):
+        i, j = sorted(rng.choice(len(nodes), size=2, replace=False))
+        a, c = nodes[i], nodes[j]
+        merged = b.add_node(
+            name=None, length=float(rng.exponential(mean_brlen)), children=[a, c]
+        )
+        nodes = [x for k, x in enumerate(nodes) if k not in (i, j)] + [merged]
+    root = b.add_node(name=None, length=None, children=nodes)
+    return b.build(root)
