@@ -1,0 +1,220 @@
+"""Top-level likelihood engine: models x mixtures x trees -> logL(params).
+
+Reference parity: phylo_utils/likelihood.py ``RunOnTree``/``LnlModel`` and
+``GammaMixture`` (set_tree / update_alpha / update_substitution_model /
+get_likelihood / get_sitewise_likelihoods; SURVEY.md §2 [HIGH mechanism]).
+
+TPU-first redesign: there is no mutable per-node state. The engine holds
+static data (compiled schedule, encoded patterns) and exposes ONE jitted pure
+function ``logL(params)`` where params is a PyTree
+``{'branch_lengths', 'model', 'alpha'?, 'pinv'?}`` — so every reference
+"update_*" method is just calling the same compiled function with different
+parameters, and ``jax.grad`` supersedes the reference's hand-coded derivative
+kernels (SURVEY.md §3.3). Rate categories are a vmapped tensor axis; sites
+shard across a device mesh (see parallel.sharding).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phylo_utils_tpu import io as pio
+from phylo_utils_tpu import trees as ptrees
+from phylo_utils_tpu.models.base import Model
+from phylo_utils_tpu.ops.gamma import discrete_gamma
+from phylo_utils_tpu.ops.pmatrix import (
+    p_matrices_reversible,
+    transition_matrices,
+)
+from phylo_utils_tpu.ops.pruning import (
+    invariant_site_likelihood,
+    make_prune_fn,
+    mixture_loglik,
+)
+
+__all__ = ["LikelihoodEngine"]
+
+
+def _canonical_dtype(dtype):
+    if dtype is not None:
+        return jnp.dtype(dtype)
+    return jnp.dtype(jnp.result_type(float))  # honors jax_enable_x64
+
+
+class LikelihoodEngine:
+    """Compiled likelihood/gradient evaluator for one (topology, model) pair.
+
+    Parameters
+    ----------
+    tree : Tree or newick str
+    alignment : dict name->seq, or CompressedAlignment
+    model : Model
+    ncat : gamma categories (1 = no rate heterogeneity)
+    invariant_sites : add a +I mixture component (param 'pinv')
+    median : use median instead of mean gamma discretization
+    dtype : computation dtype (None = f64 under x64, else f32)
+    compress : collapse identical columns to weighted patterns
+    sharding : optional parallel.SiteSharding to shard patterns over a mesh
+    pruner : "xla" (einsum path) or "pallas" (fused TPU kernel)
+    """
+
+    def __init__(
+        self,
+        tree: Union[ptrees.Tree, str],
+        alignment: Union[Mapping[str, str], pio.CompressedAlignment],
+        model: Model,
+        ncat: int = 1,
+        invariant_sites: bool = False,
+        median: bool = False,
+        dtype=None,
+        compress: bool = True,
+        sharding=None,
+        pruner: str = "xla",
+    ):
+        if isinstance(tree, str):
+            tree = pio.parse_newick(tree)
+        self.tree = tree
+        self.model = model
+        self.ncat = int(ncat)
+        self.median = bool(median)
+        self.invariant_sites = bool(invariant_sites)
+        self.dtype = _canonical_dtype(dtype)
+        self.sharding = sharding
+
+        if isinstance(alignment, pio.CompressedAlignment):
+            ca = alignment
+        elif compress:
+            ca = pio.compress_patterns(alignment, model.alphabet, dtype=np.float64)
+        else:
+            names, arr = __import__(
+                "phylo_utils_tpu.alphabets", fromlist=["encode_alignment"]
+            ).encode_alignment(alignment, model.alphabet)
+            ca = pio.CompressedAlignment(
+                names=tuple(names),
+                partials=arr,
+                weights=np.ones(arr.shape[1]),
+                site_to_pattern=np.arange(arr.shape[1], dtype=np.int32),
+            )
+        self._compressed = ca
+
+        missing = set(tree.leaf_names) - set(ca.names)
+        if missing:
+            raise ValueError(f"alignment is missing taxa {sorted(missing)}")
+        order = [ca.names.index(n) for n in tree.leaf_names]
+        leaf_partials = ca.partials[order]          # (n_leaves, P, S)
+        weights = ca.weights                         # (P,)
+
+        self.schedule = ptrees.compile_schedule(tree)
+        if pruner == "pallas":
+            from phylo_utils_tpu.ops.pallas_pruning import make_pallas_prune_fn
+
+            self._prune = make_pallas_prune_fn(self.schedule)
+        else:
+            self._prune = make_prune_fn(self.schedule)
+
+        if sharding is not None:
+            leaf_partials, weights = sharding.pad(leaf_partials, weights)
+            self._leaf_partials = sharding.put_leaves(
+                leaf_partials.astype(self.dtype)
+            )
+            self._weights = sharding.put_sites(weights.astype(self.dtype))
+        else:
+            self._leaf_partials = jnp.asarray(leaf_partials, self.dtype)
+            self._weights = jnp.asarray(weights, self.dtype)
+
+        self._jit_fn = jax.jit(self._loglik_fn)
+        self._jit_grad = jax.jit(jax.grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0]))
+        self._jit_vag = jax.jit(
+            jax.value_and_grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0])
+        )
+
+    # -- parameters ---------------------------------------------------------
+
+    def default_params(self) -> Dict:
+        params: Dict = {
+            "branch_lengths": jnp.asarray(self.tree.lengths, self.dtype),
+            "model": self.model.defaults(self.dtype),
+        }
+        if self.ncat > 1:
+            params["alpha"] = jnp.asarray(0.5, self.dtype)
+        if self.invariant_sites:
+            params["pinv"] = jnp.asarray(0.2, self.dtype)
+        return params
+
+    def _full_params(self, params: Optional[Mapping]) -> Dict:
+        full = self.default_params()
+        if params:
+            for k, v in params.items():
+                if k == "model":
+                    full["model"] = {**full["model"], **{
+                        kk: jnp.asarray(vv, self.dtype) for kk, vv in v.items()
+                    }}
+                else:
+                    full[k] = jnp.asarray(v, self.dtype)
+        return full
+
+    # -- core computation ----------------------------------------------------
+
+    def _loglik_fn(self, params, leaf_partials, weights):
+        dtype = self.dtype
+        if self.ncat > 1:
+            rates = discrete_gamma(params["alpha"], self.ncat, self.median)
+            rates = rates.astype(dtype)
+        else:
+            rates = jnp.ones((1,), dtype)
+        cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
+        t = params["branch_lengths"].astype(dtype)
+        ts = t[:, None] * rates[None, :]                   # (n_nodes, K)
+        if self.model.reversible:
+            # degeneracy-safe custom-JVP path (ops.pmatrix docstring)
+            sym, freqs = self.model.build_parts(params["model"], dtype=dtype)
+            p = p_matrices_reversible(sym, freqs, ts)      # (n_nodes, K, S, S)
+        else:
+            eig = self.model.eigen(params["model"], dtype=dtype)
+            freqs = eig.freqs
+            p = transition_matrices(eig, ts)
+        root_partials, root_logscale = self._prune(p, leaf_partials)
+        pinv = params.get("pinv") if self.invariant_sites else None
+        inv = (
+            invariant_site_likelihood(leaf_partials, freqs)
+            if self.invariant_sites
+            else None
+        )
+        return mixture_loglik(
+            root_partials, root_logscale, freqs, cat_weights, weights,
+            pinv=pinv, inv_lik=inv,
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def loglikelihood(self, params: Optional[Mapping] = None) -> float:
+        total, _ = self._jit_fn(
+            self._full_params(params), self._leaf_partials, self._weights
+        )
+        return float(total)
+
+    def sitewise_loglikelihoods(
+        self, params: Optional[Mapping] = None, per_pattern: bool = False
+    ) -> np.ndarray:
+        """Per-site (or per-pattern) log-likelihoods."""
+        _, sw = self._jit_fn(
+            self._full_params(params), self._leaf_partials, self._weights
+        )
+        sw = np.asarray(sw)[: self._compressed.n_patterns]
+        if per_pattern:
+            return sw
+        return sw[self._compressed.site_to_pattern]
+
+    def gradient(self, params: Optional[Mapping] = None) -> Dict:
+        return self._jit_grad(
+            self._full_params(params), self._leaf_partials, self._weights
+        )
+
+    def value_and_grad(self, params: Optional[Mapping] = None):
+        return self._jit_vag(
+            self._full_params(params), self._leaf_partials, self._weights
+        )

@@ -1,0 +1,121 @@
+"""Rate-matrix construction and reversible eigendecomposition (pure jnp).
+
+Mirrors the reference's construction (SURVEY.md §3.1 [HIGH]):
+Q = S * diag(pi), diagonal = -rowsum, normalized so the mean equilibrium rate
+is 1 (branch lengths in expected substitutions/site); reversible models are
+diagonalized via the pi^{1/2} symmetrization + ``eigh``, then de-symmetrized.
+
+Everything is differentiable: ``eigh`` has a JAX gradient, so model-parameter
+gradients flow through the eigendecomposition into P(t).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Mapping, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "Eigen",
+    "Model",
+    "normalize_q",
+    "build_rate_matrix",
+    "eigen_reversible",
+    "stationary_from_q",
+]
+
+
+class Eigen(NamedTuple):
+    """Eigendecomposition of a (reversible) rate matrix Q = V diag(evals) Vi,
+    plus the equilibrium frequencies. For non-reversible models ``evals`` is
+    None and ``q`` is used directly with expm."""
+
+    evals: Optional[jnp.ndarray]   # (S,)
+    evecs: Optional[jnp.ndarray]   # (S, S) = V
+    ivecs: Optional[jnp.ndarray]   # (S, S) = V^-1
+    freqs: jnp.ndarray             # (S,)
+    q: jnp.ndarray                 # (S, S) normalized rate matrix
+
+
+def normalize_q(q: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Set diagonal to -rowsum and scale so -sum_i pi_i Q_ii == 1."""
+    s = q.shape[-1]
+    off = q * (1.0 - jnp.eye(s, dtype=q.dtype))
+    q = off - jnp.diag(jnp.sum(off, axis=1))
+    scale = -jnp.sum(freqs * jnp.diagonal(q))
+    return q / scale
+
+
+def build_rate_matrix(sym_rates: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Q from symmetric exchangeabilities S and frequencies pi (normalized)."""
+    return normalize_q(sym_rates * freqs[None, :], freqs)
+
+
+def eigen_reversible(sym_rates: jnp.ndarray, freqs: jnp.ndarray) -> Eigen:
+    """Diagonalize the reversible Q via similarity to a symmetric matrix.
+
+    B = diag(sqrt(pi)) Q diag(1/sqrt(pi)) is symmetric for reversible Q;
+    eigh(B) -> (w, U); V = diag(1/sqrt(pi)) U, V^-1 = U^T diag(sqrt(pi)).
+    """
+    q = build_rate_matrix(sym_rates, freqs)
+    sqrtp = jnp.sqrt(freqs)
+    b = (sqrtp[:, None] * q) / sqrtp[None, :]
+    b = 0.5 * (b + b.T)  # exact symmetry against rounding
+    w, u = jnp.linalg.eigh(b)
+    v = u / sqrtp[:, None]
+    vi = u.T * sqrtp[None, :]
+    return Eigen(evals=w, evecs=v, ivecs=vi, freqs=freqs, q=q)
+
+
+def stationary_from_q(q: jnp.ndarray) -> jnp.ndarray:
+    """Stationary distribution of a general rate matrix: solve pi Q = 0,
+    sum(pi) = 1 via a bordered linear system (differentiable)."""
+    s = q.shape[-1]
+    a = jnp.concatenate([q.T, jnp.ones((1, s), q.dtype)], axis=0)  # (S+1, S)
+    b = jnp.concatenate([jnp.zeros((s,), q.dtype), jnp.ones((1,), q.dtype)])
+    pi, *_ = jnp.linalg.lstsq(a, b)
+    return pi
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """A substitution model spec.
+
+    ``build`` maps a parameter PyTree (a dict) to either
+    ``(sym_rates, freqs)`` for reversible models, or a raw (normalized) ``q``
+    with its stationary ``freqs`` for non-reversible ones.
+    """
+
+    name: str
+    n_states: int
+    alphabet: str                      # "dna" | "protein" | ...
+    param_defaults: Mapping[str, object]
+    build: Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
+    reversible: bool = True
+
+    def defaults(self, dtype=jnp.float64) -> dict:
+        return {
+            k: jnp.asarray(v, dtype=dtype) for k, v in self.param_defaults.items()
+        }
+
+    def _merged(self, params: Optional[Mapping], dtype) -> dict:
+        p = dict(self.param_defaults)
+        if params:
+            p.update(params)
+        if dtype is not None:
+            return {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
+        return {k: jnp.asarray(v) for k, v in p.items()}
+
+    def build_parts(
+        self, params: Optional[Mapping] = None, dtype=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(sym_rates, freqs) for reversible models; (Q, freqs) otherwise."""
+        return self.build(**self._merged(params, dtype))
+
+    def eigen(self, params: Optional[Mapping] = None, dtype=None) -> Eigen:
+        """Parameter PyTree -> Eigen (or expm-ready Q for non-reversible)."""
+        if self.reversible:
+            sym, freqs = self.build_parts(params, dtype)
+            return eigen_reversible(sym, freqs)
+        q, freqs = self.build_parts(params, dtype)
+        return Eigen(evals=None, evecs=None, ivecs=None, freqs=freqs, q=q)
