@@ -1,0 +1,124 @@
+"""Optimization layer: reparameterization, joint fit, Newton branch lengths,
+1-D safeguarded minimizers (reference optimisation.py parity, SURVEY.md §2).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle.core as oracle
+from phylo_utils_tpu import models
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.optimize import (
+    brent_minimize,
+    fit,
+    golden_section,
+    newton_branch_length,
+    transform_params,
+    untransform_params,
+)
+from phylo_utils_tpu.trees import random_tree
+
+
+def _aln(tree, sites, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        n: "".join(rng.choice(list("ACGT"), size=sites))
+        for n in tree.leaf_names
+    }
+
+
+def test_transform_roundtrip():
+    params = {
+        "branch_lengths": jnp.asarray([0.1, 2.0, 1e-4]),
+        "model": {"kappa": jnp.asarray(3.5), "freqs": jnp.asarray([0.1, 0.2, 0.3, 0.4])},
+        "alpha": jnp.asarray(0.47),
+        "pinv": jnp.asarray(0.23),
+    }
+    back = untransform_params(transform_params(params))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_fit_improves_and_reaches_optimum_neighborhood():
+    tree = random_tree(6, seed=1)
+    aln = _aln(tree, 200, seed=2)
+    engine = LikelihoodEngine(tree, aln, models.HKY85, ncat=4)
+    start = engine.default_params()
+    ll0 = engine.loglikelihood(start)
+    res = fit(engine, start, max_steps=200, patience=30)
+    assert res.loglik > ll0 + 1.0
+    # gradient at optimum ~ 0 for free parameters
+    g = engine.gradient(res.params)
+    gnorm = max(
+        float(jnp.max(jnp.abs(x)))
+        for x in [g["branch_lengths"], g["model"]["kappa"], g["alpha"]]
+    )
+    assert gnorm < 0.5
+
+
+def test_fit_respects_free_subset():
+    tree = random_tree(5, seed=3)
+    aln = _aln(tree, 100, seed=4)
+    engine = LikelihoodEngine(tree, aln, models.K80)
+    start = engine.default_params()
+    res = fit(engine, start, free=("branch_lengths",), max_steps=60)
+    np.testing.assert_allclose(
+        np.asarray(res.params["model"]["kappa"]),
+        np.asarray(start["model"]["kappa"]),
+    )
+    assert not np.allclose(
+        np.asarray(res.params["branch_lengths"]),
+        np.asarray(start["branch_lengths"]),
+    )
+
+
+def test_newton_branch_length_matches_scan_optimum():
+    """Two-leaf 'tree': Newton's t* must maximize the pairwise logL, checked
+    against a dense scan of the 1-D likelihood surface."""
+    eig = models.HKY85.eigen({"kappa": 2.0}, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    a = np.maximum((rng.random((60, 4)) > 0.5).astype(float), 1e-6)
+    b = np.maximum((rng.random((60, 4)) > 0.5).astype(float), 1e-6)
+    w = np.ones(60)
+    t_star, lnl_star = newton_branch_length(
+        eig, jnp.asarray(a), jnp.asarray(b), jnp.asarray(w), t0=0.5
+    )
+    from phylo_utils_tpu.optimize import _branch_lnl_derivs
+
+    ts = np.linspace(1e-4, 5.0, 2000)
+    lnls = [
+        float(_branch_lnl_derivs(eig, jnp.asarray(a), jnp.asarray(b),
+                                 jnp.asarray(w), jnp.asarray(t))[0])
+        for t in ts
+    ]
+    t_grid = ts[int(np.argmax(lnls))]
+    assert float(lnl_star) >= max(lnls) - 1e-6
+    assert abs(float(t_star) - t_grid) < 5e-3 or float(lnl_star) >= max(lnls)
+
+
+@pytest.mark.parametrize("minimizer", [golden_section, brent_minimize])
+def test_1d_minimizers(minimizer):
+    fn = lambda x: (x - 1.234) ** 2 + 0.5
+    x, fx = minimizer(fn, 0.0, 10.0)
+    assert abs(float(x) - 1.234) < 1e-4
+    assert abs(float(fx) - 0.5) < 1e-7
+
+
+def test_fit_recovers_simulation_parameters_roughly():
+    """Fit GTR+G branch lengths on oracle-defined data: logL after fit must
+    beat logL at the true generating parameters' neighborhood start."""
+    tree = random_tree(8, seed=11)
+    aln = _aln(tree, 300, seed=12)
+    engine = LikelihoodEngine(tree, aln, models.GTR, ncat=2)
+    res = fit(engine, max_steps=120, patience=20)
+    # cross-check the fitted optimum against the float64 oracle
+    rates = oracle.discrete_gamma(float(res.params["alpha"]), 2)
+    om = oracle.gtr(
+        np.asarray(res.params["model"]["rates"]),
+        np.asarray(res.params["model"]["freqs"]),
+    )
+    tree_fit = tree.with_lengths(np.asarray(res.params["branch_lengths"]))
+    ll_oracle = oracle.loglikelihood(tree_fit, aln, om, rates=rates)
+    assert res.loglik == pytest.approx(ll_oracle, abs=1e-5)
