@@ -1,0 +1,229 @@
+"""Command-line entry points: loglik / fit / simulate / benchmark.
+
+The reference has no CLI (SURVEY.md §5 [HIGH]); this is new design. Typed
+config via argparse only — no heavyweight flag framework. Run as
+``python -m phylo_utils_tpu.cli <subcommand> ...``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+MODEL_NAMES = (
+    "JC69", "K80", "F81", "F84", "HKY85", "TN93", "GTR", "UNREST", "LG", "WAG"
+)
+
+
+def _get_model(name: str):
+    from phylo_utils_tpu import models
+
+    try:
+        return getattr(models, name.upper())
+    except AttributeError:
+        raise SystemExit(
+            f"unknown model {name!r}; choose from {', '.join(MODEL_NAMES)}"
+        )
+
+
+def _read_tree(arg: str):
+    from phylo_utils_tpu.io import parse_newick
+
+    try:
+        with open(arg) as f:
+            text = f.read()
+    except OSError:
+        text = arg
+    return parse_newick(text)
+
+
+def _read_aln(path: str) -> Dict[str, str]:
+    from phylo_utils_tpu.io import read_alignment
+
+    return read_alignment(path)
+
+
+def _json_params(arg: Optional[str]) -> Optional[Dict]:
+    return json.loads(arg) if arg else None
+
+
+def _add_engine_args(p: argparse.ArgumentParser):
+    p.add_argument("--tree", required=True, help="newick file or literal")
+    p.add_argument("--alignment", required=True, help="FASTA/PHYLIP file")
+    p.add_argument("--model", default="GTR", help="|".join(MODEL_NAMES))
+    p.add_argument("--ncat", type=int, default=1, help="gamma categories")
+    p.add_argument("--pinv", action="store_true", help="+I mixture")
+    p.add_argument("--params", help="JSON params override")
+    p.add_argument("--dtype", default=None, help="float32|float64")
+    p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--shard-sites", action="store_true",
+                   help="shard patterns over all devices")
+
+
+def _build_engine(args):
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+
+    sharding = None
+    if args.shard_sites:
+        from phylo_utils_tpu.parallel import SiteSharding
+
+        sharding = SiteSharding()
+    return LikelihoodEngine(
+        _read_tree(args.tree),
+        _read_aln(args.alignment),
+        _get_model(args.model),
+        ncat=args.ncat,
+        invariant_sites=args.pinv,
+        dtype=args.dtype,
+        sharding=sharding,
+        pruner=args.pruner,
+    )
+
+
+def cmd_loglik(args) -> int:
+    engine = _build_engine(args)
+    params = engine._full_params(_json_params(args.params))
+    ll = engine.loglikelihood(params)
+    out = {"loglik": ll}
+    if args.sitewise:
+        out["sitewise"] = engine.sitewise_loglikelihoods(params).tolist()
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_fit(args) -> int:
+    import jax
+
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.utils import MetricsLogger, load_checkpoint, save_checkpoint
+
+    engine = _build_engine(args)
+    params0 = _json_params(args.params)
+    if args.resume:
+        like = engine._full_params(params0)
+        state, step0, _ = load_checkpoint(args.resume, like)
+        params0 = state
+    free = tuple(args.free.split(",")) if args.free else None
+    logger = MetricsLogger(args.metrics, echo=args.verbose)
+    t0 = time.perf_counter()
+    n_pat = int(engine._weights.shape[0])
+
+    def callback(step, ll, params):
+        logger.log(step, loglik=ll,
+                   patterns_per_s=n_pat * step / (time.perf_counter() - t0))
+
+    res = fit(
+        engine, params0, free=free, max_steps=args.max_steps,
+        callback=callback if (args.metrics or args.verbose) else None,
+    )
+    logger.close()
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, res.params, step=res.n_steps,
+                        extra={"loglik": res.loglik})
+    print(json.dumps({
+        "loglik": res.loglik,
+        "n_steps": res.n_steps,
+        "converged": res.converged,
+        "params": jax.tree.map(lambda x: np.asarray(x).tolist(), res.params),
+    }))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    import jax
+
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    aln = simulate_alignment(
+        jax.random.key(args.seed),
+        _read_tree(args.tree),
+        _get_model(args.model),
+        args.sites,
+        params=_json_params(args.params),
+        ncat=args.ncat,
+        pinv=args.pinv,
+    )
+    lines = [f">{name}\n{seq}" for name, seq in aln.items()]
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import jax
+
+    engine = _build_engine(args)
+    params = engine._full_params(_json_params(args.params))
+    fn = engine._jit_fn
+    fargs = (params, engine._leaf_partials, engine._weights)
+    jax.block_until_ready(fn(*fargs))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn(*fargs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    n_pat = int(engine._weights.shape[0])
+    n_dev = len(jax.devices())
+    print(json.dumps({
+        "patterns_per_s": n_pat / dt,
+        "patterns_per_s_per_chip": n_pat / dt / n_dev,
+        "step_ms": dt * 1e3,
+        "n_patterns": n_pat,
+        "n_devices": n_dev,
+        "pruner": args.pruner,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="phylo_utils_tpu",
+        description="TPU-native phylogenetic likelihood engine",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("loglik", help="compute log-likelihood")
+    _add_engine_args(p)
+    p.add_argument("--sitewise", action="store_true")
+    p.set_defaults(fn=cmd_loglik)
+
+    p = sub.add_parser("fit", help="optimize branch lengths + model params")
+    _add_engine_args(p)
+    p.add_argument("--max-steps", type=int, default=500)
+    p.add_argument("--free", help="comma-separated free parameter names")
+    p.add_argument("--checkpoint", help="write final params checkpoint here")
+    p.add_argument("--resume", help="resume params from checkpoint")
+    p.add_argument("--metrics", help="JSONL metrics path")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("simulate", help="simulate an alignment")
+    p.add_argument("--tree", required=True)
+    p.add_argument("--model", default="JC69")
+    p.add_argument("--sites", type=int, required=True)
+    p.add_argument("--ncat", type=int, default=1)
+    p.add_argument("--pinv", type=float, default=0.0)
+    p.add_argument("--params", help="JSON params")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", help="output FASTA path (default stdout)")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("benchmark", help="pruning throughput")
+    _add_engine_args(p)
+    p.add_argument("--iters", type=int, default=30)
+    p.set_defaults(fn=cmd_benchmark)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,165 @@
+"""Sequence simulation along a tree (jax.random, fully on-device).
+
+Reference parity: phylo_utils/simulation.py ``SequenceSimulator`` — draw root
+states from the equilibrium frequencies, then walk the tree top-down sampling
+each child's state from the parent's P(t) row, with per-site gamma-category
+rates (SURVEY.md §2/§3.5 [MED]).
+
+TPU-first redesign: the Python pre-order recursion with per-site weighted
+choice (reference likcalc weighted sampling kernel) becomes a ``lax.scan``
+over a static pre-order node array; each step samples ALL sites of one node
+in a single vectorized ``jax.random.categorical`` over gathered P rows. All
+randomness is explicit (splittable PRNG keys), so simulations are exactly
+reproducible across devices and shardable over sites.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phylo_utils_tpu import io as pio
+from phylo_utils_tpu import trees as ptrees
+from phylo_utils_tpu.alphabets import get_alphabet
+from phylo_utils_tpu.models.base import Model
+from phylo_utils_tpu.ops.gamma import discrete_gamma
+from phylo_utils_tpu.ops.pmatrix import p_matrices_reversible, transition_matrices
+
+__all__ = ["simulate_states", "simulate_alignment", "SequenceSimulator"]
+
+
+def _preorder_arrays(tree: ptrees.Tree) -> Tuple[np.ndarray, np.ndarray]:
+    """Non-root nodes in parent-before-child order + their parents."""
+    order = [n for n in tree.postorder()][::-1]  # root first
+    nodes = np.asarray([n for n in order if n != tree.root], np.int32)
+    parents = np.asarray([tree.parent[n] for n in nodes], np.int32)
+    return nodes, parents
+
+
+def simulate_states(
+    key: jax.Array,
+    tree: ptrees.Tree,
+    model: Model,
+    n_sites: int,
+    params: Optional[Mapping] = None,
+    ncat: int = 1,
+    pinv: float = 0.0,
+    median: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample ancestral + leaf states.
+
+    Returns ``(states, site_rates)`` where ``states`` is (n_nodes, n_sites)
+    int32 and ``site_rates`` the per-site rate multipliers actually used
+    (0.0 for invariant sites drawn by ``pinv``).
+    """
+    model_params = model.defaults(None)
+    if params:
+        model_params.update({k: jnp.asarray(v) for k, v in params.items()})
+    if model.reversible:
+        sym, freqs = model.build_parts(model_params)
+        eig = None
+    else:
+        eig = model.eigen(model_params)
+        freqs = eig.freqs
+    dtype = freqs.dtype
+
+    k_rates, k_root, k_inv, k_walk = jax.random.split(key, 4)
+    if ncat > 1:
+        alpha = model_params.get("alpha", jnp.asarray(0.5, dtype))
+        rates = discrete_gamma(alpha, ncat, median).astype(dtype)
+        cat = jax.random.randint(k_rates, (n_sites,), 0, ncat)
+        site_rates = rates[cat]
+    else:
+        site_rates = jnp.ones((n_sites,), dtype)
+    if pinv > 0:
+        inv = jax.random.bernoulli(k_inv, pinv, (n_sites,))
+        site_rates = jnp.where(inv, 0.0, site_rates)
+
+    root_states = jax.random.categorical(
+        k_root, jnp.log(freqs)[None, :], shape=(n_sites,)
+    ).astype(jnp.int32)
+
+    nodes, parents = _preorder_arrays(tree)
+    lengths = jnp.asarray(tree.lengths, dtype)
+    # P(t_node * rate_s) for every non-root node: (n_edges, n_sites, S, S) is
+    # too big; instead one P per (node, unique rate) — the rate set is the
+    # ncat gamma rates (+ 0 for invariant), so gather per-site from K+1 mats.
+    uniq_rates = (
+        jnp.concatenate([rates, jnp.zeros((1,), dtype)])
+        if ncat > 1
+        else jnp.concatenate([jnp.ones((1,), dtype), jnp.zeros((1,), dtype)])
+    )
+    t = lengths[:, None] * uniq_rates[None, :]
+    if model.reversible:
+        p = p_matrices_reversible(sym, freqs, t)      # (n_nodes, R, S, S)
+    else:
+        p = transition_matrices(eig, t)
+    # per-site rate index into uniq_rates
+    site_r = jnp.argmin(
+        jnp.abs(site_rates[:, None] - uniq_rates[None, :]), axis=1
+    )
+
+    states0 = jnp.zeros((tree.n_nodes, n_sites), jnp.int32)
+    states0 = states0.at[tree.root].set(root_states)
+    keys = jax.random.split(k_walk, nodes.shape[0])
+
+    def step(states, xs):
+        node, parent, kk = xs
+        parent_states = states[parent]                       # (n_sites,)
+        rows = p[node][site_r, parent_states, :]             # (n_sites, S)
+        logits = jnp.log(jnp.clip(rows, 1e-30, None))
+        child_states = jax.random.categorical(kk, logits).astype(jnp.int32)
+        return states.at[node].set(child_states), None
+
+    states, _ = jax.lax.scan(
+        step, states0, (jnp.asarray(nodes), jnp.asarray(parents), keys)
+    )
+    return states, site_rates
+
+
+def simulate_alignment(
+    key: jax.Array,
+    tree: Union[ptrees.Tree, str],
+    model: Model,
+    n_sites: int,
+    params: Optional[Mapping] = None,
+    ncat: int = 1,
+    pinv: float = 0.0,
+    median: bool = False,
+) -> Dict[str, str]:
+    """Simulate a name->sequence dict at the leaves (reference output shape)."""
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    states, _ = simulate_states(
+        key, tree, model, n_sites, params, ncat, pinv, median
+    )
+    alphabet = get_alphabet(model.alphabet)
+    chars = np.asarray(list(alphabet.states))
+    leaf_states = np.asarray(states[: tree.n_leaves])
+    return {
+        name: "".join(chars[leaf_states[i]])
+        for i, name in enumerate(tree.leaf_names)
+    }
+
+
+class SequenceSimulator:
+    """OO facade mirroring the reference's ``SequenceSimulator`` API."""
+
+    def __init__(self, tree, model: Model, params=None, ncat: int = 1,
+                 pinv: float = 0.0, median: bool = False, seed: int = 0):
+        self.tree = pio.parse_newick(tree) if isinstance(tree, str) else tree
+        self.model = model
+        self.params = params
+        self.ncat = ncat
+        self.pinv = pinv
+        self.median = median
+        self._key = jax.random.key(seed)
+
+    def simulate(self, n_sites: int) -> Dict[str, str]:
+        self._key, sub = jax.random.split(self._key)
+        return simulate_alignment(
+            sub, self.tree, self.model, n_sites, self.params, self.ncat,
+            self.pinv, self.median,
+        )

@@ -1,0 +1,5 @@
+from phylo_utils_tpu.utils.checkpoint import (  # noqa: F401
+    load_checkpoint,
+    save_checkpoint,
+)
+from phylo_utils_tpu.utils.metrics import MetricsLogger, Timer  # noqa: F401

@@ -1,0 +1,131 @@
+"""CLI subcommands, checkpoint round-trip, metrics logging."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phylo_utils_tpu.cli import main
+from phylo_utils_tpu.utils import (
+    MetricsLogger,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture
+def small_inputs(tmp_path):
+    tree = "((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);"
+    fasta = tmp_path / "aln.fa"
+    fasta.write_text(
+        ">a\nACGTACGTGG\n>b\nACGTTGCAGG\n>c\nAGGTACGAGT\n>d\nACGAACGTAT\n"
+    )
+    return tree, str(fasta)
+
+
+def test_cli_loglik(small_inputs, capsys):
+    tree, fasta = small_inputs
+    rc = main([
+        "loglik", "--tree", tree, "--alignment", fasta,
+        "--model", "HKY85", "--ncat", "4", "--sitewise",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["loglik"] < 0
+    assert len(out["sitewise"]) == 10
+
+
+def test_cli_loglik_matches_oracle(small_inputs, capsys):
+    import oracle
+
+    tree, fasta = small_inputs
+    main(["loglik", "--tree", tree, "--alignment", fasta, "--model", "JC69"])
+    ll = json.loads(capsys.readouterr().out)["loglik"]
+    from phylo_utils_tpu.io import parse_newick, read_fasta
+
+    gold = oracle.loglikelihood(
+        parse_newick(tree), read_fasta(fasta), oracle.jc69()
+    )
+    assert ll == pytest.approx(gold, abs=1e-8)
+
+
+def test_cli_fit_with_checkpoint(small_inputs, tmp_path, capsys):
+    tree, fasta = small_inputs
+    ckpt = str(tmp_path / "fit.npz")
+    metrics = str(tmp_path / "metrics.jsonl")
+    rc = main([
+        "fit", "--tree", tree, "--alignment", fasta, "--model", "K80",
+        "--max-steps", "30", "--checkpoint", ckpt, "--metrics", metrics,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["loglik"] < 0 and out["n_steps"] <= 30
+    assert os.path.exists(ckpt)
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines and "loglik" in lines[0]
+    # resume path: restart from checkpoint, logL must not regress
+    rc = main([
+        "fit", "--tree", tree, "--alignment", fasta, "--model", "K80",
+        "--max-steps", "5", "--resume", ckpt,
+    ])
+    out2 = json.loads(capsys.readouterr().out)
+    assert out2["loglik"] >= out["loglik"] - 1e-6
+
+
+def test_cli_simulate_roundtrip(tmp_path, capsys):
+    out_fa = str(tmp_path / "sim.fa")
+    rc = main([
+        "simulate", "--tree", "((a:0.2,b:0.1):0.1,(c:0.3,d:0.1):0.2);",
+        "--model", "GTR", "--sites", "120", "--ncat", "4", "--out", out_fa,
+    ])
+    assert rc == 0
+    from phylo_utils_tpu.io import read_fasta
+
+    aln = read_fasta(out_fa)
+    assert set(aln) == {"a", "b", "c", "d"}
+    # simulated data must be scorable
+    rc = main([
+        "loglik", "--tree", "((a:0.2,b:0.1):0.1,(c:0.3,d:0.1):0.2);",
+        "--alignment", out_fa, "--model", "GTR",
+    ])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["loglik"] < 0
+
+
+def test_cli_benchmark_runs(small_inputs, capsys):
+    tree, fasta = small_inputs
+    rc = main([
+        "benchmark", "--tree", tree, "--alignment", fasta, "--iters", "2",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["patterns_per_s"] > 0
+
+
+def test_checkpoint_roundtrip_nested_pytree(tmp_path):
+    import optax
+
+    params = {
+        "branch_lengths": jnp.arange(5.0),
+        "model": {"kappa": jnp.asarray(2.5)},
+    }
+    opt = optax.adam(1e-2)
+    state = {"params": params, "opt": opt.init(params)}
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state, step=17, extra={"note": "x"})
+    restored, step, extra = load_checkpoint(path, state)
+    assert step == 17 and extra["note"] == "x"
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path) as ml:
+        ml.log(1, loglik=-12.5, grad_norm=0.3)
+        ml.log(2, loglik=-11.0)
+    recs = [json.loads(l) for l in open(path)]
+    assert [r["step"] for r in recs] == [1, 2]
+    assert recs[0]["loglik"] == -12.5
