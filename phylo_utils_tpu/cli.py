@@ -65,6 +65,9 @@ def _add_engine_args(p: argparse.ArgumentParser):
 
 
 def _build_engine(args):
+    import os
+
+    from phylo_utils_tpu.io import load_compressed
     from phylo_utils_tpu.likelihood import LikelihoodEngine
 
     sharding = None
@@ -72,10 +75,16 @@ def _build_engine(args):
         from phylo_utils_tpu.parallel import SiteSharding
 
         sharding = SiteSharding()
+    model = _get_model(args.model)
+    if os.path.exists(args.alignment):
+        # native C++ FASTA->matrix->compression fast path (falls back inside)
+        aln = load_compressed(args.alignment, model.alphabet)
+    else:
+        aln = _read_aln(args.alignment)
     return LikelihoodEngine(
         _read_tree(args.tree),
-        _read_aln(args.alignment),
-        _get_model(args.model),
+        aln,
+        model,
         ncat=args.ncat,
         invariant_sites=args.pinv,
         dtype=args.dtype,

@@ -26,6 +26,7 @@ __all__ = [
     "read_phylip",
     "read_alignment",
     "compress_patterns",
+    "load_compressed",
     "CompressedAlignment",
 ]
 
@@ -289,4 +290,35 @@ def compress_patterns(
         partials=partials,
         weights=counts.astype(dtype),
         site_to_pattern=site_to_pattern.astype(np.int32).ravel(),
+    )
+
+
+def load_compressed(
+    path: str, alphabet="dna", dtype=np.float64
+) -> CompressedAlignment:
+    """File -> CompressedAlignment via the native (C++) data path.
+
+    FASTA files are parsed straight into an uppercased uint8 character matrix
+    and hash-compressed without any per-character Python (native/phyloio.cpp);
+    PHYLIP files and environments without the native library fall back to the
+    Python readers + ``compress_patterns``.
+    """
+    from phylo_utils_tpu.alphabets import get_alphabet, _charmap_table
+
+    try:
+        from phylo_utils_tpu.native import (
+            compress_matrix_native,
+            read_fasta_matrix_native,
+        )
+
+        names, matrix = read_fasta_matrix_native(path)
+        uniq_cols, site_to_pattern, counts = compress_matrix_native(matrix)
+    except (ImportError, OSError, ValueError, MemoryError):
+        return compress_patterns(read_alignment(path), alphabet, dtype=dtype)
+    table = _charmap_table(get_alphabet(alphabet), dtype)
+    return CompressedAlignment(
+        names=tuple(names),
+        partials=table[uniq_cols],
+        weights=counts.astype(dtype),
+        site_to_pattern=site_to_pattern.astype(np.int32),
     )

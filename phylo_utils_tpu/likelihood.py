@@ -218,3 +218,96 @@ class LikelihoodEngine:
         return self._jit_vag(
             self._full_params(params), self._leaf_partials, self._weights
         )
+
+
+class GammaMixture:
+    """Stateful facade mirroring the reference's ``GammaMixture`` API
+    (phylo_utils/likelihood.py: set_tree / update_alpha /
+    update_substitution_model / get_likelihood / get_sitewise_likelihoods;
+    SURVEY.md §2 [HIGH]).
+
+    Under the hood every "update" just edits a parameter PyTree; the compiled
+    pure function is re-invoked with new values — recompilation happens only
+    on ``set_tree`` (topology/shape change), never on parameter updates.
+    """
+
+    def __init__(self, alpha: float, ncat: int, model: Model,
+                 invariant_sites: bool = False, pinv: float = 0.2,
+                 dtype=None, pruner: str = "xla"):
+        self.model = model
+        self.ncat = int(ncat)
+        self.invariant_sites = bool(invariant_sites)
+        self._dtype = dtype
+        self._pruner = pruner
+        self._engine: Optional[LikelihoodEngine] = None
+        self._alignment = None
+        self._params: Dict = {"alpha": alpha}
+        if invariant_sites:
+            self._params["pinv"] = pinv
+
+    # -- wiring --------------------------------------------------------------
+
+    def set_alignment(self, alignment) -> "GammaMixture":
+        self._alignment = alignment
+        if self._engine is not None:
+            self.set_tree(self._engine.tree)
+        return self
+
+    def set_tree(self, tree) -> "GammaMixture":
+        if self._alignment is None:
+            raise ValueError("call set_alignment() before set_tree()")
+        self._engine = LikelihoodEngine(
+            tree, self._alignment, self.model, ncat=self.ncat,
+            invariant_sites=self.invariant_sites, dtype=self._dtype,
+            pruner=self._pruner,
+        )
+        self._params.pop("branch_lengths", None)
+        return self
+
+    def _require_engine(self) -> LikelihoodEngine:
+        if self._engine is None:
+            raise ValueError("call set_alignment() and set_tree() first")
+        return self._engine
+
+    # -- updates (reference method names) ------------------------------------
+
+    def update_alpha(self, alpha: float) -> None:
+        self._params["alpha"] = alpha
+
+    def update_substitution_model(self, model: Model = None, **params) -> None:
+        if model is not None and model is not self.model:
+            self.model = model
+            if self._engine is not None:
+                self.set_tree(self._engine.tree)
+        if params:
+            merged = dict(self._params.get("model", {}))
+            merged.update(params)
+            self._params["model"] = merged
+
+    def update_branch_lengths(self, lengths) -> None:
+        self._params["branch_lengths"] = np.asarray(lengths, dtype=np.float64)
+
+    def update_pinv(self, pinv: float) -> None:
+        self._params["pinv"] = pinv
+
+    # -- queries --------------------------------------------------------------
+
+    def get_likelihood(self) -> float:
+        return self._require_engine().loglikelihood(self._params)
+
+    def get_sitewise_likelihoods(self) -> np.ndarray:
+        return self._require_engine().sitewise_loglikelihoods(self._params)
+
+    def get_gradient(self) -> Dict:
+        return self._require_engine().gradient(self._params)
+
+    def optimise(self, **kwargs):
+        """Joint ML fit of all free parameters (jax.grad + L-BFGS); updates
+        this object's parameters in place and returns the FitResult."""
+        from phylo_utils_tpu.optimize import fit
+
+        res = fit(self._require_engine(), self._params, **kwargs)
+        self._params = {
+            k: v for k, v in res.params.items()
+        }
+        return res
