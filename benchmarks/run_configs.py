@@ -1,0 +1,171 @@
+"""Run the five BASELINE.json capability configs end-to-end.
+
+For each config: build the data (simulated under the target model), compute
+logL on the engine (both pruners where applicable), check parity against the
+float64 numpy oracle, and measure pruning throughput. Emits one JSON line per
+config; exit code != 0 if any parity gate fails.
+
+Usage: python benchmarks/run_configs.py [--fast]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _throughput(engine, params, iters=20):
+    import jax
+
+    fn = engine._jit_fn
+    args = (engine._full_params(params), engine._leaf_partials, engine._weights)
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return int(engine._weights.shape[0]) / dt, dt
+
+
+def main():
+    import jax
+
+    import oracle.core as oracle
+    from phylo_utils_tpu import models
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true", help="smaller site counts")
+    ap.add_argument("--pruner", default="pallas", choices=["pallas", "xla"])
+    args = ap.parse_args()
+    S = 0.25 if args.fast else 1.0
+
+    key = __import__("jax").random.key
+
+    configs = []
+
+    # 1: JC69, fixed 4-taxon tree, short DNA alignment, single rate
+    tree1 = random_tree(4, seed=1)
+    aln1 = simulate_alignment(key(1), tree1, models.JC69, 64)
+    configs.append(dict(
+        name="config1_jc69_4taxa",
+        tree=tree1, aln=aln1, model=models.JC69, omodel=oracle.jc69(),
+        ncat=1, pinv=False,
+    ))
+
+    # 2: HKY85 + gamma4, 16 taxa, per-node scaling exercised by long branches
+    tree2 = random_tree(16, seed=2, mean_brlen=0.4)
+    aln2 = simulate_alignment(
+        key(2), tree2, models.HKY85, int(512 * S) or 64,
+        params={"kappa": 3.0}, ncat=4,
+    )
+    configs.append(dict(
+        name="config2_hky_gamma_16taxa",
+        tree=tree2, aln=aln2, model=models.HKY85,
+        omodel=oracle.hky85(3.0, [0.25] * 4),
+        params={"model": {"kappa": 3.0}, "alpha": 0.5},
+        ncat=4, pinv=False,
+    ))
+
+    # 3: GTR+Gamma+I, 64 taxa, pattern compression
+    tree3 = random_tree(64, seed=3)
+    aln3 = simulate_alignment(
+        key(3), tree3, models.GTR, int(2048 * S) or 128, ncat=4, pinv=0.2,
+    )
+    configs.append(dict(
+        name="config3_gtr_gamma_i_64taxa",
+        tree=tree3, aln=aln3, model=models.GTR,
+        omodel=oracle.gtr([1.0] * 6, [0.25] * 4),
+        params={"alpha": 0.5, "pinv": 0.2},
+        ncat=4, pinv=True,
+    ))
+
+    # 4: LG protein + gamma, 32 taxa
+    tree4 = random_tree(32, seed=4)
+    aln4 = simulate_alignment(
+        key(4), tree4, models.LG, int(512 * S) or 64, ncat=4,
+    )
+    configs.append(dict(
+        name="config4_lg_gamma_32taxa",
+        tree=tree4, aln=aln4, model=models.LG, omodel=oracle.lg(),
+        params={"alpha": 0.5},
+        ncat=4, pinv=False,
+    ))
+
+    failures = 0
+    for cfg in configs:
+        params = cfg.get("params")
+        engine = LikelihoodEngine(
+            cfg["tree"], cfg["aln"], cfg["model"], ncat=cfg["ncat"],
+            invariant_sites=cfg["pinv"], pruner=args.pruner,
+        )
+        ll = engine.loglikelihood(params)
+        full = engine._full_params(params)
+        rates = oracle.discrete_gamma(
+            float(full.get("alpha", 0.5)), cfg["ncat"]
+        ) if cfg["ncat"] > 1 else None
+        gold = oracle.loglikelihood(
+            cfg["tree"], cfg["aln"], cfg["omodel"],
+            alphabet=cfg["model"].alphabet,
+            rates=rates,
+            pinv=float(full.get("pinv", 0.0)) if cfg["pinv"] else 0.0,
+        )
+        rel = abs(ll - gold) / max(abs(gold), 1.0)
+        pps, dt = _throughput(engine, params)
+        ok = rel < 5e-6  # f32 single-eval budget; f64 mode hits 1e-9
+        failures += 0 if ok else 1
+        print(json.dumps({
+            "config": cfg["name"],
+            "loglik": ll,
+            "oracle": gold,
+            "rel_err": rel,
+            "parity_ok": ok,
+            "patterns_per_s": round(pps, 1),
+            "step_ms": round(dt * 1e3, 3),
+            "n_patterns": int(engine._weights.shape[0]),
+            "pruner": args.pruner,
+        }))
+
+    # 5: gradient-based optimization, 128 taxa, sites sharded over devices
+    tree5 = random_tree(128, seed=5)
+    aln5 = simulate_alignment(key(5), tree5, models.GTR,
+                              int(1024 * S) or 128, ncat=4)
+    sharding = None
+    if len(jax.devices()) > 1:
+        from phylo_utils_tpu.parallel import SiteSharding
+
+        sharding = SiteSharding()
+    engine5 = LikelihoodEngine(
+        tree5, aln5, models.GTR, ncat=4, sharding=sharding, pruner="xla",
+    )
+    ll0 = engine5.loglikelihood()
+    t0 = time.perf_counter()
+    res = fit(engine5, max_steps=(10 if args.fast else 40), patience=10)
+    fit_s = time.perf_counter() - t0
+    ok = res.loglik > ll0
+    failures += 0 if ok else 1
+    print(json.dumps({
+        "config": "config5_fit_gtr_gamma_128taxa_sharded",
+        "loglik_start": ll0,
+        "loglik_end": res.loglik,
+        "improved": ok,
+        "n_steps": res.n_steps,
+        "fit_seconds": round(fit_s, 2),
+        "n_devices": len(jax.devices()),
+        "sharded": sharding is not None,
+    }))
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

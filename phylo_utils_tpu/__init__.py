@@ -33,3 +33,27 @@ from phylo_utils_tpu.alphabets import (  # noqa: F401
     seq_to_partials,
     encode_alignment,
 )
+
+# Public API re-exports: a reference user should find everything at the top
+# level. Heavy imports (jax tracing) happen lazily inside the modules.
+from phylo_utils_tpu import models  # noqa: F401
+from phylo_utils_tpu.io import (  # noqa: F401
+    CompressedAlignment,
+    compress_patterns,
+    load_compressed,
+    parse_newick,
+    read_alignment,
+    read_fasta,
+    read_phylip,
+    write_newick,
+)
+from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F401
+from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
+from phylo_utils_tpu.optimize import (  # noqa: F401
+    brent_minimize,
+    fit,
+    golden_section,
+    newton_branch_length,
+)
+from phylo_utils_tpu.simulate import SequenceSimulator, simulate_alignment  # noqa: F401
+from phylo_utils_tpu.trees import Tree, compile_schedule, random_tree  # noqa: F401

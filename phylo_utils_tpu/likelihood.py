@@ -74,6 +74,7 @@ class LikelihoodEngine:
         compress: bool = True,
         sharding=None,
         pruner: str = "xla",
+        remat: bool = False,
     ):
         if isinstance(tree, str):
             tree = pio.parse_newick(tree)
@@ -114,7 +115,7 @@ class LikelihoodEngine:
 
             self._prune = make_pallas_prune_fn(self.schedule)
         else:
-            self._prune = make_prune_fn(self.schedule)
+            self._prune = make_prune_fn(self.schedule, remat=remat)
 
         if sharding is not None:
             leaf_partials, weights = sharding.pad(leaf_partials, weights)

@@ -38,6 +38,7 @@ _HI = lax.Precision.HIGHEST
 def make_prune_fn(
     schedule: PruningSchedule,
     unroll: bool = True,
+    remat: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Compile a pruning schedule into a jit-able pure function.
 
@@ -54,7 +55,11 @@ def make_prune_fn(
     ``unroll=True`` unrolls the level loop at trace time (best for autodiff:
     residual memory stays O(total nodes), not O(levels x buffer)); otherwise
     a ``lax.scan`` over padded levels is used (faster compiles for very deep
-    trees, forward-only workloads).
+    trees, forward-only workloads). ``remat=True`` wraps each level in
+    ``jax.checkpoint`` so autodiff recomputes level activations instead of
+    storing the full (n_nodes+1, K, sites, S) residual chain — trades ~1
+    extra forward pass for O(depth) less gradient memory on deep trees
+    (SURVEY.md HBM-bandwidth guidance: remat to trade FLOPs for memory).
     """
     nodes_np = np.asarray(schedule.level_nodes)
     children_np = np.asarray(schedule.level_children)
@@ -95,16 +100,21 @@ def make_prune_fn(
             logscale = logscale.at[nodes].set(sc)
             return (buf, logscale), None
 
+        step = level_step
+        if remat:
+            import jax
+
+            step = jax.checkpoint(level_step, static_argnums=())
         if unroll:
             carry = (buf, logscale)
             for lvl in range(nodes_np.shape[0]):
-                carry, _ = level_step(
+                carry, _ = step(
                     carry, (nodes_np[lvl], children_np[lvl], mask_np[lvl])
                 )
             buf, logscale = carry
         else:
             (buf, logscale), _ = lax.scan(
-                level_step,
+                step,
                 (buf, logscale),
                 (jnp.asarray(nodes_np), jnp.asarray(children_np),
                  jnp.asarray(mask_np)),
