@@ -13,7 +13,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Mapping, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "Eigen",
@@ -51,17 +53,54 @@ def build_rate_matrix(sym_rates: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray
     return normalize_q(sym_rates * freqs[None, :], freqs)
 
 
-def eigen_reversible(sym_rates: jnp.ndarray, freqs: jnp.ndarray) -> Eigen:
+# When True, the symmetric eigendecomposition runs as a host callback in
+# float64 (LAPACK) regardless of the on-device compute dtype. Semantically
+# transparent: no gradient is ever taken through the factorization —
+# p_matrices_reversible's Daleckii-Krein custom JVP consumes it as primal
+# values only. Default False: (a) measured on TPU v5e, the on-device f32
+# eigh is NOT an accuracy bottleneck (P(t) entry error 1.7e-7 with either
+# path — the f32 application of e^{lambda t} dominates), and (b) this
+# machine's experimental `axon` PJRT rejects host callbacks entirely
+# ("UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks").
+# Flip on for standard TPU runtimes if a model with ill-conditioned Q needs
+# LAPACK-quality factorization.
+HOST_EIGH = False
+
+
+def _eigh_host(b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """eigh via host callback, computed in float64, cast to b.dtype."""
+    s = b.shape[-1]
+    dt = b.dtype
+
+    def _h(b_np):
+        w, u = np.linalg.eigh(np.asarray(b_np, np.float64))
+        return w.astype(dt), u.astype(dt)
+
+    return jax.pure_callback(
+        _h,
+        (jax.ShapeDtypeStruct((s,), dt), jax.ShapeDtypeStruct((s, s), dt)),
+        b,
+        vmap_method="sequential",
+    )
+
+
+def eigen_reversible(
+    sym_rates: jnp.ndarray, freqs: jnp.ndarray, host: Optional[bool] = None
+) -> Eigen:
     """Diagonalize the reversible Q via similarity to a symmetric matrix.
 
     B = diag(sqrt(pi)) Q diag(1/sqrt(pi)) is symmetric for reversible Q;
     eigh(B) -> (w, U); V = diag(1/sqrt(pi)) U, V^-1 = U^T diag(sqrt(pi)).
+    ``host=None`` uses the module default ``HOST_EIGH`` (see above).
     """
     q = build_rate_matrix(sym_rates, freqs)
     sqrtp = jnp.sqrt(freqs)
     b = (sqrtp[:, None] * q) / sqrtp[None, :]
     b = 0.5 * (b + b.T)  # exact symmetry against rounding
-    w, u = jnp.linalg.eigh(b)
+    if host if host is not None else HOST_EIGH:
+        w, u = _eigh_host(b)
+    else:
+        w, u = jnp.linalg.eigh(b)
     v = u / sqrtp[:, None]
     vi = u.T * sqrtp[None, :]
     return Eigen(evals=w, evecs=v, ivecs=vi, freqs=freqs, q=q)

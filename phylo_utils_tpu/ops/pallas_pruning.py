@@ -9,20 +9,27 @@ sites, keeping the entire partials buffer in VMEM.
 
 Layout/TPU mapping (SURVEY.md §7 hard part 3):
 - states go on the *sublane* axis padded to 8 (DNA 4->8, protein 20->24);
-  sites go on the *lane* axis in tiles of 128. A (sites, states) layout would
-  waste 97% of each 128-lane vector on DNA.
+  sites go on the *lane* axis in tiles of ``tile`` (default 512). A
+  (sites, states) layout would waste 97% of each 128-lane vector on DNA.
 - grid = (site_tiles, rate_categories); each program is independent, so the
   grid parallelizes across both and shards trivially over site-sharded
   inputs.
 - the child contraction y = P @ x is done as S_pad outer-product
   multiply-adds on the VPU: for S=8 a padded MXU matmul would waste ~256x of
-  the systolic array, while the VPU does the whole (8,128) tile in lockstep.
-- the post-order schedule (node ids, child ids, child counts) is
-  scalar-prefetched into SMEM; the node walk is a ``fori_loop`` with dynamic
-  VMEM indexing. No level padding: zero wasted work on ragged levels (the
-  XLA path in ops.pruning pays masked slots instead).
+  the systolic array, while the VPU does the whole (8,tile) block in
+  lockstep.
 - per-node rescaling (divide by per-site max, accumulate log) is fused right
   after the children product — partials never leave VMEM unscaled.
+
+Two schedule lowerings:
+- **static** (default, n_internal <= 256): the post-order walk is fully
+  unrolled at trace time with node/child ids embedded as Python constants —
+  every VMEM access has a static address, no SMEM indirection, no loop
+  overhead. This is what a hand-written kernel generator would emit for a
+  fixed topology.
+- **dynamic** (large trees): node/child ids are scalar-prefetched into SMEM
+  and a ``fori_loop`` walks them with dynamic VMEM indexing — O(1) code
+  size at the cost of per-node address computation.
 
 The backward pass reuses the XLA path's VJP (identical math, different
 lowering), so ``jax.grad`` through an engine with ``pruner="pallas"`` is
@@ -46,6 +53,7 @@ __all__ = ["make_pallas_prune_fn"]
 
 LANE = 128
 SUBLANE = 8
+STATIC_UNROLL_MAX = 256  # internal-node count above which we use fori_loop
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,18 +94,62 @@ def _vpu_matmul(p, x, s_pad: int):
     return acc
 
 
-def _prune_kernel(
+def _combine_children(child_data, s_pad, tiny):
+    """Product over children of P_c @ x_c, summed scales, fused rescale.
+
+    child_data: list of (p (S,S), x (S,T), sc (1,T)) per child.
+    Returns (rescaled partials (S,T), updated logscale (1,T)).
+    """
+    acc = None
+    sc = None
+    for p, x, csc in child_data:
+        y = _vpu_matmul(p, x, s_pad)
+        acc = y if acc is None else acc * y
+        sc = csc if sc is None else sc + csc
+    m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)  # (1, T)
+    return acc / m, sc + jnp.log(m)
+
+
+def _static_kernel(
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    leaf_ref,     # (n_leaves, S_pad, T)
+    root_ref,     # (1, S_pad, T)
+    scale_ref,    # (1, 1, T)
+    buf,          # scratch (n_nodes, S_pad, T)
+    logscale,     # scratch (n_nodes, 1, T)
+    *,
+    order, children, counts,      # numpy constants
+    n_leaves: int,
+    s_pad: int,
+):
+    buf[0:n_leaves] = leaf_ref[:]
+    logscale[:] = jnp.zeros_like(logscale)
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    for i in range(order.shape[0]):
+        node = int(order[i])
+        kids = [int(children[i, c]) for c in range(int(counts[i]))]
+        part, sc = _combine_children(
+            [(p_ref[0, c], buf[c], logscale[c]) for c in kids], s_pad, tiny
+        )
+        buf[node] = part
+        logscale[node] = sc
+    root = int(order[-1])
+    root_ref[0] = buf[root]
+    scale_ref[0] = logscale[root]
+
+
+def _dynamic_kernel(
     # scalar prefetch (SMEM)
     order_ref, child_ref, count_ref,
     # tensor inputs (VMEM)
-    p_ref,        # (1, n_nodes, S_pad, S_pad)  — this category's P matrices
-    leaf_ref,     # (n_leaves, S_pad, T)        — this site tile's leaves
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    leaf_ref,     # (n_leaves, S_pad, T)
     # outputs (VMEM)
     root_ref,     # (1, S_pad, T)
     scale_ref,    # (1, 1, T)
     # scratch
     buf,          # (n_nodes, S_pad, T)
-    logscale,     # (n_nodes, 1, T) — kept 2D per node for TPU vector layout
+    logscale,     # (n_nodes, 1, T)
     *,
     n_leaves: int,
     n_internal: int,
@@ -116,21 +168,19 @@ def _prune_kernel(
         for c in range(cmax):
             cid = child_ref[i, c]
             valid = c < count
-            p = p_ref[0, cid]              # (S_pad, S_pad)
-            x = buf[cid]                   # (S_pad, T)
-            y = _vpu_matmul(p, x, s_pad)
+            y = _vpu_matmul(p_ref[0, cid], buf[cid], s_pad)
             csc = logscale[cid]            # (1, T)
             if acc is None:
                 acc, sc = y, csc           # c == 0 always valid
             else:
                 acc = jnp.where(valid, acc * y, acc)
                 sc = jnp.where(valid, sc + csc, sc)
-        m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)  # (1, T)
+        m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
         buf[node] = acc / m
         logscale[node] = sc + jnp.log(m)
         return 0
 
-    jax.lax.fori_loop(0, n_internal, node_step, 0, unroll=False)
+    jax.lax.fori_loop(0, n_internal, node_step, 0)
     root = order_ref[n_internal - 1]
     root_ref[0] = buf[root]
     scale_ref[0] = logscale[root]
@@ -152,6 +202,7 @@ def _pallas_forward(
     sites = leaf_partials.shape[1]
     s = leaf_partials.shape[2]
     s_pad = _round_up(s, SUBLANE)
+    tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
     sites_pad = _round_up(sites, tile)
     n_internal = order.shape[0]
     cmax = children.shape[1]
@@ -169,54 +220,78 @@ def _pallas_forward(
     )
 
     n_tiles = sites_pad // tile
-    kernel = functools.partial(
-        _prune_kernel,
-        n_leaves=n_leaves,
-        n_internal=n_internal,
-        cmax=cmax,
-        s_pad=s_pad,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles, k),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n_nodes, s_pad, s_pad),
-                lambda t, kk, *_: (kk, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n_leaves, s_pad, tile),
-                lambda t, kk, *_: (0, 0, t),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, s_pad, tile),
-                lambda t, kk, *_: (kk, 0, t),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, tile),
-                lambda t, kk, *_: (kk, 0, t),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_nodes, s_pad, tile), dtype),
-            pltpu.VMEM((n_nodes, 1, tile), dtype),
-        ],
-    )
-    root_p, root_sc = pl.pallas_call(
-        kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((k, s_pad, sites_pad), dtype),
-            jax.ShapeDtypeStruct((k, 1, sites_pad), dtype),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(jnp.asarray(order), jnp.asarray(children), jnp.asarray(counts), p, lp)
+    static = n_internal <= STATIC_UNROLL_MAX
+
+    tensor_in_specs = [
+        pl.BlockSpec(
+            (1, n_nodes, s_pad, s_pad),
+            lambda t, kk, *_: (kk, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_leaves, s_pad, tile),
+            lambda t, kk, *_: (0, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, s_pad, tile),
+            lambda t, kk, *_: (kk, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, tile),
+            lambda t, kk, *_: (kk, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((n_nodes, s_pad, tile), dtype),
+        pltpu.VMEM((n_nodes, 1, tile), dtype),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((k, s_pad, sites_pad), dtype),
+        jax.ShapeDtypeStruct((k, 1, sites_pad), dtype),
+    ]
+
+    if static:
+        kernel = functools.partial(
+            _static_kernel,
+            order=order, children=children, counts=counts,
+            n_leaves=n_leaves, s_pad=s_pad,
+        )
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles, k),
+            in_specs=tensor_in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        root_p, root_sc = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(p, lp)
+    else:
+        kernel = functools.partial(
+            _dynamic_kernel,
+            n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_tiles, k),
+            in_specs=tensor_in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        root_p, root_sc = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(jnp.asarray(order), jnp.asarray(children), jnp.asarray(counts),
+          p, lp)
 
     root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
     root_logscale = root_sc[:, 0, :sites]
@@ -226,7 +301,7 @@ def _pallas_forward(
 
 def make_pallas_prune_fn(
     schedule: PruningSchedule,
-    tile: int = LANE,
+    tile: int = 4 * LANE,
     interpret: bool = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Compile a schedule into a fused-Pallas pruning function.

@@ -77,3 +77,16 @@ def test_engine_pallas_pruner_logl_matches_xla():
     ll_x = e_xla.loglikelihood()
     ll_p = e_pal.loglikelihood()
     assert abs(ll_x - ll_p) / abs(ll_x) < 1e-6
+
+
+def test_dynamic_schedule_path_matches_static(monkeypatch):
+    """Force the large-tree (scalar-prefetch fori_loop) lowering and check it
+    against the XLA path."""
+    import phylo_utils_tpu.ops.pallas_pruning as pp
+
+    monkeypatch.setattr(pp, "STATIC_UNROLL_MAX", 0)
+    sched, p, lp = _setup(16, 150)
+    r_xla, s_xla = make_prune_fn(sched)(p, lp)
+    r_dyn, s_dyn = pp.make_pallas_prune_fn(sched)(p, lp)
+    np.testing.assert_allclose(r_dyn, r_xla, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s_dyn, s_xla, rtol=2e-5, atol=2e-4)
