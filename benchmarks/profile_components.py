@@ -31,6 +31,10 @@ def timeit(f, *a, n=50):
 
 def main():
     import jax
+
+    from phylo_utils_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from phylo_utils_tpu import models

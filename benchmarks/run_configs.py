@@ -37,6 +37,10 @@ def _throughput(engine, params, iters=20):
 def main():
     import jax
 
+    from phylo_utils_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import oracle.core as oracle
     from phylo_utils_tpu import models
     from phylo_utils_tpu.likelihood import LikelihoodEngine

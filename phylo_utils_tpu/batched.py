@@ -1,0 +1,237 @@
+"""Batched evaluation of MANY tree topologies against one alignment.
+
+The reference (and its downstream consumer treeCl) scores candidate
+topologies one at a time through a Python/Cython loop. On TPU the natural
+design is topology batching: all binary trees on n taxa have 2n-1 nodes, so
+their level schedules pad to one common (levels, width, children) shape and
+the whole pruning pass vmaps over a stacked schedule tensor — hundreds of
+candidate trees are scored in one device program (tree search / model
+selection / bootstrap scoring).
+
+Unlike ops.pruning (schedule baked in as constants), here the schedule
+arrays are *traced inputs*, so one compiled program serves any topology set
+of the same padded shape — no recompilation per candidate.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from phylo_utils_tpu import io as pio
+from phylo_utils_tpu import trees as ptrees
+from phylo_utils_tpu.models.base import Model
+from phylo_utils_tpu.ops.gamma import discrete_gamma
+from phylo_utils_tpu.ops.pmatrix import p_matrices_reversible, transition_matrices
+from phylo_utils_tpu.ops.pruning import mixture_loglik
+
+__all__ = ["pad_schedules", "TopologySetEngine"]
+
+_HI = lax.Precision.HIGHEST
+
+
+def pad_schedules(schedules: Sequence[ptrees.PruningSchedule]):
+    """Stack schedules into common-shape arrays.
+
+    All schedules must share n_nodes/n_leaves (same taxon count). Returns
+    dict of stacked arrays: level_nodes (B, L, W), level_children
+    (B, L, W, C), level_childmask (B, L, W, C). Padding levels are rows of
+    trash-node writes (node id == n_nodes) with zero child masks.
+    """
+    n_nodes = {s.n_nodes for s in schedules}
+    n_leaves = {s.n_leaves for s in schedules}
+    if len(n_nodes) != 1 or len(n_leaves) != 1:
+        raise ValueError("all trees must have the same taxon count")
+    n = n_nodes.pop()
+    L = max(s.n_levels for s in schedules)
+    W = max(s.width for s in schedules)
+    C = max(s.n_children_max for s in schedules)
+    B = len(schedules)
+    nodes = np.full((B, L, W), n, dtype=np.int32)
+    children = np.zeros((B, L, W, C), dtype=np.int32)
+    mask = np.zeros((B, L, W, C), dtype=np.float32)
+    for b, s in enumerate(schedules):
+        l, w, c = s.level_nodes.shape[0], s.level_nodes.shape[1], s.level_children.shape[2]
+        nodes[b, :l, :w] = s.level_nodes
+        children[b, :l, :w, :c] = s.level_children
+        mask[b, :l, :w, :c] = s.level_childmask
+    return {"nodes": nodes, "children": children, "mask": mask}
+
+
+def _prune_dynamic(nodes, children, mask, p_matrices, leaf_partials, root):
+    """Scan-based pruning with the schedule as traced arrays.
+
+    nodes (L, W), children (L, W, C), mask (L, W, C),
+    p_matrices (n_nodes, K, S, S), leaf_partials (n_leaves, sites, S);
+    root is static (n_nodes - 1 by construction).
+    Returns (root_partials (K, sites, S), root_logscale (K, sites)).
+    """
+    dtype = leaf_partials.dtype
+    n_nodes = p_matrices.shape[0]
+    k = p_matrices.shape[1]
+    sites = leaf_partials.shape[1]
+    s = leaf_partials.shape[2]
+    n_leaves = leaf_partials.shape[0]
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+    buf = jnp.zeros((n_nodes + 1, k, sites, s), dtype)
+    buf = buf.at[:n_leaves].set(leaf_partials[:, None, :, :])
+    logscale = jnp.zeros((n_nodes + 1, k, sites), dtype)
+
+    def level_step(carry, level):
+        buf, logscale = carry
+        nodes, children, mask = level
+        child_p = buf[children]
+        child_sc = logscale[children]
+        p = p_matrices[jnp.clip(children, 0, n_nodes - 1)]
+        contrib = jnp.einsum("wckij,wcksj->wcksi", p, child_p, precision=_HI)
+        mask_b = mask[:, :, None, None, None].astype(dtype)
+        contrib = contrib * mask_b + (1.0 - mask_b)
+        partial = jnp.prod(contrib, axis=1)
+        sc = jnp.sum(child_sc * mask[:, :, None, None].astype(dtype), axis=1)
+        m = jnp.maximum(jnp.max(partial, axis=-1), tiny)
+        partial = partial / m[..., None]
+        sc = sc + jnp.log(m)
+        buf = buf.at[nodes].set(partial)
+        logscale = logscale.at[nodes].set(sc)
+        return (buf, logscale), None
+
+    (buf, logscale), _ = lax.scan(level_step, (buf, logscale),
+                                  (nodes, children, mask))
+    return buf[root], logscale[root]
+
+
+class TopologySetEngine:
+    """Score a set of candidate topologies against one alignment.
+
+    One jitted program evaluates logL (and gradients w.r.t. per-tree branch
+    lengths and shared model parameters) for ALL trees at once; the batch
+    axis vmaps over (schedule, leaf permutation, branch lengths).
+    """
+
+    def __init__(
+        self,
+        trees: Sequence[Union[ptrees.Tree, str]],
+        alignment: Union[Mapping[str, str], pio.CompressedAlignment],
+        model: Model,
+        ncat: int = 1,
+        median: bool = False,
+        dtype=None,
+        compress: bool = True,
+    ):
+        trees = [pio.parse_newick(t) if isinstance(t, str) else t for t in trees]
+        if not trees:
+            raise ValueError("empty tree set")
+        self.trees: List[ptrees.Tree] = trees
+        self.model = model
+        self.ncat = int(ncat)
+        self.median = bool(median)
+        self.dtype = jnp.dtype(dtype) if dtype else jnp.dtype(jnp.result_type(float))
+
+        if isinstance(alignment, pio.CompressedAlignment):
+            ca = alignment
+        elif compress:
+            ca = pio.compress_patterns(alignment, model.alphabet)
+        else:
+            from phylo_utils_tpu.alphabets import encode_alignment
+
+            names, arr = encode_alignment(alignment, model.alphabet)
+            ca = pio.CompressedAlignment(
+                names=tuple(names), partials=arr,
+                weights=np.ones(arr.shape[1]),
+                site_to_pattern=np.arange(arr.shape[1], dtype=np.int32),
+            )
+        self._compressed = ca
+
+        schedules = [ptrees.compile_schedule(t) for t in trees]
+        self._sched = {k: jnp.asarray(v) for k, v in
+                       pad_schedules(schedules).items()}
+        self.n_nodes = schedules[0].n_nodes
+        self.root = schedules[0].root
+        # per-tree leaf permutation: row b maps tree-b leaf id -> pattern row
+        perms = []
+        for t in trees:
+            missing = set(t.leaf_names) - set(ca.names)
+            if missing:
+                raise ValueError(f"alignment missing taxa {sorted(missing)}")
+            perms.append([ca.names.index(nm) for nm in t.leaf_names])
+        self._leaf_perm = jnp.asarray(np.asarray(perms, np.int32))
+        self._leaf_partials = jnp.asarray(ca.partials, self.dtype)
+        self._weights = jnp.asarray(ca.weights, self.dtype)
+        self._brlens0 = jnp.asarray(
+            np.stack([t.lengths for t in trees]), self.dtype
+        )
+
+        self._jit_fn = jax.jit(self._loglik_fn)
+        self._jit_grad = jax.jit(jax.grad(
+            lambda p: jnp.sum(self._loglik_fn(p)), argnums=0
+        ))
+
+    def default_params(self) -> Dict:
+        params: Dict = {
+            "branch_lengths": self._brlens0,          # (B, n_nodes)
+            "model": self.model.defaults(self.dtype),
+        }
+        if self.ncat > 1:
+            params["alpha"] = jnp.asarray(0.5, self.dtype)
+        return params
+
+    def _full_params(self, params: Optional[Mapping]) -> Dict:
+        full = self.default_params()
+        if params:
+            for k, v in params.items():
+                if k == "model":
+                    full["model"] = {**full["model"], **{
+                        kk: jnp.asarray(vv, self.dtype) for kk, vv in v.items()
+                    }}
+                else:
+                    full[k] = jnp.asarray(v, self.dtype)
+        return full
+
+    def _loglik_fn(self, params) -> jnp.ndarray:
+        dtype = self.dtype
+        if self.ncat > 1:
+            rates = discrete_gamma(params["alpha"], self.ncat, self.median)
+            rates = rates.astype(dtype)
+        else:
+            rates = jnp.ones((1,), dtype)
+        cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
+        t = params["branch_lengths"].astype(dtype)          # (B, n_nodes)
+        ts = t[..., None] * rates[None, None, :]            # (B, n_nodes, K)
+        if self.model.reversible:
+            sym, freqs = self.model.build_parts(params["model"], dtype=dtype)
+            p = p_matrices_reversible(sym, freqs, ts)       # (B, n_nodes, K, S, S)
+        else:
+            eig = self.model.eigen(params["model"], dtype=dtype)
+            freqs = eig.freqs
+            p = transition_matrices(eig, ts)
+
+        def one_tree(nodes, children, mask, p_b, perm):
+            leaves = self._leaf_partials[perm]              # (n_leaves, P, S)
+            rp, rsc = _prune_dynamic(nodes, children, mask, p_b, leaves,
+                                     self.root)
+            total, _ = mixture_loglik(
+                rp, rsc, freqs, cat_weights, self._weights
+            )
+            return total
+
+        return jax.vmap(one_tree)(
+            self._sched["nodes"], self._sched["children"],
+            self._sched["mask"], p, self._leaf_perm,
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def loglikelihoods(self, params: Optional[Mapping] = None) -> np.ndarray:
+        """(n_trees,) log-likelihoods in one device program."""
+        return np.asarray(self._jit_fn(self._full_params(params)))
+
+    def gradients(self, params: Optional[Mapping] = None) -> Dict:
+        """Gradient of sum of logLs (per-tree brlen grads are independent)."""
+        return self._jit_grad(self._full_params(params))
+
+    def best(self, params: Optional[Mapping] = None) -> int:
+        return int(np.argmax(self.loglikelihoods(params)))
