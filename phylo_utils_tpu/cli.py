@@ -192,6 +192,42 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_distances(args) -> int:
+    from phylo_utils_tpu.optimize import ml_distance_matrix
+
+    model = _get_model(args.model)
+    aln = _read_aln(args.alignment)
+    d = ml_distance_matrix(aln, model, params=_json_params(args.params))
+    names = list(aln)
+    if args.format == "phylip":
+        lines = [str(len(names))]
+        for i, nm in enumerate(names):
+            lines.append(nm + "  " + " ".join(f"{x:.6f}" for x in d[i]))
+        print("\n".join(lines))
+    else:
+        print(json.dumps({"names": names, "distances": d.tolist()}))
+    return 0
+
+
+def cmd_topologies(args) -> int:
+    from phylo_utils_tpu.batched import TopologySetEngine
+    from phylo_utils_tpu.io import parse_newick_forest
+
+    trees = parse_newick_forest(args.trees)
+    model = _get_model(args.model)
+    tse = TopologySetEngine(
+        trees, _read_aln(args.alignment), model, ncat=args.ncat,
+        dtype=args.dtype,
+    )
+    lls = tse.loglikelihoods(_json_params(args.params))
+    print(json.dumps({
+        "logliks": lls.tolist(),
+        "best_index": int(lls.argmax()),
+        "n_trees": len(trees),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="phylo_utils_tpu",
@@ -229,6 +265,24 @@ def main(argv=None) -> int:
     _add_engine_args(p)
     p.add_argument("--iters", type=int, default=30)
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("distances", help="pairwise ML distance matrix")
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="JC69")
+    p.add_argument("--params", help="JSON model params")
+    p.add_argument("--format", default="json", choices=["json", "phylip"])
+    p.set_defaults(fn=cmd_distances)
+
+    p = sub.add_parser("topologies",
+                       help="score a set of candidate trees in one program")
+    p.add_argument("--trees", required=True,
+                   help="newick file with multiple ';'-separated trees")
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="GTR")
+    p.add_argument("--ncat", type=int, default=1)
+    p.add_argument("--params", help="JSON params")
+    p.add_argument("--dtype", default=None)
+    p.set_defaults(fn=cmd_topologies)
 
     args = ap.parse_args(argv)
     return args.fn(args)

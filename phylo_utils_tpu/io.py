@@ -25,6 +25,7 @@ __all__ = [
     "read_fasta",
     "read_phylip",
     "read_alignment",
+    "parse_newick_forest",
     "compress_patterns",
     "load_compressed",
     "CompressedAlignment",
@@ -322,3 +323,10 @@ def load_compressed(
         weights=counts.astype(dtype),
         site_to_pattern=site_to_pattern.astype(np.int32),
     )
+
+
+def parse_newick_forest(path_or_text: str):
+    """Parse a file/string containing multiple ';'-terminated Newick trees."""
+    text = _maybe_read(path_or_text)
+    chunks = [c.strip() for c in text.split(";") if c.strip()]
+    return [parse_newick(c + ";") for c in chunks]

@@ -38,6 +38,7 @@ __all__ = [
     "fit",
     "FitResult",
     "newton_branch_length",
+    "ml_distance_matrix",
     "brent_minimize",
     "golden_section",
 ]
@@ -394,3 +395,58 @@ def brent_minimize(
 
     a, b, x, w, v, fx, fw, fv, d, e, it = lax.while_loop(cond, body, state)
     return x, fx
+
+
+# ---------------------------------------------------------------------------
+# Pairwise ML distances (the reference OptWrapper's main consumer use-case)
+# ---------------------------------------------------------------------------
+
+
+def ml_distance_matrix(
+    alignment,
+    model,
+    params: Optional[Mapping] = None,
+    t0: float = 0.1,
+    max_t: float = 20.0,
+    dtype=None,
+) -> np.ndarray:
+    """Maximum-likelihood pairwise evolutionary distances.
+
+    The reference optimizes one pair at a time through its Newton
+    ``OptWrapper`` (SURVEY.md §2); here every pair's safeguarded Newton
+    iteration runs simultaneously under one ``vmap`` — the n(n-1)/2 pairs
+    are a batch axis on the TPU. Pattern compression is applied once
+    globally. Returns a dense symmetric (n, n) float64 matrix (diagonal 0)
+    ordered like the alignment; access names via ``list(alignment)``.
+    """
+    import jax
+
+    from phylo_utils_tpu import io as pio
+
+    ca = (
+        alignment
+        if isinstance(alignment, pio.CompressedAlignment)
+        else pio.compress_patterns(alignment, model.alphabet)
+    )
+    dt = jnp.dtype(dtype) if dtype else jnp.dtype(jnp.result_type(float))
+    eig = model.eigen(params, dtype=dt)
+    partials = jnp.asarray(ca.partials, dt)        # (n, P, S)
+    weights = jnp.asarray(ca.weights, dt)
+    n = partials.shape[0]
+    ii, jj = np.triu_indices(n, k=1)
+
+    @jax.jit
+    def solve_all(partials, weights):
+        def one(i, j):
+            t, _ = newton_branch_length(
+                eig, partials[i], partials[j], weights, t0=t0, max_t=max_t
+            )
+            return t
+
+        return jax.vmap(one)(jnp.asarray(ii), jnp.asarray(jj))
+
+    ts = np.asarray(solve_all(partials, weights), np.float64)
+    out = np.zeros((n, n))
+    out[ii, jj] = ts
+    out[jj, ii] = ts
+    return out

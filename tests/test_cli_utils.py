@@ -129,3 +129,33 @@ def test_metrics_logger(tmp_path):
     recs = [json.loads(l) for l in open(path)]
     assert [r["step"] for r in recs] == [1, 2]
     assert recs[0]["loglik"] == -12.5
+
+
+def test_cli_distances(small_inputs, capsys):
+    _, fasta = small_inputs
+    rc = main(["distances", "--alignment", fasta, "--model", "JC69"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    d = np.asarray(out["distances"])
+    assert d.shape == (4, 4)
+    assert (d >= 0).all() and np.allclose(d, d.T)
+    rc = main(["distances", "--alignment", fasta, "--format", "phylip"])
+    assert rc == 0
+    assert capsys.readouterr().out.startswith("4\n")
+
+
+def test_cli_topologies(small_inputs, tmp_path, capsys):
+    _, fasta = small_inputs
+    trees = tmp_path / "trees.nwk"
+    trees.write_text(
+        "((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);\n"
+        "((a:0.1,c:0.2):0.05,(b:0.3,d:0.15):0.07);\n"
+    )
+    rc = main([
+        "topologies", "--trees", str(trees), "--alignment", fasta,
+        "--model", "HKY85", "--ncat", "2",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_trees"] == 2 and len(out["logliks"]) == 2
+    assert out["best_index"] in (0, 1)

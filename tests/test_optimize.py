@@ -122,3 +122,32 @@ def test_fit_recovers_simulation_parameters_roughly():
     tree_fit = tree.with_lengths(np.asarray(res.params["branch_lengths"]))
     ll_oracle = oracle.loglikelihood(tree_fit, aln, om, rates=rates)
     assert res.loglik == pytest.approx(ll_oracle, abs=1e-5)
+
+
+def test_ml_distance_matrix_two_taxa_matches_newton():
+    from phylo_utils_tpu.optimize import ml_distance_matrix
+
+    rng = np.random.default_rng(3)
+    base = rng.choice(list("ACGT"), size=2000)
+
+    def mutate(seq, p):
+        out = seq.copy()
+        hit = rng.random(seq.size) < p
+        out[hit] = rng.choice(list("ACGT"), size=int(hit.sum()))
+        return out
+
+    aln = {
+        "x": "".join(base),
+        "y": "".join(mutate(base, 0.15)),
+        "z": "".join(mutate(base, 0.35)),
+    }
+    d = ml_distance_matrix(aln, models.JC69)
+    assert d.shape == (3, 3)
+    assert np.allclose(d, d.T) and np.allclose(np.diag(d), 0)
+    # JC69 ML distance has a closed form: d = -3/4 ln(1 - 4p/3), p = mismatch
+    names = list(aln)
+    for a in range(3):
+        for b in range(a + 1, 3):
+            p = np.mean([c1 != c2 for c1, c2 in zip(aln[names[a]], aln[names[b]])])
+            closed = -0.75 * np.log(1 - 4 * p / 3)
+            assert d[a, b] == pytest.approx(closed, rel=1e-3, abs=1e-4)
