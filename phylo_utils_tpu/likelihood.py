@@ -105,6 +105,11 @@ class LikelihoodEngine:
         missing = set(tree.leaf_names) - set(ca.names)
         if missing:
             raise ValueError(f"alignment is missing taxa {sorted(missing)}")
+        if ca.partials.shape[2] != model.n_states:
+            raise ValueError(
+                f"alignment encodes {ca.partials.shape[2]} states but model "
+                f"{model.name!r} has {model.n_states} (wrong alphabet?)"
+            )
         order = [ca.names.index(n) for n in tree.leaf_names]
         leaf_partials = ca.partials[order]          # (n_leaves, P, S)
         weights = ca.weights                         # (P,)
@@ -113,9 +118,26 @@ class LikelihoodEngine:
         if pruner == "pallas":
             from phylo_utils_tpu.ops.pallas_pruning import make_pallas_prune_fn
 
-            self._prune = make_pallas_prune_fn(self.schedule)
-        else:
+            prune = make_pallas_prune_fn(self.schedule)
+            if sharding is not None:
+                # A pallas_call is opaque to GSPMD; shard_map makes the
+                # kernel run shard-local on each device's site slice (the
+                # pass has no cross-site coupling, SURVEY.md §5).
+                from jax.sharding import PartitionSpec as P
+
+                ax = sharding.axis
+                prune = jax.shard_map(
+                    prune,
+                    mesh=sharding.mesh,
+                    in_specs=(P(), P(None, ax, None)),
+                    out_specs=(P(None, ax, None), P(None, ax)),
+                    check_rep=False,
+                )
+            self._prune = prune
+        elif pruner == "xla":
             self._prune = make_prune_fn(self.schedule, remat=remat)
+        else:
+            raise ValueError(f"unknown pruner {pruner!r}; use 'xla' or 'pallas'")
 
         if sharding is not None:
             leaf_partials, weights = sharding.pad(leaf_partials, weights)

@@ -89,3 +89,36 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_pallas_pruner_matches_unsharded(mesh):
+    """The pallas kernel under shard_map must give the single-device logL."""
+    tree = random_tree(12, seed=20)
+    aln = _aln(tree, 96, seed=21)
+    single = LikelihoodEngine(tree, aln, models.GTR, ncat=2, pruner="pallas")
+    sharded = LikelihoodEngine(
+        tree, aln, models.GTR, ncat=2,
+        sharding=SiteSharding(mesh), pruner="pallas",
+    )
+    assert single.loglikelihood() == pytest.approx(
+        sharded.loglikelihood(), rel=1e-12
+    )
+    # gradient flows through the shard_mapped custom_vjp
+    g = sharded.gradient()
+    gs = single.gradient()
+    np.testing.assert_allclose(
+        np.asarray(g["branch_lengths"]), np.asarray(gs["branch_lengths"]),
+        rtol=1e-8,
+    )
+
+
+def test_engine_rejects_wrong_alphabet_and_pruner():
+    from phylo_utils_tpu.io import compress_patterns
+
+    tree = random_tree(4, seed=0)
+    aln = _aln(tree, 20, seed=0)
+    dna_encoded = compress_patterns(aln, "dna")  # 4-state partials
+    with pytest.raises(ValueError, match="states"):
+        LikelihoodEngine(tree, dna_encoded, models.LG)  # 20-state model
+    with pytest.raises(ValueError, match="pruner"):
+        LikelihoodEngine(tree, aln, models.JC69, pruner="cuda")
