@@ -131,7 +131,7 @@ class LikelihoodEngine:
                     mesh=sharding.mesh,
                     in_specs=(P(), P(None, ax, None)),
                     out_specs=(P(None, ax, None), P(None, ax)),
-                    check_rep=False,
+                    check_vma=False,
                 )
             self._prune = prune
         elif pruner == "xla":
