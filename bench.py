@@ -94,6 +94,19 @@ def main():
     )
     err = abs(ll - ll_full_oracle) / max(abs(ll_full_oracle), 1.0)
 
+    # worst-case per-step latency: fresh parameter buffers each call,
+    # synced per call (an optimizer-loop-shaped workload; on the axon relay
+    # this path runs in its degraded dispatch mode — see module docstring)
+    import jax.numpy as jnp
+
+    fresh_iters = 10
+    t0 = time.perf_counter()
+    for i in range(fresh_iters):
+        p = dict(args[0])
+        p["branch_lengths"] = p["branch_lengths"] * (1.0 + 1e-6 * (i + 1))
+        jax.block_until_ready(fn(p, args[1], args[2]))
+    fresh_ms = (time.perf_counter() - t0) / fresh_iters * 1e3
+
     result = {
         "metric": "site-patterns/sec/chip, 64-taxon GTR+Gamma4 pruning",
         "value": round(pps, 1),
@@ -102,6 +115,7 @@ def main():
         "extra": {
             "n_patterns": int(n_patterns),
             "step_ms": round(dt * 1e3, 4),
+            "step_ms_fresh_params_synced": round(fresh_ms, 4),
             "oracle_patterns_per_s": round(oracle_pps, 1),
             "rel_logl_err_vs_f64_oracle": float(err),
             "pruner": pruner,

@@ -47,7 +47,11 @@ from phylo_utils_tpu.io import (  # noqa: F401
     read_phylip,
     write_newick,
 )
-from phylo_utils_tpu.batched import TopologySetEngine  # noqa: F401
+from phylo_utils_tpu.batched import (  # noqa: F401
+    TopologySetEngine,
+    nni_hill_climb,
+    optimize_branch_lengths,
+)
 from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F401
 from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
 from phylo_utils_tpu.optimize import (  # noqa: F401

@@ -28,7 +28,7 @@ from phylo_utils_tpu.ops.gamma import discrete_gamma
 from phylo_utils_tpu.ops.pmatrix import p_matrices_reversible, transition_matrices
 from phylo_utils_tpu.ops.pruning import mixture_loglik
 
-__all__ = ["pad_schedules", "TopologySetEngine"]
+__all__ = ["pad_schedules", "TopologySetEngine", "optimize_branch_lengths", "nni_hill_climb"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -235,3 +235,88 @@ class TopologySetEngine:
 
     def best(self, params: Optional[Mapping] = None) -> int:
         return int(np.argmax(self.loglikelihoods(params)))
+
+
+def optimize_branch_lengths(
+    tse: "TopologySetEngine",
+    params: Optional[Mapping] = None,
+    steps: int = 60,
+    lr: float = 0.05,
+):
+    """Optimize every candidate tree's branch lengths simultaneously.
+
+    Each tree's logL depends only on its own branch-length row, so one adam
+    loop on the summed logL optimizes all B trees independently in parallel
+    (per-tree gradients are block-diagonal). Returns (logliks (B,),
+    branch_lengths (B, n_nodes)).
+    """
+    import optax
+
+    full = tse._full_params(params)
+    raw0 = jnp.log(jnp.expm1(jnp.clip(full["branch_lengths"], 1e-6, None)))
+    fixed = {k: v for k, v in full.items() if k != "branch_lengths"}
+    opt = optax.adam(lr)
+
+    def loss(raw):
+        p = dict(fixed)
+        p["branch_lengths"] = jax.nn.softplus(raw)
+        return -jnp.sum(tse._loglik_fn(p))
+
+    @jax.jit
+    def run(raw0):
+        state = opt.init(raw0)
+
+        def step(carry, _):
+            raw, state = carry
+            g = jax.grad(loss)(raw)
+            updates, state = opt.update(g, state, raw)
+            return (optax.apply_updates(raw, updates), state), None
+
+        (raw, _), _ = lax.scan(step, (raw0, state), None, length=steps)
+        p = dict(fixed)
+        p["branch_lengths"] = jax.nn.softplus(raw)
+        return tse._loglik_fn(p), p["branch_lengths"]
+
+    lls, brlens = run(raw0)
+    return np.asarray(lls), np.asarray(brlens)
+
+
+def nni_hill_climb(
+    tree,
+    alignment,
+    model,
+    ncat: int = 1,
+    max_rounds: int = 20,
+    brlen_steps: int = 40,
+    tol: float = 1e-6,
+    verbose: bool = False,
+):
+    """Greedy NNI tree search: score the whole NNI neighborhood (with
+    per-candidate branch-length re-optimization) in one device program per
+    round, move to the best neighbor until no improvement.
+
+    Returns (best_tree, best_loglik, n_rounds). This is a capability the
+    reference does not have at all — enabled by topology batching.
+    """
+    from phylo_utils_tpu import io as pio
+    from phylo_utils_tpu.trees import nni_neighbors
+
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    current = tree
+    current_ll = None
+    for round_ in range(1, max_rounds + 1):
+        candidates = [current] + nni_neighbors(current)
+        tse = TopologySetEngine(candidates, alignment, model, ncat=ncat)
+        lls, brlens = optimize_branch_lengths(tse, steps=brlen_steps)
+        best = int(np.argmax(lls))
+        if verbose:
+            print(f"round {round_}: current={lls[0]:.4f} "
+                  f"best={lls[best]:.4f} (candidate {best})")
+        if current_ll is None:
+            current_ll = lls[0]
+        if best == 0 or lls[best] <= lls[0] + tol:
+            return current.with_lengths(brlens[0]), float(lls[0]), round_
+        current = candidates[best].with_lengths(brlens[best])
+        current_ll = lls[best]
+    return current, float(current_ll), max_rounds

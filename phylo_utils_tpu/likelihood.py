@@ -242,6 +242,31 @@ class LikelihoodEngine:
             self._full_params(params), self._leaf_partials, self._weights
         )
 
+    def bootstrap_loglikelihoods(
+        self,
+        n_replicates: int,
+        params: Optional[Mapping] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Nonparametric-bootstrap logL for ``n_replicates`` resamples.
+
+        Sites are resampled with replacement, which on a pattern-compressed
+        engine only changes the *pattern weights* — the pruning pass and
+        sitewise vector are computed ONCE; each replicate is a weighted sum.
+        (The reference would rerun its whole C pruning loop per replicate.)
+        Resampling respects the original per-pattern multiplicities.
+        """
+        _, sw = self._jit_fn(
+            self._full_params(params), self._leaf_partials, self._weights
+        )
+        n_pat = self._compressed.n_patterns
+        sw = np.asarray(sw, np.float64)[:n_pat]
+        w = np.asarray(self._compressed.weights, np.float64)[:n_pat]
+        n_sites = int(w.sum())
+        rng = np.random.default_rng(seed)
+        boot_w = rng.multinomial(n_sites, w / n_sites, size=n_replicates)
+        return boot_w @ sw
+
 
 class GammaMixture:
     """Stateful facade mirroring the reference's ``GammaMixture`` API

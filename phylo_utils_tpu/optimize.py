@@ -121,6 +121,7 @@ def fit(
     tol: float = 1e-8,
     patience: int = 20,
     callback: Optional[Callable[[int, float, Dict], None]] = None,
+    steps_per_call: int = 1,
 ) -> FitResult:
     """Maximize logL over branch lengths and model parameters jointly.
 
@@ -135,6 +136,11 @@ def fit(
         (fast, step-size-free convergence on this smooth small-parameter
         problem; pass e.g. ``optax.adam(1e-2)`` for a stochastic-style fit)
     tol : stop when the best logL improves by < tol over `patience` steps
+    steps_per_call : optimizer steps fused into one device dispatch via
+        ``lax.scan`` (host sees the per-step logL trace afterwards). Raise
+        this (e.g. 10-50) when per-dispatch latency dominates — each
+        dispatch then advances many steps; early stopping happens at chunk
+        granularity.
     """
     base = engine._full_params(params0)
     if free is None:
@@ -178,24 +184,46 @@ def fit(
 
     opt_state = optimizer.init(raw0)
 
+    if steps_per_call > 1:
+        inner = step
+
+        @jax.jit
+        def chunk(raw, opt_state):
+            def body(carry, _):
+                raw, opt_state = carry
+                raw, opt_state, loss = inner(raw, opt_state)
+                return (raw, opt_state), loss
+
+            (raw, opt_state), losses = lax.scan(
+                body, (raw, opt_state), None, length=steps_per_call
+            )
+            return raw, opt_state, losses
+
     raw = raw0
     trace = []
     best = -np.inf
     best_raw = raw0
     since_best = 0
     n = 0
-    for n in range(1, max_steps + 1):
-        raw, opt_state, loss = step(raw, opt_state)
-        ll = -float(loss)
-        trace.append(ll)
-        if callback is not None:
-            callback(n, ll, untransform_params(raw))
-        if ll > best + tol:
-            best, best_raw, since_best = ll, raw, 0
+    while n < max_steps:
+        if steps_per_call > 1:
+            raw, opt_state, losses = chunk(raw, opt_state)
+            lls = [-float(x) for x in np.asarray(losses)]
         else:
-            since_best += 1
-            if since_best >= patience:
-                break
+            raw, opt_state, loss = step(raw, opt_state)
+            lls = [-float(loss)]
+        for ll in lls:
+            n += 1
+            trace.append(ll)
+            if callback is not None:
+                callback(n, ll, untransform_params(raw))
+            if ll > best + tol:
+                best, since_best = ll, 0
+                best_raw = raw  # chunk granularity: best raw within the chunk
+            else:
+                since_best += 1
+        if since_best >= patience:
+            break
     converged = since_best >= patience
     params = dict(frozen)
     params.update(untransform_params(best_raw))

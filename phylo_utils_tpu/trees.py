@@ -28,6 +28,7 @@ __all__ = [
     "PruningSchedule",
     "compile_schedule",
     "random_tree",
+    "nni_neighbors",
 ]
 
 
@@ -229,3 +230,52 @@ def random_tree(
         nodes = [x for k, x in enumerate(nodes) if k not in (i, j)] + [merged]
     root = b.add_node(name=None, length=None, children=nodes)
     return b.build(root)
+
+
+def _rebuild_with_children(tree: Tree, children_map) -> Tree:
+    """Rebuild (renumber) a tree from an edited child map, preserving names
+    and the branch length attached to each moved subtree's root."""
+    b = TreeBuilder()
+    # iterative post-order to avoid recursion limits on deep trees
+    new_id: Dict[int, int] = {}
+    stack = [(tree.root, False)]
+    while stack:
+        node, expanded = stack.pop()
+        kids = children_map[node]
+        if expanded or not kids:
+            new_id[node] = b.add_node(
+                name=tree.names[node] or None,
+                length=None if node == tree.root else float(tree.lengths[node]),
+                children=[new_id[k] for k in kids],
+            )
+        else:
+            stack.append((node, True))
+            for k in reversed(kids):
+                stack.append((k, False))
+    return b.build(new_id[tree.root])
+
+
+def nni_neighbors(tree: Tree) -> List[Tree]:
+    """All nearest-neighbor-interchange rearrangements of ``tree``.
+
+    For every internal edge (u -> v) with v internal, each child subtree of v
+    is exchanged with each sibling subtree of v. Branch lengths travel with
+    their subtrees. Designed to feed ``batched.TopologySetEngine`` (all
+    neighbors share the taxon set, so the whole neighborhood is scored in
+    one device program — a tree-search step the reference would loop over).
+    """
+    base = {n: list(tree.children[n]) for n in range(tree.n_nodes)}
+    out: List[Tree] = []
+    for v in range(tree.n_leaves, tree.n_nodes):
+        if v == tree.root:
+            continue
+        u = int(tree.parent[v])
+        for s in tree.children[u]:
+            if s == v:
+                continue
+            for c in tree.children[v]:
+                cm = {n: list(k) for n, k in base.items()}
+                cm[v] = [s if k == c else k for k in cm[v]]
+                cm[u] = [c if k == s else k for k in cm[u]]
+                out.append(_rebuild_with_children(tree, cm))
+    return out

@@ -151,3 +151,18 @@ def test_ml_distance_matrix_two_taxa_matches_newton():
             p = np.mean([c1 != c2 for c1, c2 in zip(aln[names[a]], aln[names[b]])])
             closed = -0.75 * np.log(1 - 4 * p / 3)
             assert d[a, b] == pytest.approx(closed, rel=1e-3, abs=1e-4)
+
+
+def test_fit_chunked_steps_matches_unchunked():
+    tree = random_tree(5, seed=21)
+    aln = _aln(tree, 150, seed=22)
+    import optax
+
+    engine = LikelihoodEngine(tree, aln, models.K80)
+    # deterministic optimizer so chunking is bit-compatible step-for-step
+    r1 = fit(engine, optimizer=optax.adam(0.02), max_steps=40,
+             patience=1000, steps_per_call=1)
+    r8 = fit(engine, optimizer=optax.adam(0.02), max_steps=40,
+             patience=1000, steps_per_call=8)
+    np.testing.assert_allclose(r1.trace, r8.trace, rtol=1e-6)
+    assert r1.n_steps == r8.n_steps == 40

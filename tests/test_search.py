@@ -1,0 +1,86 @@
+"""Tree-search building blocks: NNI neighborhoods + batched scoring +
+bootstrap resampling."""
+import numpy as np
+import pytest
+
+from phylo_utils_tpu import models
+from phylo_utils_tpu.batched import TopologySetEngine
+from phylo_utils_tpu.io import parse_newick, write_newick
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.simulate import simulate_alignment
+from phylo_utils_tpu.trees import nni_neighbors, random_tree
+
+
+def test_nni_preserves_taxa_and_lengths():
+    tree = random_tree(8, seed=1)
+    nbrs = nni_neighbors(tree)
+    assert len(nbrs) > 0
+    for nb in nbrs:
+        assert sorted(nb.leaf_names) == sorted(tree.leaf_names)
+        assert nb.n_nodes == tree.n_nodes
+        # branch lengths travel with subtrees: the multiset is preserved
+        np.testing.assert_allclose(
+            np.sort(nb.lengths), np.sort(tree.lengths), atol=1e-12
+        )
+
+
+def test_nni_changes_topology():
+    tree = parse_newick("(((a:1,b:1):1,(c:1,d:1):1):1,(e:1,f:1):1);")
+    nbrs = nni_neighbors(tree)
+    base = write_newick(tree)
+    assert any(write_newick(nb) != base for nb in nbrs)
+
+
+def test_nni_search_recovers_better_tree():
+    """Score an NNI neighborhood of a perturbed tree in one program; the
+    neighborhood around the true tree must contain a better topology."""
+    import jax
+
+    true_tree = random_tree(7, seed=3, mean_brlen=0.2)
+    aln = simulate_alignment(jax.random.key(0), true_tree, models.K80, 800)
+    nbrs = nni_neighbors(true_tree)
+    # the true tree itself scores best among (true + neighbors) almost surely
+    tse = TopologySetEngine([true_tree] + nbrs, aln, models.K80)
+    lls = tse.loglikelihoods()
+    assert int(np.argmax(lls)) == 0
+    # and a full NNI step from a WRONG start improves logL
+    wrong = nbrs[0]
+    tse2 = TopologySetEngine([wrong] + nni_neighbors(wrong), aln, models.K80)
+    lls2 = tse2.loglikelihoods()
+    assert lls2.max() > lls2[0]
+
+
+def test_bootstrap_loglikelihoods():
+    tree = random_tree(6, seed=5)
+    rng = np.random.default_rng(6)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=200))
+           for n in tree.leaf_names}
+    engine = LikelihoodEngine(tree, aln, models.HKY85, ncat=2)
+    boots = engine.bootstrap_loglikelihoods(64, seed=7)
+    assert boots.shape == (64,)
+    ll = engine.loglikelihood()
+    # replicates scatter around the original logL
+    assert boots.std() > 0
+    assert abs(np.median(boots) - ll) < 5 * boots.std()
+    # deterministic under the same seed
+    np.testing.assert_array_equal(
+        boots, engine.bootstrap_loglikelihoods(64, seed=7)
+    )
+
+
+def test_nni_hill_climb_finds_true_topology():
+    import jax
+
+    from phylo_utils_tpu.batched import nni_hill_climb
+
+    true_tree = random_tree(6, seed=11, mean_brlen=0.25)
+    aln = simulate_alignment(jax.random.key(2), true_tree, models.JC69, 1500)
+    # start from a deliberately wrong topology (an NNI neighbor's neighbor)
+    start = nni_neighbors(nni_neighbors(true_tree)[0])[0]
+    best_tree, best_ll, rounds = nni_hill_climb(
+        start, aln, models.JC69, max_rounds=8, brlen_steps=60
+    )
+    # the found tree must score at least as well as the truth with its
+    # original branch lengths
+    ll_true = LikelihoodEngine(true_tree, aln, models.JC69).loglikelihood()
+    assert best_ll >= ll_true - 1.0
