@@ -255,3 +255,37 @@ def loglikelihood(
     if return_sitewise:
         return total, sitewise
     return total
+
+
+def gy94(kappa: float, omega: float, freqs=None) -> OracleModel:
+    """Goldman-Yang codon model (61 sense codons, standard code),
+    independently re-derived from the genetic code for cross-validation."""
+    import itertools
+
+    bases = "TCAG"
+    code = ("FFLLSSSSYY**CC*W" "LLLLPPPPHHQQRRRR"
+            "IIIMTTTTNNKKSSRR" "VVVVAAAADDEEGGGG")
+    all_codons = ["".join(c) for c in itertools.product(bases, repeat=3)]
+    codons = [c for c, aa in zip(all_codons, code) if aa != "*"]
+    aa = {c: a for c, a in zip(all_codons, code) if a != "*"}
+    n = len(codons)
+    if freqs is None:
+        freqs = np.full(n, 1.0 / n)
+    freqs = np.asarray(freqs, dtype=np.float64)
+    transitions = {frozenset("AG"), frozenset("CT")}
+    q = np.zeros((n, n))
+    for i, ci in enumerate(codons):
+        for j, cj in enumerate(codons):
+            if i == j:
+                continue
+            diffs = [(a, b) for a, b in zip(ci, cj) if a != b]
+            if len(diffs) != 1:
+                continue
+            rate = 1.0
+            if frozenset(diffs[0]) in transitions:
+                rate *= kappa
+            if aa[ci] != aa[cj]:
+                rate *= omega
+            q[i, j] = rate * freqs[j]
+    np.fill_diagonal(q, -q.sum(axis=1))
+    return OracleModel("GY94", _normalize_q(q, freqs), freqs)

@@ -15,7 +15,8 @@ from typing import Dict, Optional
 import numpy as np
 
 MODEL_NAMES = (
-    "JC69", "K80", "F81", "F84", "HKY85", "TN93", "GTR", "UNREST", "LG", "WAG"
+    "JC69", "K80", "F81", "F84", "HKY85", "TN93", "GTR", "UNREST", "LG",
+    "WAG", "GY94"
 )
 
 

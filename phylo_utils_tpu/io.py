@@ -27,6 +27,7 @@ __all__ = [
     "read_alignment",
     "parse_newick_forest",
     "compress_patterns",
+    "encode_codon_alignment",
     "load_compressed",
     "CompressedAlignment",
 ]
@@ -268,6 +269,8 @@ def compress_patterns(
     """
     from phylo_utils_tpu.alphabets import get_alphabet, _charmap_table
 
+    if getattr(alphabet, "name", alphabet) == "codon":
+        return encode_codon_alignment(sequences, dtype=dtype)
     names = list(sequences.keys())
     alpha = get_alphabet(alphabet)
     try:
@@ -306,6 +309,9 @@ def load_compressed(
     """
     from phylo_utils_tpu.alphabets import get_alphabet, _charmap_table
 
+    if getattr(alphabet, "name", alphabet) == "codon":
+        # codon states need triplet-column compression, not per-char
+        return encode_codon_alignment(read_alignment(path), dtype=dtype)
     try:
         from phylo_utils_tpu.native import (
             compress_matrix_native,
@@ -330,3 +336,55 @@ def parse_newick_forest(path_or_text: str):
     text = _maybe_read(path_or_text)
     chunks = [c.strip() for c in text.split(";") if c.strip()]
     return [parse_newick(c + ";") for c in chunks]
+
+
+def encode_codon_alignment(
+    sequences: Dict[str, str], dtype=np.float64
+) -> CompressedAlignment:
+    """Nucleotide alignment -> codon-state (61) compressed partials.
+
+    Sequence lengths must be divisible by 3. IUPAC ambiguity propagates:
+    a codon is compatible with a state iff every position's nucleotide set
+    contains that codon's base (gaps/N make the whole position ambiguous).
+    """
+    from phylo_utils_tpu.alphabets import get_alphabet, _charmap_table
+    from phylo_utils_tpu.models.codon import CODONS
+
+    names = list(sequences.keys())
+    lengths = {len(s) for s in sequences.values()}
+    if len(lengths) != 1:
+        raise ValueError("sequences have unequal lengths")
+    (length,) = lengths
+    if length % 3:
+        raise ValueError(f"alignment length {length} is not divisible by 3")
+    n_cod = length // 3
+    chars = np.array([
+        np.frombuffer(sequences[n].upper().encode("ascii"), dtype=np.uint8)
+        for n in names
+    ]).reshape(len(names), n_cod, 3)
+    # compress on codon columns (taxa x 3 chars per column)
+    cols = np.transpose(chars, (1, 0, 2)).reshape(n_cod, -1)
+    uniq, site_to_pattern, counts = np.unique(
+        cols, axis=0, return_inverse=True, return_counts=True
+    )
+    uniq = uniq.reshape(-1, len(names), 3)            # (P, taxa, 3)
+
+    dna_table = _charmap_table(get_alphabet("dna"), dtype)   # (256, 4)
+    order = {"A": 0, "C": 1, "G": 2, "T": 3}
+    b = np.array([[order[c[p]] for p in range(3)] for c in CODONS])  # (61, 3)
+    compat = dna_table[uniq]                           # (P, taxa, 3, 4)
+    partials = (
+        compat[:, :, 0, b[:, 0]]
+        * compat[:, :, 1, b[:, 1]]
+        * compat[:, :, 2, b[:, 2]]
+    )                                                  # (P, taxa, 61)
+    partials = np.transpose(partials, (1, 0, 2))       # (taxa, P, 61)
+    if not partials.any(axis=2).all():
+        raise ValueError("alignment contains a stop codon (no compatible "
+                         "sense-codon state)")
+    return CompressedAlignment(
+        names=tuple(names),
+        partials=np.ascontiguousarray(partials),
+        weights=counts.astype(dtype),
+        site_to_pattern=site_to_pattern.astype(np.int32).ravel(),
+    )

@@ -24,6 +24,11 @@ from phylo_utils_tpu.models.dna import (  # noqa: F401
     UNREST,
 )
 from phylo_utils_tpu.models.protein import LG, WAG  # noqa: F401
+from phylo_utils_tpu.models.codon import (  # noqa: F401
+    GY94,
+    CODONS,
+    f3x4_frequencies,
+)
 
 _REGISTRY = {
     "jc69": JC69,
@@ -36,6 +41,7 @@ _REGISTRY = {
     "unrest": UNREST,
     "lg": LG,
     "wag": WAG,
+    "gy94": GY94,
 }
 
 

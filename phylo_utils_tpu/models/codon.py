@@ -1,0 +1,121 @@
+"""Codon substitution models (61 sense codons, standard genetic code).
+
+Beyond the reference (which stops at DNA + empirical protein models): the
+Goldman-Yang-style GY94 model with transition/transversion ratio kappa and
+nonsynonymous/synonymous ratio omega (dN/dS) — the workhorse of selection
+analysis. Reversible: q_ij = pi_j * h_ij with symmetric
+h_ij = kappa^[ts] * omega^[nonsyn] for codon pairs differing at exactly one
+position, so the engine's eigh-expm path and Daleckii-Krein gradients apply
+unchanged; 61 states pad to 64 sublanes in the Pallas kernel.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from phylo_utils_tpu.models.base import Model
+
+__all__ = [
+    "CODONS",
+    "CODON_TO_AA",
+    "GY94",
+    "codon_index",
+    "f3x4_frequencies",
+]
+
+_BASES = "TCAG"
+# Standard genetic code over TCAG-major codon order (TTT, TTC, TTA, ...).
+_CODE = (
+    "FFLLSSSSYY**CC*W"
+    "LLLLPPPPHHQQRRRR"
+    "IIIMTTTTNNKKSSRR"
+    "VVVVAAAADDEEGGGG"
+)
+
+_ALL = ["".join(c) for c in itertools.product(_BASES, repeat=3)]
+CODONS: Tuple[str, ...] = tuple(
+    c for c, aa in zip(_ALL, _CODE) if aa != "*"
+)  # 61 sense codons
+CODON_TO_AA: Dict[str, str] = {
+    c: aa for c, aa in zip(_ALL, _CODE) if aa != "*"
+}
+_INDEX = {c: i for i, c in enumerate(CODONS)}
+
+_TRANSITIONS = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+
+
+def codon_index(codon: str) -> int:
+    """Index of a sense codon in the model's state order (raises on stops)."""
+    return _INDEX[codon.upper().replace("U", "T")]
+
+
+def _build_structure() -> Tuple[np.ndarray, np.ndarray]:
+    """(is_single_diff_transition, is_single_diff) masks and nonsyn mask,
+    packed as: ts_mask (61,61), nonsyn_mask (61,61); entries are only
+    meaningful where codons differ at exactly one position (else both 0 and
+    the pair's rate is 0)."""
+    n = len(CODONS)
+    single = np.zeros((n, n), dtype=np.float64)
+    ts = np.zeros((n, n), dtype=np.float64)
+    nonsyn = np.zeros((n, n), dtype=np.float64)
+    for i, ci in enumerate(CODONS):
+        for j, cj in enumerate(CODONS):
+            if i == j:
+                continue
+            diffs = [(a, b) for a, b in zip(ci, cj) if a != b]
+            if len(diffs) != 1:
+                continue
+            single[i, j] = 1.0
+            if diffs[0] in _TRANSITIONS:
+                ts[i, j] = 1.0
+            if CODON_TO_AA[ci] != CODON_TO_AA[cj]:
+                nonsyn[i, j] = 1.0
+    return single, ts, nonsyn
+
+
+_SINGLE, _TS, _NONSYN = _build_structure()
+
+
+def f3x4_frequencies(nuc_freqs_by_position) -> np.ndarray:
+    """F3x4 codon frequencies from per-position nucleotide frequencies.
+
+    ``nuc_freqs_by_position``: (3, 4) array in A,C,G,T order per position.
+    Stop codons are excluded and the result renormalized.
+    """
+    f = np.asarray(nuc_freqs_by_position, dtype=np.float64)
+    if f.shape != (3, 4):
+        raise ValueError("expected (3, 4) per-position A,C,G,T frequencies")
+    order = {"A": 0, "C": 1, "G": 2, "T": 3}
+    out = np.array([
+        f[0][order[c[0]]] * f[1][order[c[1]]] * f[2][order[c[2]]]
+        for c in CODONS
+    ])
+    return out / out.sum()
+
+
+def _gy94_build(kappa, omega, freqs):
+    kappa = jnp.asarray(kappa)
+    omega = jnp.asarray(omega)
+    freqs = jnp.asarray(freqs)
+    dtype = jnp.result_type(kappa, omega, freqs)
+    single = jnp.asarray(_SINGLE, dtype)
+    ts = jnp.asarray(_TS, dtype)
+    nonsyn = jnp.asarray(_NONSYN, dtype)
+    sym = single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn)
+    return sym.astype(dtype), freqs.astype(dtype)
+
+
+GY94 = Model(
+    "GY94",
+    len(CODONS),
+    "codon",
+    {
+        "kappa": 2.0,
+        "omega": 1.0,
+        "freqs": tuple(np.full(len(CODONS), 1.0 / len(CODONS)).tolist()),
+    },
+    _gy94_build,
+)

@@ -203,6 +203,21 @@ def _pallas_forward(
     s = leaf_partials.shape[2]
     s_pad = _round_up(s, SUBLANE)
     tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
+    # VMEM budget: scratch buf + leaf block scale with tile; shrink the site
+    # tile until the working set fits (matters for 61-state codon models on
+    # large trees, where s_pad=64 multiplies everything by 8 vs DNA).
+    VMEM_BUDGET = 12 * 1024 * 1024
+    while tile > LANE:
+        working = 4 * tile * (
+            n_nodes * s_pad            # partials scratch
+            + n_nodes                  # logscale scratch
+            + n_leaves * s_pad         # leaf input block (x2 for pipelining)
+            * 2
+            + 2 * s_pad                # output blocks
+        ) + 4 * n_nodes * s_pad * s_pad
+        if working <= VMEM_BUDGET:
+            break
+        tile //= 2
     sites_pad = _round_up(sites, tile)
     n_internal = order.shape[0]
     cmax = children.shape[1]

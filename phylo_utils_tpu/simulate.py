@@ -135,9 +135,13 @@ def simulate_alignment(
     states, _ = simulate_states(
         key, tree, model, n_sites, params, ncat, pinv, median
     )
-    alphabet = get_alphabet(model.alphabet)
-    chars = np.asarray(list(alphabet.states))
     leaf_states = np.asarray(states[: tree.n_leaves])
+    if model.alphabet == "codon":
+        from phylo_utils_tpu.models.codon import CODONS
+
+        chars = np.asarray(CODONS)  # 3-char states concatenate to codons
+    else:
+        chars = np.asarray(list(get_alphabet(model.alphabet).states))
     return {
         name: "".join(chars[leaf_states[i]])
         for i, name in enumerate(tree.leaf_names)

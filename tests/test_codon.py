@@ -1,0 +1,104 @@
+"""Codon models (GY94): structure, logL parity vs oracle, selection
+parameter recovery, ambiguity handling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle.core as oracle
+from phylo_utils_tpu import models
+from phylo_utils_tpu.io import encode_codon_alignment, parse_newick
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.models.codon import (
+    CODONS,
+    CODON_TO_AA,
+    f3x4_frequencies,
+)
+from phylo_utils_tpu.optimize import fit
+from phylo_utils_tpu.simulate import simulate_alignment
+from phylo_utils_tpu.trees import random_tree
+
+
+def test_codon_table_structure():
+    assert len(CODONS) == 61
+    assert "TAA" not in CODONS and "TGA" not in CODONS and "TAG" not in CODONS
+    assert CODON_TO_AA["ATG"] == "M" and CODON_TO_AA["TGG"] == "W"
+    assert CODON_TO_AA["TTT"] == "F" and CODON_TO_AA["AAA"] == "K"
+
+
+def test_gy94_q_properties():
+    eig = models.GY94.eigen({"kappa": 3.0, "omega": 0.4})
+    q = np.asarray(eig.q)
+    freqs = np.asarray(eig.freqs)
+    np.testing.assert_allclose(q.sum(axis=1), 0, atol=1e-12)
+    np.testing.assert_allclose(-(freqs * np.diag(q)).sum(), 1.0, atol=1e-12)
+    # detailed balance (reversibility)
+    np.testing.assert_allclose(
+        freqs[:, None] * q, (freqs[:, None] * q).T, atol=1e-12
+    )
+    # pairs differing at >1 position have rate 0
+    assert q[CODONS.index("AAA"), CODONS.index("ACC")] == 0
+    # matches the independently-derived oracle Q
+    om = oracle.gy94(3.0, 0.4)
+    np.testing.assert_allclose(q, om.q, atol=1e-12)
+
+
+def test_gy94_logl_matches_oracle():
+    tree = parse_newick("((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);")
+    aln = {
+        "a": "ATGGCACGTAAG", "b": "ATGGCTCGTAAA",
+        "c": "ATGGGACGAAAG", "d": "ATGGCACGTANG",  # ambiguity in d
+    }
+    ca = encode_codon_alignment(aln)
+    assert ca.partials.shape[2] == 61
+    engine = LikelihoodEngine(tree, ca, models.GY94)
+    params = {"model": {"kappa": 2.5, "omega": 0.3}}
+    ll = engine.loglikelihood(params)
+    om = oracle.gy94(2.5, 0.3)
+    gold = oracle.loglikelihood(
+        tree, aln, om,
+        pattern_weights=np.asarray(ca.weights),
+        leaf_partials=np.asarray(ca.partials, np.float64),
+    )
+    assert ll == pytest.approx(gold, abs=1e-8)
+
+
+def test_engine_accepts_codon_dict_directly():
+    tree = parse_newick("(a:0.1,(b:0.2,c:0.1):0.1);")
+    aln = {"a": "ATGAAA", "b": "ATGAAG", "c": "ATGAAT"}
+    engine = LikelihoodEngine(tree, aln, models.GY94)  # dict -> codon route
+    assert np.isfinite(engine.loglikelihood())
+
+
+def test_stop_codon_rejected():
+    with pytest.raises(ValueError, match="stop"):
+        encode_codon_alignment({"a": "TAAATG", "b": "ATGATG"})
+    with pytest.raises(ValueError, match="divisible"):
+        encode_codon_alignment({"a": "ATGA", "b": "ATGA"})
+
+
+def test_f3x4():
+    f = f3x4_frequencies(np.full((3, 4), 0.25))
+    assert f.shape == (61,)
+    assert f.sum() == pytest.approx(1.0)
+    np.testing.assert_allclose(f, f[0])  # uniform nt -> uniform codons
+
+
+def test_simulate_and_recover_omega():
+    """Simulate under purifying selection (omega=0.2), fit recovers it."""
+    tree = random_tree(6, seed=2, mean_brlen=0.15)
+    aln = simulate_alignment(
+        jax.random.key(3), tree, models.GY94, 400,
+        params={"kappa": 2.0, "omega": 0.2},
+    )
+    assert all(len(s) == 1200 for s in aln.values())  # 400 codons
+    engine = LikelihoodEngine(tree, aln, models.GY94)
+    res = fit(
+        engine,
+        {"model": {"kappa": 2.0, "omega": 1.0}},
+        free=("branch_lengths", "model"),
+        max_steps=80,
+        patience=15,
+    )
+    # frequency vector stays near-uniform (61 params); omega must drop
+    assert float(res.params["model"]["omega"]) < 0.5
