@@ -178,6 +178,7 @@ def loglikelihood(
     model: OracleModel,
     alphabet: str = "dna",
     rates: Optional[np.ndarray] = None,
+    rate_weights: Optional[np.ndarray] = None,
     pinv: float = 0.0,
     pattern_weights: Optional[np.ndarray] = None,
     leaf_partials: Optional[np.ndarray] = None,
@@ -185,8 +186,8 @@ def loglikelihood(
 ):
     """Serial Felsenstein pruning with per-site scaling; gamma/+I mixing.
 
-    ``rates`` — per-category rate multipliers (defaults to [1.0]); categories
-    are equally weighted. ``pinv`` adds an invariant-sites component:
+    ``rates`` — per-category rate multipliers (defaults to [1.0]);
+    ``rate_weights`` — category weights (default equal). ``pinv`` adds an invariant-sites component:
     L_s = pinv * I_s + (1-pinv) * mean_c L_{s,c}.
     """
     n_states = model.q.shape[0]
@@ -242,7 +243,12 @@ def loglikelihood(
     m = scales.max(axis=0)
     if pinv > 0:
         m = np.maximum(m, 0.0)
-    mixed = np.mean(liks * np.exp(scales - m[None, :]), axis=0)
+    if rate_weights is None:
+        rate_weights = np.full(len(rates), 1.0 / len(rates))
+    rate_weights = np.asarray(rate_weights, dtype=np.float64)
+    mixed = np.sum(
+        rate_weights[:, None] * liks * np.exp(scales - m[None, :]), axis=0
+    )
     if pinv > 0:
         # invariant-site likelihood: zero-length-tree likelihood of the site
         inv = np.ones((n_sites, n_states))

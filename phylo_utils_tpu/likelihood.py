@@ -53,7 +53,11 @@ class LikelihoodEngine:
     tree : Tree or newick str
     alignment : dict name->seq, or CompressedAlignment
     model : Model
-    ncat : gamma categories (1 = no rate heterogeneity)
+    ncat : rate categories (1 = no rate heterogeneity)
+    rate_model : "gamma" (discrete gamma, param 'alpha') or "free"
+        (FreeRate: per-category rates 'rates' and weights 'cat_weights' are
+        free parameters; rates are renormalized so the weighted mean is 1,
+        keeping branch lengths in expected substitutions/site)
     invariant_sites : add a +I mixture component (param 'pinv')
     median : use median instead of mean gamma discretization
     dtype : computation dtype (None = f64 under x64, else f32)
@@ -75,6 +79,7 @@ class LikelihoodEngine:
         sharding=None,
         pruner: str = "xla",
         remat: bool = False,
+        rate_model: str = "gamma",
     ):
         if isinstance(tree, str):
             tree = pio.parse_newick(tree)
@@ -82,6 +87,9 @@ class LikelihoodEngine:
         self.model = model
         self.ncat = int(ncat)
         self.median = bool(median)
+        if rate_model not in ("gamma", "free"):
+            raise ValueError(f"unknown rate_model {rate_model!r}")
+        self.rate_model = rate_model
         self.invariant_sites = bool(invariant_sites)
         self.dtype = _canonical_dtype(dtype)
         self.sharding = sharding
@@ -163,7 +171,15 @@ class LikelihoodEngine:
             "model": self.model.defaults(self.dtype),
         }
         if self.ncat > 1:
-            params["alpha"] = jnp.asarray(0.5, self.dtype)
+            if self.rate_model == "free":
+                params["rates"] = jnp.linspace(
+                    0.2, 2.0, self.ncat, dtype=self.dtype
+                )
+                params["cat_weights"] = jnp.full(
+                    (self.ncat,), 1.0 / self.ncat, self.dtype
+                )
+            else:
+                params["alpha"] = jnp.asarray(0.5, self.dtype)
         if self.invariant_sites:
             params["pinv"] = jnp.asarray(0.2, self.dtype)
         return params
@@ -184,12 +200,18 @@ class LikelihoodEngine:
 
     def _loglik_fn(self, params, leaf_partials, weights):
         dtype = self.dtype
-        if self.ncat > 1:
+        if self.ncat > 1 and self.rate_model == "free":
+            cat_weights = params["cat_weights"].astype(dtype)
+            cat_weights = cat_weights / jnp.sum(cat_weights)
+            rates = params["rates"].astype(dtype)
+            rates = rates / jnp.sum(cat_weights * rates)   # weighted mean 1
+        elif self.ncat > 1:
             rates = discrete_gamma(params["alpha"], self.ncat, self.median)
             rates = rates.astype(dtype)
+            cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
         else:
             rates = jnp.ones((1,), dtype)
-        cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
+            cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
         t = params["branch_lengths"].astype(dtype)
         ts = t[:, None] * rates[None, :]                   # (n_nodes, K)
         if self.model.reversible:

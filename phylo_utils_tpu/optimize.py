@@ -50,7 +50,7 @@ _HI = lax.Precision.HIGHEST
 # Reparameterization: constrained model space <-> unconstrained optimizer space
 # ---------------------------------------------------------------------------
 
-_SIMPLEX_KEYS = {"freqs"}          # softmax-parameterized (sum to 1)
+_SIMPLEX_KEYS = {"freqs", "cat_weights"}  # softmax-parameterized (sum to 1)
 _UNIT_KEYS = {"pinv"}              # sigmoid-parameterized (0, 1)
 # everything else positive-valued: softplus-parameterized
 

@@ -1,0 +1,169 @@
+"""Partitioned (multi-locus) analyses: one tree, per-partition models.
+
+Multi-gene datasets (the reference's downstream treeCl use-case) score each
+locus under its own substitution model and rate mixture while sharing the
+tree topology and branch lengths; a per-partition rate multiplier
+("proportional branch lengths") absorbs rate differences between loci.
+
+  logL(theta) = sum_p logL_p(branch_lengths * r_p; model_p, mixture_p)
+
+All partition terms are independent given the shared branch lengths, so the
+joint gradient is exact through one ``jax.grad``, and ``optimize.fit`` works
+unchanged (PartitionedEngine exposes the same private surface the optimizer
+drives). Rate multipliers are normalized to site-weighted mean 1, keeping
+shared branch lengths in expected substitutions/site.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phylo_utils_tpu import io as pio
+from phylo_utils_tpu import trees as ptrees
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.models.base import Model
+
+__all__ = ["Partition", "PartitionedEngine"]
+
+
+class Partition:
+    """One locus: (name, alignment, model, mixture options)."""
+
+    def __init__(self, name: str, alignment, model: Model, ncat: int = 1,
+                 invariant_sites: bool = False, rate_model: str = "gamma"):
+        self.name = name
+        self.alignment = alignment
+        self.model = model
+        self.ncat = ncat
+        self.invariant_sites = invariant_sites
+        self.rate_model = rate_model
+
+
+class PartitionedEngine:
+    """Joint likelihood over partitions sharing one tree."""
+
+    def __init__(
+        self,
+        tree: Union[ptrees.Tree, str],
+        partitions: Sequence[Partition],
+        dtype=None,
+        pruner: str = "xla",
+        link_rates: bool = True,
+    ):
+        if isinstance(tree, str):
+            tree = pio.parse_newick(tree)
+        if not partitions:
+            raise ValueError("no partitions given")
+        self.tree = tree
+        self.partitions = list(partitions)
+        self.link_rates = bool(link_rates)
+        names = [p.name for p in partitions]
+        if len(set(names)) != len(names):
+            raise ValueError("partition names must be unique")
+        self._engines = [
+            LikelihoodEngine(
+                tree, p.alignment, p.model, ncat=p.ncat,
+                invariant_sites=p.invariant_sites, dtype=dtype,
+                pruner=pruner, rate_model=p.rate_model,
+            )
+            for p in partitions
+        ]
+        self.dtype = self._engines[0].dtype
+        self._site_counts = jnp.asarray(
+            [float(np.asarray(e._weights).sum()) for e in self._engines],
+            self.dtype,
+        )
+        # surface consumed by optimize.fit
+        self._leaf_partials = tuple(e._leaf_partials for e in self._engines)
+        self._weights = tuple(e._weights for e in self._engines)
+        self._jit_fn = jax.jit(self._loglik_fn)
+        self._jit_grad = jax.jit(
+            jax.grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0])
+        )
+
+    # -- parameters ----------------------------------------------------------
+
+    def default_params(self) -> Dict:
+        params: Dict = {
+            "branch_lengths": jnp.asarray(self.tree.lengths, self.dtype),
+            "partitions": {
+                p.name: {
+                    k: v
+                    for k, v in e.default_params().items()
+                    if k != "branch_lengths"
+                }
+                for p, e in zip(self.partitions, self._engines)
+            },
+        }
+        if self.link_rates and len(self.partitions) > 1:
+            params["partition_rates"] = jnp.ones(
+                (len(self.partitions),), self.dtype
+            )
+        return params
+
+    def _full_params(self, params: Optional[Mapping]) -> Dict:
+        full = self.default_params()
+        if params:
+            for k, v in params.items():
+                if k == "partitions":
+                    for pname, pv in v.items():
+                        cur = dict(full["partitions"][pname])
+                        for kk, vv in pv.items():
+                            if kk == "model":
+                                cur["model"] = {**cur["model"], **{
+                                    m: jnp.asarray(x, self.dtype)
+                                    for m, x in vv.items()
+                                }}
+                            else:
+                                cur[kk] = jnp.asarray(vv, self.dtype)
+                        full["partitions"][pname] = cur
+                else:
+                    full[k] = jnp.asarray(v, self.dtype)
+        return full
+
+    # -- computation ---------------------------------------------------------
+
+    def _loglik_fn(self, params, leaf_partials, weights):
+        t = params["branch_lengths"].astype(self.dtype)
+        if "partition_rates" in params:
+            r = params["partition_rates"].astype(self.dtype)
+            # site-weighted mean 1: sum_p n_p r_p / sum_p n_p == 1
+            r = r * jnp.sum(self._site_counts) / jnp.sum(self._site_counts * r)
+        else:
+            r = jnp.ones((len(self._engines),), self.dtype)
+        total = jnp.zeros((), self.dtype)
+        sitewise = []
+        for i, (p, e) in enumerate(zip(self.partitions, self._engines)):
+            sub = dict(params["partitions"][p.name])
+            sub["branch_lengths"] = t * r[i]
+            ll, sw = e._loglik_fn(sub, leaf_partials[i], weights[i])
+            total = total + ll
+            sitewise.append(sw)
+        return total, tuple(sitewise)
+
+    # -- public API ----------------------------------------------------------
+
+    def loglikelihood(self, params: Optional[Mapping] = None) -> float:
+        total, _ = self._jit_fn(
+            self._full_params(params), self._leaf_partials, self._weights
+        )
+        return float(total)
+
+    def partition_loglikelihoods(
+        self, params: Optional[Mapping] = None
+    ) -> Dict[str, float]:
+        full = self._full_params(params)
+        _, sws = self._jit_fn(full, self._leaf_partials, self._weights)
+        out = {}
+        for p, e, sw in zip(self.partitions, self._engines, sws):
+            w = np.asarray(e._weights)
+            out[p.name] = float((w * np.asarray(sw)).sum())
+        return out
+
+    def gradient(self, params: Optional[Mapping] = None) -> Dict:
+        return self._jit_grad(
+            self._full_params(params), self._leaf_partials, self._weights
+        )
