@@ -37,6 +37,8 @@ def _throughput(engine, params, iters=20):
 def main():
     import jax
 
+    jax.config.update("jax_enable_x64", True)  # config1 runs in f64
+
     from phylo_utils_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -64,7 +66,7 @@ def main():
     configs.append(dict(
         name="config1_jc69_4taxa",
         tree=tree1, aln=aln1, model=models.JC69, omodel=oracle.jc69(),
-        ncat=1, pinv=False,
+        ncat=1, pinv=False, dtype="float64",  # parity config: 1e-6 gate in f64
     ))
 
     # 2: HKY85 + gamma4, 16 taxa, per-node scaling exercised by long branches
@@ -111,7 +113,10 @@ def main():
         params = cfg.get("params")
         engine = LikelihoodEngine(
             cfg["tree"], cfg["aln"], cfg["model"], ncat=cfg["ncat"],
-            invariant_sites=cfg["pinv"], pruner=args.pruner,
+            invariant_sites=cfg["pinv"], dtype=cfg.get("dtype", "float32"),
+            # the pallas kernel computes in f32 internally; the f64 parity
+            # config must take the XLA path to keep full precision
+            pruner="xla" if cfg.get("dtype") == "float64" else args.pruner,
         )
         ll = engine.loglikelihood(params)
         full = engine._full_params(params)
@@ -126,7 +131,8 @@ def main():
         )
         rel = abs(ll - gold) / max(abs(gold), 1.0)
         pps, dt = _throughput(engine, params)
-        ok = rel < 5e-6  # f32 single-eval budget; f64 mode hits 1e-9
+        gate = 1e-9 if cfg.get("dtype") == "float64" else 5e-6
+        ok = rel < gate  # f32 budget; the f64 parity config gates at 1e-9
         failures += 0 if ok else 1
         print(json.dumps({
             "config": cfg["name"],
@@ -151,6 +157,7 @@ def main():
         sharding = SiteSharding()
     engine5 = LikelihoodEngine(
         tree5, aln5, models.GTR, ncat=4, sharding=sharding, pruner="xla",
+        dtype="float32",
     )
     ll0 = engine5.loglikelihood()
     t0 = time.perf_counter()

@@ -26,6 +26,10 @@ einsum path.
 
 __version__ = "0.1.0"
 
+from phylo_utils_tpu.ancestral import (  # noqa: F401
+    ancestral_posteriors,
+    site_rate_posteriors,
+)
 from phylo_utils_tpu.alphabets import (  # noqa: F401
     DNA,
     PROTEIN,
@@ -62,4 +66,12 @@ from phylo_utils_tpu.optimize import (  # noqa: F401
     newton_branch_length,
 )
 from phylo_utils_tpu.simulate import SequenceSimulator, simulate_alignment  # noqa: F401
-from phylo_utils_tpu.trees import Tree, compile_schedule, random_tree  # noqa: F401
+from phylo_utils_tpu.model_selection import compare_models  # noqa: F401
+from phylo_utils_tpu.trees import (  # noqa: F401
+    Tree,
+    compile_schedule,
+    nni_neighbors,
+    random_tree,
+    robinson_foulds,
+    spr_neighbors,
+)

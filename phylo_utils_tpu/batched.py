@@ -290,23 +290,36 @@ def nni_hill_climb(
     brlen_steps: int = 40,
     tol: float = 1e-6,
     verbose: bool = False,
+    moves: str = "nni",
+    spr_max_targets: Optional[int] = 8,
 ):
-    """Greedy NNI tree search: score the whole NNI neighborhood (with
+    """Greedy tree search: score the whole rearrangement neighborhood (with
     per-candidate branch-length re-optimization) in one device program per
     round, move to the best neighbor until no improvement.
 
-    Returns (best_tree, best_loglik, n_rounds). This is a capability the
-    reference does not have at all — enabled by topology batching.
+    ``moves``: "nni", "spr", or "both" (SPR explores long-range moves;
+    ``spr_max_targets`` subsamples regraft edges per pruned subtree to
+    bound neighborhood size). Returns (best_tree, best_loglik, n_rounds).
+    This is a capability the reference does not have at all — enabled by
+    topology batching.
     """
     from phylo_utils_tpu import io as pio
-    from phylo_utils_tpu.trees import nni_neighbors
+    from phylo_utils_tpu.trees import nni_neighbors, spr_neighbors
 
+    if moves not in ("nni", "spr", "both"):
+        raise ValueError(f"unknown moves {moves!r}")
     if isinstance(tree, str):
         tree = pio.parse_newick(tree)
     current = tree
     current_ll = None
     for round_ in range(1, max_rounds + 1):
-        candidates = [current] + nni_neighbors(current)
+        nbrs = []
+        if moves in ("nni", "both"):
+            nbrs += nni_neighbors(current)
+        if moves in ("spr", "both"):
+            nbrs += spr_neighbors(current, max_targets=spr_max_targets,
+                                  seed=round_)
+        candidates = [current] + nbrs
         tse = TopologySetEngine(candidates, alignment, model, ncat=ncat)
         lls, brlens = optimize_branch_lengths(tse, steps=brlen_steps)
         best = int(np.argmax(lls))

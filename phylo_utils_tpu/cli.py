@@ -229,6 +229,49 @@ def cmd_topologies(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    from phylo_utils_tpu.batched import nni_hill_climb
+    from phylo_utils_tpu.io import write_newick
+
+    best_tree, best_ll, rounds = nni_hill_climb(
+        _read_tree(args.tree),
+        _read_aln(args.alignment),
+        _get_model(args.model),
+        ncat=args.ncat,
+        max_rounds=args.max_rounds,
+        moves=args.moves,
+        verbose=args.verbose,
+    )
+    out = {
+        "loglik": best_ll,
+        "rounds": rounds,
+        "tree": write_newick(best_tree),
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out["tree"] + "\n")
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from phylo_utils_tpu.model_selection import compare_models
+
+    fits = compare_models(
+        _read_tree(args.tree),
+        _read_aln(args.alignment),
+        candidates=args.models.split(",") if args.models else None,
+        criterion=args.criterion,
+        max_steps=args.max_steps,
+    )
+    print(json.dumps({
+        "ranked": [f.as_dict() for f in fits],
+        "best": fits[0].name,
+        "criterion": args.criterion,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="phylo_utils_tpu",
@@ -284,6 +327,26 @@ def main(argv=None) -> int:
     p.add_argument("--params", help="JSON params")
     p.add_argument("--dtype", default=None)
     p.set_defaults(fn=cmd_topologies)
+
+    p = sub.add_parser("search", help="greedy NNI/SPR tree search")
+    p.add_argument("--tree", required=True, help="starting tree")
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="GTR")
+    p.add_argument("--ncat", type=int, default=1)
+    p.add_argument("--moves", default="nni", choices=["nni", "spr", "both"])
+    p.add_argument("--max-rounds", type=int, default=20)
+    p.add_argument("--out", help="write best tree (newick) here")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("compare", help="model selection (AIC/AICc/BIC)")
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--models", help="comma list, e.g. JC69,HKY85+G,GTR+G+I")
+    p.add_argument("--criterion", default="bic",
+                   choices=["aic", "aicc", "bic"])
+    p.add_argument("--max-steps", type=int, default=200)
+    p.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)
     return args.fn(args)

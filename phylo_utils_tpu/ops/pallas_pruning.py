@@ -237,27 +237,31 @@ def _pallas_forward(
     n_tiles = sites_pad // tile
     static = n_internal <= STATIC_UNROLL_MAX
 
+    # NOTE: zero offsets are derived from the (i32) grid indices rather than
+    # written as literals — under jax_enable_x64 literal 0s trace as i64 and
+    # Mosaic refuses the mixed-width index tuple ("failed to legalize
+    # 'func.return'").
     tensor_in_specs = [
         pl.BlockSpec(
             (1, n_nodes, s_pad, s_pad),
-            lambda t, kk, *_: (kk, 0, 0, 0),
+            lambda t, kk, *_: (kk, kk * 0, kk * 0, kk * 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (n_leaves, s_pad, tile),
-            lambda t, kk, *_: (0, 0, t),
+            lambda t, kk, *_: (t * 0, t * 0, t),
             memory_space=pltpu.VMEM,
         ),
     ]
     out_specs = [
         pl.BlockSpec(
             (1, s_pad, tile),
-            lambda t, kk, *_: (kk, 0, t),
+            lambda t, kk, *_: (kk, kk * 0, t),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, 1, tile),
-            lambda t, kk, *_: (kk, 0, t),
+            lambda t, kk, *_: (kk, kk * 0, t),
             memory_space=pltpu.VMEM,
         ),
     ]

@@ -29,6 +29,8 @@ __all__ = [
     "compile_schedule",
     "random_tree",
     "nni_neighbors",
+    "spr_neighbors",
+    "robinson_foulds",
 ]
 
 
@@ -232,27 +234,30 @@ def random_tree(
     return b.build(root)
 
 
-def _rebuild_with_children(tree: Tree, children_map) -> Tree:
+def _rebuild_with_children(tree: Tree, children_map,
+                           root: Optional[int] = None) -> Tree:
     """Rebuild (renumber) a tree from an edited child map, preserving names
     and the branch length attached to each moved subtree's root."""
+    if root is None:
+        root = tree.root
     b = TreeBuilder()
     # iterative post-order to avoid recursion limits on deep trees
     new_id: Dict[int, int] = {}
-    stack = [(tree.root, False)]
+    stack = [(root, False)]
     while stack:
         node, expanded = stack.pop()
         kids = children_map[node]
         if expanded or not kids:
             new_id[node] = b.add_node(
                 name=tree.names[node] or None,
-                length=None if node == tree.root else float(tree.lengths[node]),
+                length=None if node == root else float(tree.lengths[node]),
                 children=[new_id[k] for k in kids],
             )
         else:
             stack.append((node, True))
             for k in reversed(kids):
                 stack.append((k, False))
-    return b.build(new_id[tree.root])
+    return b.build(new_id[root])
 
 
 def nni_neighbors(tree: Tree) -> List[Tree]:
@@ -279,3 +284,113 @@ def nni_neighbors(tree: Tree) -> List[Tree]:
                 cm[u] = [c if k == s else k for k in cm[u]]
                 out.append(_rebuild_with_children(tree, cm))
     return out
+
+
+def spr_neighbors(tree: Tree, max_targets: Optional[int] = None,
+                  seed: int = 0) -> List[Tree]:
+    """Subtree-prune-and-regraft rearrangements of ``tree``.
+
+    For every pruneable subtree v (its parent must have exactly two
+    children, so the detach frees one node id that becomes the regraft
+    junction — node count stays invariant, which the batched topology
+    scorer requires), reattach v onto every other edge, splitting that
+    edge's length in half. ``max_targets`` randomly subsamples regraft
+    edges per pruned subtree (None = all). Trees with multifurcations are
+    supported; subtrees hanging off a >2-child node are skipped as prune
+    candidates (NNI covers those locally).
+    """
+    rng = np.random.default_rng(seed)
+    n = tree.n_nodes
+    children0 = {i: list(tree.children[i]) for i in range(n)}
+    out: List[Tree] = []
+
+    for v in range(n):
+        if v == tree.root:
+            continue
+        u = int(tree.parent[v])
+        if len(children0[u]) != 2:
+            continue
+        (w,) = [c for c in children0[u] if c != v]
+        # nodes inside the pruned subtree are invalid regraft targets
+        desc = set()
+        stack = [v]
+        while stack:
+            x = stack.pop()
+            desc.add(x)
+            stack.extend(children0[x])
+
+        targets = [
+            c for c in range(n)
+            if c not in desc and c != tree.root and c != u and c != w
+        ]
+        if max_targets is not None and len(targets) > max_targets:
+            targets = list(rng.choice(targets, size=max_targets,
+                                      replace=False))
+        for c in targets:
+            cm = {i: list(k) for i, k in children0.items()}
+            lengths = tree.lengths.copy()
+            # detach v; contract u (its id becomes the new junction)
+            if u == tree.root:
+                new_root = w          # w becomes the root
+                # unrooted edge v--w had length l_v + l_w; the whole edge
+                # travels with the pruned subtree (conserves total length)
+                lengths[v] = lengths[v] + lengths[w]
+                cm[u] = []
+            else:
+                p = int(tree.parent[u])
+                cm[p] = [w if x == u else x for x in cm[p]]
+                lengths[w] = lengths[w] + lengths[u]
+                cm[u] = []
+                new_root = tree.root
+            pc = int(tree.parent[c])
+            if pc == u:               # c's parent was contracted away
+                pc = int(tree.parent[u]) if u != tree.root else new_root
+            # insert junction u into the edge above c
+            cm[pc] = [u if x == c else x for x in cm[pc]]
+            cm[u] = [c, v]
+            half = lengths[c] * 0.5
+            lengths[u] = half
+            lengths[c] = half
+            nt = _rebuild_with_children(
+                dataclasses.replace(tree, lengths=lengths),
+                cm,
+                root=new_root,
+            )
+            out.append(nt)
+    return out
+
+
+def _splits(tree: Tree) -> set:
+    """Non-trivial unrooted bipartitions as frozensets of leaf names
+    (canonicalized to the side not containing the first leaf name)."""
+    all_names = frozenset(tree.leaf_names)
+    anchor = tree.leaf_names[0]
+    below: Dict[int, frozenset] = {}
+    splits = set()
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            below[node] = frozenset((tree.names[node],))
+            continue
+        s = frozenset().union(*(below[c] for c in kids))
+        below[node] = s
+        if node != tree.root and 1 < len(s) < len(all_names) - 1:
+            side = s if anchor not in s else all_names - s
+            splits.add(side)
+    return splits
+
+
+def robinson_foulds(t1: Tree, t2: Tree, normalized: bool = False) -> float:
+    """Robinson-Foulds (symmetric-difference) topology distance.
+
+    Trees must share a taxon set. ``normalized=True`` divides by the
+    maximum possible distance (sum of non-trivial splits in both trees).
+    """
+    if set(t1.leaf_names) != set(t2.leaf_names):
+        raise ValueError("trees have different taxon sets")
+    s1, s2 = _splits(t1), _splits(t2)
+    rf = len(s1 ^ s2)
+    if not normalized:
+        return float(rf)
+    denom = len(s1) + len(s2)
+    return rf / denom if denom else 0.0

@@ -159,3 +159,27 @@ def test_cli_topologies(small_inputs, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["n_trees"] == 2 and len(out["logliks"]) == 2
     assert out["best_index"] in (0, 1)
+
+
+def test_cli_search_and_compare(small_inputs, tmp_path, capsys):
+    tree, fasta = small_inputs
+    out_tree = str(tmp_path / "best.nwk")
+    rc = main([
+        "search", "--tree", tree, "--alignment", fasta, "--model", "JC69",
+        "--moves", "both", "--max-rounds", "3", "--out", out_tree,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["loglik"] < 0 and out["tree"].endswith(";")
+    from phylo_utils_tpu.io import parse_newick
+
+    assert sorted(parse_newick(out["tree"]).leaf_names) == ["a", "b", "c", "d"]
+
+    rc = main([
+        "compare", "--tree", tree, "--alignment", fasta,
+        "--models", "JC69,K80", "--max-steps", "25",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["best"] in ("JC69", "K80")
+    assert len(out["ranked"]) == 2

@@ -1,0 +1,45 @@
+"""Model selection: AIC/BIC ranking identifies the generating model class."""
+import jax
+import numpy as np
+import pytest
+
+from phylo_utils_tpu import models
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.model_selection import (
+    compare_models,
+    count_free_parameters,
+)
+from phylo_utils_tpu.simulate import simulate_alignment
+from phylo_utils_tpu.trees import random_tree
+
+
+def test_count_free_parameters():
+    tree = random_tree(5, seed=0)
+    aln = simulate_alignment(jax.random.key(0), tree, models.JC69, 30)
+    e = LikelihoodEngine(tree, aln, models.GTR, ncat=4, invariant_sites=True)
+    # 8 model + (2*5-2)=8 branches + alpha + pinv
+    assert count_free_parameters(e) == 8 + 8 + 1 + 1
+    e2 = LikelihoodEngine(tree, aln, models.JC69)
+    assert count_free_parameters(e2) == 8
+
+
+def test_compare_models_prefers_richer_model_for_k80_data():
+    """Data simulated under K80 with strong kappa: JC69 must lose to
+    kappa-aware models under BIC; logL must be monotone in nesting."""
+    tree = random_tree(6, seed=1, mean_brlen=0.2)
+    aln = simulate_alignment(
+        jax.random.key(1), tree, models.K80, 800, params={"kappa": 8.0}
+    )
+    fits = compare_models(
+        tree, aln, candidates=["JC69", "K80", "GTR"], max_steps=80,
+        patience=15,
+    )
+    by_name = {f.name: f for f in fits}
+    # nested families: more parameters can't fit worse
+    assert by_name["K80"].loglik >= by_name["JC69"].loglik - 1e-3
+    assert by_name["GTR"].loglik >= by_name["K80"].loglik - 0.3
+    # kappa=8 data: JC69 must rank last under BIC
+    assert fits[-1].name == "JC69"
+    assert fits[0].name in ("K80", "GTR")
+    d = fits[0].as_dict()
+    assert {"model", "loglik", "k", "aic", "aicc", "bic"} <= set(d)

@@ -84,3 +84,50 @@ def test_nni_hill_climb_finds_true_topology():
     # original branch lengths
     ll_true = LikelihoodEngine(true_tree, aln, models.JC69).loglikelihood()
     assert best_ll >= ll_true - 1.0
+
+
+def test_spr_neighbors_valid_and_superset_of_some_nni():
+    from phylo_utils_tpu.trees import spr_neighbors
+
+    tree = random_tree(8, seed=13)
+    nbrs = spr_neighbors(tree)
+    assert len(nbrs) > len(nni_neighbors(tree)) / 2
+    for nb in nbrs:
+        assert sorted(nb.leaf_names) == sorted(tree.leaf_names)
+        assert nb.n_nodes == tree.n_nodes
+        # total tree length preserved (edge splits conserve length sums)
+        assert float(np.sum(nb.lengths)) == pytest.approx(
+            float(np.sum(tree.lengths)), rel=1e-9
+        )
+
+
+def test_spr_neighbors_scoreable_in_batch():
+    import jax
+
+    from phylo_utils_tpu.trees import spr_neighbors
+
+    tree = random_tree(6, seed=14, mean_brlen=0.25)
+    aln = simulate_alignment(jax.random.key(4), tree, models.JC69, 300)
+    nbrs = spr_neighbors(tree, max_targets=3)
+    tse = TopologySetEngine([tree] + nbrs, aln, models.JC69)
+    lls = tse.loglikelihoods()
+    assert np.isfinite(lls).all()
+    assert int(np.argmax(lls)) == 0  # truth wins its own SPR neighborhood
+
+
+def test_robinson_foulds():
+    from phylo_utils_tpu.trees import robinson_foulds
+
+    t1 = parse_newick("((a:1,b:1):1,((c:1,d:1):1,(e:1,f:1):1):1);")
+    t2 = parse_newick("((a:1,b:1):1,((c:1,e:1):1,(d:1,f:1):1):1);")
+    assert robinson_foulds(t1, t1) == 0.0
+    d = robinson_foulds(t1, t2)
+    assert d > 0
+    assert 0 < robinson_foulds(t1, t2, normalized=True) <= 1.0
+    # symmetric
+    assert d == robinson_foulds(t2, t1)
+    # NNI moves change RF by a small bounded amount
+    for nb in nni_neighbors(t1)[:4]:
+        assert robinson_foulds(t1, nb) in (0.0, 2.0, 4.0)
+    with pytest.raises(ValueError):
+        robinson_foulds(t1, parse_newick("(a:1,(b:1,x:1):1);"))
