@@ -59,6 +59,7 @@ from phylo_utils_tpu.batched import (  # noqa: F401
 from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F401
 from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
 from phylo_utils_tpu.partition import Partition, PartitionedEngine  # noqa: F401
+from phylo_utils_tpu.server import EngineServer  # noqa: F401
 from phylo_utils_tpu.optimize import (  # noqa: F401
     brent_minimize,
     fit,

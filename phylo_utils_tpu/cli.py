@@ -254,6 +254,13 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from phylo_utils_tpu.server import serve
+
+    serve(_build_engine(args), host=args.host, port=args.port)
+    return 0
+
+
 def cmd_compare(args) -> int:
     from phylo_utils_tpu.model_selection import compare_models
 
@@ -338,6 +345,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", help="write best tree (newick) here")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("serve", help="HTTP inference server for one engine")
+    _add_engine_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("compare", help="model selection (AIC/AICc/BIC)")
     p.add_argument("--tree", required=True)

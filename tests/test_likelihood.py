@@ -180,3 +180,26 @@ def test_float32_accuracy_vs_float64():
     l32 = LikelihoodEngine(tree, aln, models.GTR, dtype=np.float32, **common
                            ).loglikelihood(p)
     assert abs(l32 - l64) / abs(l64) < 1e-6
+
+
+def test_large_tree_512_taxa_smoke():
+    """Big-topology smoke: schedule compilation, scan-path pruning, logL
+    finiteness and oracle parity on a 512-taxon tree (f64, CPU)."""
+    import numpy as np
+
+    import oracle.core as _oracle
+    from phylo_utils_tpu import models as _models
+    from phylo_utils_tpu.likelihood import LikelihoodEngine as _Engine
+    from phylo_utils_tpu.trees import compile_schedule, random_tree
+
+    tree = random_tree(512, seed=42)
+    sched = compile_schedule(tree)
+    assert sched.n_nodes == 2 * 512 - 1
+    rng = np.random.default_rng(0)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=40))
+           for n in tree.leaf_names}
+    engine = _Engine(tree, aln, _models.JC69)
+    ll = engine.loglikelihood()
+    assert np.isfinite(ll)
+    gold = _oracle.loglikelihood(tree, aln, _oracle.jc69())
+    assert abs(ll - gold) < 1e-6
