@@ -99,9 +99,9 @@ class LikelihoodEngine:
         elif compress:
             ca = pio.compress_patterns(alignment, model.alphabet, dtype=np.float64)
         else:
-            names, arr = __import__(
-                "phylo_utils_tpu.alphabets", fromlist=["encode_alignment"]
-            ).encode_alignment(alignment, model.alphabet)
+            from phylo_utils_tpu.alphabets import encode_alignment
+
+            names, arr = encode_alignment(alignment, model.alphabet)
             ca = pio.CompressedAlignment(
                 names=tuple(names),
                 partials=arr,

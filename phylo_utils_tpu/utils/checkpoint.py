@@ -73,9 +73,9 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, int, Dict[str, Any]]:
     """
     with np.load(path) as z:
         meta = json.loads(bytes(z[_META_KEY].tobytes()).decode())
-        flat_like, treedef = _flatten_with_paths_treedef(like)
+        keys, treedef = _leaf_keys_and_treedef(like)
         leaves = []
-        for key in flat_like:
+        for key in keys:
             if key not in z:
                 raise KeyError(f"checkpoint missing leaf {key!r}")
             leaves.append(z[key])
@@ -83,7 +83,7 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, int, Dict[str, Any]]:
     return state, meta["step"], meta.get("extra", {})
 
 
-def _flatten_with_paths_treedef(tree: Any):
+def _leaf_keys_and_treedef(tree: Any):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     keys = [
         "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
