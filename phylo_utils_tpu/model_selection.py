@@ -16,7 +16,8 @@ from phylo_utils_tpu import models as _models
 from phylo_utils_tpu.likelihood import LikelihoodEngine
 from phylo_utils_tpu.optimize import fit
 
-__all__ = ["count_free_parameters", "compare_models", "ModelFit"]
+__all__ = ["count_free_parameters", "compare_models", "ModelFit",
+           "likelihood_ratio_test"]
 
 
 _MODEL_K = {
@@ -103,3 +104,22 @@ def compare_models(
         results.append(ModelFit(spec, res.loglik, k, n, aic, aicc, bic,
                                 res.params))
     return sorted(results, key=lambda r: getattr(r, criterion))
+
+
+def likelihood_ratio_test(
+    loglik_null: float, loglik_alt: float, df: int
+) -> Dict[str, float]:
+    """LRT for nested models: 2*(lnL1 - lnL0) ~ chi2(df) under H0.
+
+    Returns {"statistic", "df", "pvalue"}. Use e.g. to test rate
+    heterogeneity (GTR vs GTR+G, df=1) or positive selection
+    (M3 2-class vs GY94 single-omega, df=2).
+    """
+    from scipy.stats import chi2
+
+    stat = 2.0 * (loglik_alt - loglik_null)
+    return {
+        "statistic": float(stat),
+        "df": int(df),
+        "pvalue": float(chi2.sf(max(stat, 0.0), df)),
+    }

@@ -43,3 +43,13 @@ def test_compare_models_prefers_richer_model_for_k80_data():
     assert fits[0].name in ("K80", "GTR")
     d = fits[0].as_dict()
     assert {"model", "loglik", "k", "aic", "aicc", "bic"} <= set(d)
+
+
+def test_likelihood_ratio_test():
+    from phylo_utils_tpu.model_selection import likelihood_ratio_test
+
+    out = likelihood_ratio_test(-1010.0, -1000.0, df=1)
+    assert out["statistic"] == pytest.approx(20.0)
+    assert out["pvalue"] < 1e-4
+    flat = likelihood_ratio_test(-1000.0, -1000.0, df=2)
+    assert flat["pvalue"] == pytest.approx(1.0)
