@@ -18,6 +18,7 @@ from typing import Dict, List, Mapping, Sequence, Tuple
 import numpy as np
 
 __all__ = [
+    "empirical_frequencies",
     "Alphabet",
     "DNA",
     "PROTEIN",
@@ -162,3 +163,31 @@ def encode_alignment(
         raise ValueError(f"sequences have unequal lengths: {sorted(lengths)}")
     arrs = [seq_to_partials(v, alphabet, dtype) for _, v in items]
     return names, np.stack(arrs)
+
+
+def empirical_frequencies(
+    sequences, alphabet="dna", pseudocount: float = 0.0
+) -> np.ndarray:
+    """Observed state frequencies across an alignment ("+F" estimation).
+
+    Ambiguity codes contribute fractionally (their partial row normalized);
+    fully-ambiguous characters (gaps, N/X) contribute nothing. Optional
+    Laplace pseudocount guards zero frequencies for sparse data.
+    """
+    alpha = get_alphabet(alphabet)
+    table = _charmap_table(alpha, np.float64)
+    # fractional: each char's row normalized to sum 1; all-ones rows (fully
+    # ambiguous) carry no information -> weight 0
+    rowsum = table.sum(axis=1, keepdims=True)
+    informative = (rowsum.squeeze(1) < alpha.n_states) & (rowsum.squeeze(1) > 0)
+    frac = np.where(
+        informative[:, None], table / np.maximum(rowsum, 1.0), 0.0
+    )
+    counts = np.full(alpha.n_states, float(pseudocount))
+    for seq in sequences.values():
+        arr = np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)
+        counts += frac[arr].sum(axis=0)
+    total = counts.sum()
+    if total == 0:
+        raise ValueError("no informative characters in alignment")
+    return counts / total

@@ -203,3 +203,17 @@ def test_large_tree_512_taxa_smoke():
     assert np.isfinite(ll)
     gold = _oracle.loglikelihood(tree, aln, _oracle.jc69())
     assert abs(ll - gold) < 1e-6
+
+
+def test_empirical_frequencies():
+    import numpy as np
+
+    from phylo_utils_tpu.alphabets import empirical_frequencies
+
+    aln = {"a": "AAAC", "b": "AACG", "c": "RN--"}  # R = A/G ambiguous
+    f = empirical_frequencies(aln, "dna")
+    # counts: A=5, C=2, G=1 + R contributes 0.5 A, 0.5 G; N,-,- nothing
+    expect = np.array([5.5, 2.0, 1.5, 0.0]) / 9.0
+    np.testing.assert_allclose(f, expect, atol=1e-12)
+    f2 = empirical_frequencies(aln, "dna", pseudocount=1.0)
+    assert (f2 > 0).all() and f2.sum() == 1.0
