@@ -128,6 +128,7 @@ def cmd_fit(args) -> int:
 
     res = fit(
         engine, params0, free=free, max_steps=args.max_steps,
+        steps_per_call=args.steps_per_call,
         callback=callback if (args.metrics or args.verbose) else None,
     )
     logger.close()
@@ -294,6 +295,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("fit", help="optimize branch lengths + model params")
     _add_engine_args(p)
     p.add_argument("--max-steps", type=int, default=500)
+    p.add_argument("--steps-per-call", type=int, default=10,
+                   help="optimizer steps fused per device dispatch")
     p.add_argument("--free", help="comma-separated free parameter names")
     p.add_argument("--checkpoint", help="write final params checkpoint here")
     p.add_argument("--resume", help="resume params from checkpoint")
