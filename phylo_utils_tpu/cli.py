@@ -158,12 +158,10 @@ def cmd_simulate(args) -> int:
         ncat=args.ncat,
         pinv=args.pinv,
     )
-    lines = [f">{name}\n{seq}" for name, seq in aln.items()]
-    text = "\n".join(lines) + "\n"
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(text)
-    else:
+    from phylo_utils_tpu.io import write_fasta
+
+    text = write_fasta(aln, path=args.out)
+    if not args.out:
         sys.stdout.write(text)
     return 0
 

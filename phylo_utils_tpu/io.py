@@ -24,6 +24,8 @@ __all__ = [
     "write_newick",
     "read_fasta",
     "read_phylip",
+    "write_fasta",
+    "write_phylip",
     "read_alignment",
     "parse_newick_forest",
     "compress_patterns",
@@ -388,3 +390,37 @@ def encode_codon_alignment(
         weights=counts.astype(dtype),
         site_to_pattern=site_to_pattern.astype(np.int32).ravel(),
     )
+
+
+def write_fasta(alignment: Dict[str, str], path: Optional[str] = None,
+                width: int = 80) -> str:
+    """Serialize an alignment to FASTA (returns the text; writes if path)."""
+    lines = []
+    for name, seq in alignment.items():
+        lines.append(f">{name}")
+        for i in range(0, len(seq), width):
+            lines.append(seq[i : i + width])
+    text = "\n".join(lines) + "\n"
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
+def write_phylip(alignment: Dict[str, str], path: Optional[str] = None) -> str:
+    """Serialize an alignment to sequential relaxed PHYLIP."""
+    if not alignment:
+        raise ValueError("empty alignment")
+    lengths = {len(s) for s in alignment.values()}
+    if len(lengths) != 1:
+        raise ValueError("sequences have unequal lengths")
+    (n_chars,) = lengths
+    pad = max(len(n) for n in alignment) + 2
+    lines = [f"{len(alignment)} {n_chars}"]
+    for name, seq in alignment.items():
+        lines.append(f"{name:<{pad}}{seq}")
+    text = "\n".join(lines) + "\n"
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

@@ -183,3 +183,20 @@ def test_cli_search_and_compare(small_inputs, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["best"] in ("JC69", "K80")
     assert len(out["ranked"]) == 2
+
+
+def test_alignment_writers_roundtrip(tmp_path):
+    from phylo_utils_tpu.io import (
+        read_fasta,
+        read_phylip,
+        write_fasta,
+        write_phylip,
+    )
+
+    aln = {"taxon_one": "ACGT" * 25, "t2": "TTTT" * 25}
+    fa = str(tmp_path / "w.fa")
+    write_fasta(aln, fa, width=30)
+    assert read_fasta(fa) == aln
+    ph = str(tmp_path / "w.phy")
+    write_phylip(aln, ph)
+    assert read_phylip(ph) == aln
