@@ -79,12 +79,13 @@ def test_engine_pallas_pruner_logl_matches_xla():
     assert abs(ll_x - ll_p) / abs(ll_x) < 1e-6
 
 
-def test_dynamic_schedule_path_matches_static(monkeypatch):
-    """Force the large-tree (scalar-prefetch fori_loop) lowering and check it
-    against the XLA path."""
+@pytest.mark.parametrize("static_max", [0, 10**6])
+def test_both_schedule_lowerings_match_xla(monkeypatch, static_max):
+    """Cover the scalar-prefetch fori_loop lowering (default, static_max=0)
+    AND the fully-unrolled static lowering against the XLA path."""
     import phylo_utils_tpu.ops.pallas_pruning as pp
 
-    monkeypatch.setattr(pp, "STATIC_UNROLL_MAX", 0)
+    monkeypatch.setattr(pp, "STATIC_UNROLL_MAX", static_max)
     sched, p, lp = _setup(16, 150)
     r_xla, s_xla = make_prune_fn(sched)(p, lp)
     r_dyn, s_dyn = pp.make_pallas_prune_fn(sched)(p, lp)
