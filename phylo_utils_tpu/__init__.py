@@ -60,6 +60,7 @@ from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F
 from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
 from phylo_utils_tpu.partition import Partition, PartitionedEngine  # noqa: F401
 from phylo_utils_tpu.server import EngineServer  # noqa: F401
+from phylo_utils_tpu.topology_tests import kh_test, sh_test  # noqa: F401
 from phylo_utils_tpu.optimize import (  # noqa: F401
     brent_minimize,
     fit,

@@ -167,7 +167,7 @@ class TopologySetEngine:
 
         self._jit_fn = jax.jit(self._loglik_fn)
         self._jit_grad = jax.jit(jax.grad(
-            lambda p: jnp.sum(self._loglik_fn(p)), argnums=0
+            lambda p: jnp.sum(self._loglik_fn(p)[0]), argnums=0
         ))
 
     def default_params(self) -> Dict:
@@ -213,21 +213,31 @@ class TopologySetEngine:
             leaves = self._leaf_partials[perm]              # (n_leaves, P, S)
             rp, rsc = _prune_dynamic(nodes, children, mask, p_b, leaves,
                                      self.root)
-            total, _ = mixture_loglik(
+            total, sw = mixture_loglik(
                 rp, rsc, freqs, cat_weights, self._weights
             )
-            return total
+            return total, sw
 
-        return jax.vmap(one_tree)(
+        totals, sw = jax.vmap(one_tree)(
             self._sched["nodes"], self._sched["children"],
             self._sched["mask"], p, self._leaf_perm,
         )
+        return totals, sw
 
     # -- public API ----------------------------------------------------------
 
     def loglikelihoods(self, params: Optional[Mapping] = None) -> np.ndarray:
         """(n_trees,) log-likelihoods in one device program."""
-        return np.asarray(self._jit_fn(self._full_params(params)))
+        return np.asarray(self._jit_fn(self._full_params(params))[0])
+
+    def sitewise_loglikelihoods(
+        self, params: Optional[Mapping] = None
+    ) -> np.ndarray:
+        """(n_trees, n_sites) per-site log-likelihoods (for RELL/KH/SH
+        topology tests; see topology_tests.py)."""
+        _, sw = self._jit_fn(self._full_params(params))
+        sw = np.asarray(sw)
+        return sw[:, self._compressed.site_to_pattern]
 
     def gradients(self, params: Optional[Mapping] = None) -> Dict:
         """Gradient of sum of logLs (per-tree brlen grads are independent)."""
@@ -260,7 +270,7 @@ def optimize_branch_lengths(
     def loss(raw):
         p = dict(fixed)
         p["branch_lengths"] = jax.nn.softplus(raw)
-        return -jnp.sum(tse._loglik_fn(p))
+        return -jnp.sum(tse._loglik_fn(p)[0])
 
     @jax.jit
     def run(raw0):
@@ -275,7 +285,7 @@ def optimize_branch_lengths(
         (raw, _), _ = lax.scan(step, (raw0, state), None, length=steps)
         p = dict(fixed)
         p["branch_lengths"] = jax.nn.softplus(raw)
-        return tse._loglik_fn(p), p["branch_lengths"]
+        return tse._loglik_fn(p)[0], p["branch_lengths"]
 
     lls, brlens = run(raw0)
     return np.asarray(lls), np.asarray(brlens)

@@ -1,0 +1,50 @@
+"""KH/SH topology tests on RELL resampling."""
+import jax
+import numpy as np
+import pytest
+
+from phylo_utils_tpu import models
+from phylo_utils_tpu.batched import TopologySetEngine
+from phylo_utils_tpu.simulate import simulate_alignment
+from phylo_utils_tpu.topology_tests import kh_test, rell_logliks, sh_test
+from phylo_utils_tpu.trees import nni_neighbors, random_tree
+
+
+@pytest.fixture(scope="module")
+def sitewise_matrix():
+    true_tree = random_tree(7, seed=3, mean_brlen=0.25)
+    aln = simulate_alignment(jax.random.key(9), true_tree, models.K80, 2000,
+                             params={"kappa": 3.0})
+    candidates = [true_tree] + nni_neighbors(true_tree)[:7]
+    tse = TopologySetEngine(candidates, aln, models.K80)
+    return tse.sitewise_loglikelihoods({"model": {"kappa": 3.0}})
+
+
+def test_sitewise_shapes_and_consistency(sitewise_matrix):
+    sw = sitewise_matrix
+    assert sw.shape[1] == 2000
+    # per-tree sums equal total logLs ordering: tree 0 (truth) is best
+    totals = sw.sum(axis=1)
+    assert int(np.argmax(totals)) == 0
+
+
+def test_rell_distribution(sitewise_matrix):
+    boot = rell_logliks(sitewise_matrix, n_boot=200, seed=1)
+    assert boot.shape == (200, sitewise_matrix.shape[0])
+    totals = sitewise_matrix.sum(axis=1)
+    # bootstrap means approximate observed totals
+    np.testing.assert_allclose(boot.mean(axis=0), totals,
+                               rtol=0, atol=3 * np.abs(totals).max() ** 0.5)
+
+
+def test_kh_and_sh_reject_bad_trees_keep_truth(sitewise_matrix):
+    kh = kh_test(sitewise_matrix, n_boot=500, seed=2)
+    sh = sh_test(sitewise_matrix, n_boot=500, seed=2)
+    assert kh["best"] == sh["best"] == 0
+    assert kh["pvalue"][0] == 1.0
+    assert sh["pvalue"][0] > 0.5
+    # with 2000 sites and clearly worse topologies, some should be rejected
+    assert (kh["pvalue"][1:] < 0.05).any()
+    # SH is more conservative than KH (>= p-values up to MC noise)
+    assert (sh["pvalue"] >= kh["pvalue"] - 0.1).all()
+    assert (kh["delta"] >= 0).all() and kh["delta"][0] == 0
