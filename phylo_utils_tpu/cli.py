@@ -253,6 +253,50 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_ancestral(args) -> int:
+    from phylo_utils_tpu.ancestral import (
+        ancestral_posteriors,
+        site_rate_posteriors,
+    )
+
+    engine = _build_engine(args)
+    params = _json_params(args.params)
+    post = ancestral_posteriors(engine, params)
+    out = {
+        "n_internal_nodes": post.shape[0],
+        "n_sites": post.shape[1],
+        "map_states": post.argmax(axis=2).tolist(),
+        "max_posterior": post.max(axis=2).tolist(),
+    }
+    if args.full:
+        out["posteriors"] = post.tolist()
+    if args.ncat > 1:
+        out["site_rate_posteriors"] = site_rate_posteriors(
+            engine, params
+        ).tolist()
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_bootstrap(args) -> int:
+    engine = _build_engine(args)
+    boots = engine.bootstrap_loglikelihoods(
+        args.replicates, _json_params(args.params), seed=args.seed
+    )
+    print(json.dumps({
+        "n_replicates": len(boots),
+        "mean": float(boots.mean()),
+        "std": float(boots.std()),
+        "quantiles": {
+            "q025": float(np.quantile(boots, 0.025)),
+            "q500": float(np.quantile(boots, 0.5)),
+            "q975": float(np.quantile(boots, 0.975)),
+        },
+        "logliks": boots.tolist() if args.full else None,
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from phylo_utils_tpu.server import serve
 
@@ -346,6 +390,19 @@ def main(argv=None) -> int:
     p.add_argument("--out", help="write best tree (newick) here")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("ancestral", help="ancestral state reconstruction")
+    _add_engine_args(p)
+    p.add_argument("--full", action="store_true",
+                   help="emit full posterior tensors (large)")
+    p.set_defaults(fn=cmd_ancestral)
+
+    p = sub.add_parser("bootstrap", help="bootstrap logL replicates")
+    _add_engine_args(p)
+    p.add_argument("--replicates", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--full", action="store_true", help="emit all replicates")
+    p.set_defaults(fn=cmd_bootstrap)
 
     p = sub.add_parser("serve", help="HTTP inference server for one engine")
     _add_engine_args(p)

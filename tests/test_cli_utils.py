@@ -200,3 +200,25 @@ def test_alignment_writers_roundtrip(tmp_path):
     ph = str(tmp_path / "w.phy")
     write_phylip(aln, ph)
     assert read_phylip(ph) == aln
+
+
+def test_cli_ancestral_and_bootstrap(small_inputs, capsys):
+    tree, fasta = small_inputs
+    rc = main([
+        "ancestral", "--tree", tree, "--alignment", fasta,
+        "--model", "HKY85", "--ncat", "4",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_internal_nodes"] == 3 and out["n_sites"] == 10
+    assert all(0 <= s <= 3 for row in out["map_states"] for s in row)
+    assert len(out["site_rate_posteriors"]) == 10
+
+    rc = main([
+        "bootstrap", "--tree", tree, "--alignment", fasta,
+        "--model", "JC69", "--replicates", "50",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_replicates"] == 50
+    assert out["quantiles"]["q025"] <= out["quantiles"]["q975"]
