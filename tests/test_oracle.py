@@ -191,3 +191,27 @@ def test_invariant_sites_mixture():
     expected = np.log(pinv * inv_indicator + (1 - pinv) * l_var)
     np.testing.assert_allclose(sitewise, expected, rtol=1e-10)
     np.testing.assert_allclose(logl, expected.sum(), rtol=1e-10)
+
+
+def test_newick_roundtrip_random_trees():
+    """write_newick -> parse_newick preserves topology, names, lengths."""
+    import numpy as np
+
+    from phylo_utils_tpu.io import parse_newick, write_newick
+    from phylo_utils_tpu.trees import random_tree, robinson_foulds
+
+    for seed in range(20):
+        t = random_tree(3 + seed % 17, seed=seed)
+        t2 = parse_newick(write_newick(t))
+        assert t2.leaf_names == t.leaf_names
+        assert t2.n_nodes == t.n_nodes
+        np.testing.assert_allclose(t2.lengths, t.lengths, rtol=1e-9)
+        if t.n_leaves >= 4:
+            assert robinson_foulds(t, t2) == 0.0
+
+
+def test_newick_quoted_labels_and_comments():
+    from phylo_utils_tpu.io import parse_newick
+
+    t = parse_newick("('taxon A':0.1,[comment here](b:0.2,'it''s c':0.3):0.4);")
+    assert "taxon A" in t.leaf_names and "it's c" in t.leaf_names
