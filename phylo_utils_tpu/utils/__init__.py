@@ -3,4 +3,9 @@ from phylo_utils_tpu.utils.checkpoint import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
-from phylo_utils_tpu.utils.metrics import MetricsLogger, Timer  # noqa: F401
+from phylo_utils_tpu.utils.metrics import (  # noqa: F401
+    MetricsLogger,
+    Timer,
+    enable_debug_checks,
+    trace,
+)

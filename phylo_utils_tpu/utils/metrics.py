@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional
 
 import jax
 
-__all__ = ["MetricsLogger", "Timer", "trace"]
+__all__ = ["MetricsLogger", "Timer", "trace", "enable_debug_checks"]
 
 
 class MetricsLogger:
@@ -81,3 +81,17 @@ def trace(logdir: Optional[str]):
             yield
     else:
         yield
+
+
+def enable_debug_checks(nans: bool = True, checks: bool = False) -> None:
+    """Turn on JAX runtime debugging (SURVEY.md §5 sanitizer row).
+
+    ``nans=True`` makes any NaN produced under jit raise at the op that
+    created it (jax_debug_nans); ``checks=True`` enables jax_enable_checks
+    (internal invariant checking; slow). Use in tests/debug sessions, not
+    production.
+    """
+    if nans:
+        jax.config.update("jax_debug_nans", True)
+    if checks:
+        jax.config.update("jax_enable_checks", True)

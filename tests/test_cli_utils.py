@@ -222,3 +222,19 @@ def test_cli_ancestral_and_bootstrap(small_inputs, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["n_replicates"] == 50
     assert out["quantiles"]["q025"] <= out["quantiles"]["q975"]
+
+
+def test_enable_debug_checks_catches_nan():
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_utils_tpu.utils import enable_debug_checks
+
+    enable_debug_checks(nans=True)
+    try:
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x) * 0 + jnp.sqrt(x - 2.0))(
+                jnp.asarray(1.0)
+            ).block_until_ready()
+    finally:
+        jax.config.update("jax_debug_nans", False)
