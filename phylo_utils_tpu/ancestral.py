@@ -175,7 +175,11 @@ def ancestral_posteriors(
             "iksj,ks->isj", per_cat, gam, precision=_HI
         )                                           # (I, sites, S)
 
-    post = jax.jit(compute)(full, engine._leaf_partials, engine._weights)
+    # cache the compiled program per engine (jit on a fresh closure would
+    # recompile the two-pass pruning program on every call)
+    if not hasattr(engine, "_ancestral_jit"):
+        engine._ancestral_jit = jax.jit(compute)
+    post = engine._ancestral_jit(full, engine._leaf_partials, engine._weights)
     post = np.asarray(post)[:, : engine._compressed.n_patterns, :]
     return post[:, engine._compressed.site_to_pattern, :]
 
@@ -184,35 +188,13 @@ def site_rate_posteriors(
     engine, params: Optional[Mapping] = None
 ) -> np.ndarray:
     """Posterior probability of each rate category per site: (n_sites, K)."""
-    from phylo_utils_tpu.ops.gamma import discrete_gamma
+    from phylo_utils_tpu.likelihood import mixture_rates_and_p
 
     full = engine._full_params(params)
     dtype = engine.dtype
 
     def compute(full, leaf_partials, weights):
-        if engine.ncat > 1 and getattr(engine, "rate_model", "gamma") == "free":
-            cat_weights = full["cat_weights"].astype(dtype)
-            cat_weights = cat_weights / jnp.sum(cat_weights)
-            rates = full["rates"].astype(dtype)
-            rates = rates / jnp.sum(cat_weights * rates)
-        elif engine.ncat > 1:
-            rates = discrete_gamma(full["alpha"], engine.ncat, engine.median)
-            rates = rates.astype(dtype)
-            cat_weights = jnp.full((engine.ncat,), 1.0 / engine.ncat, dtype)
-        else:
-            rates = jnp.ones((1,), dtype)
-            cat_weights = jnp.ones((1,), dtype)
-        t = full["branch_lengths"].astype(dtype)
-        ts = t[:, None] * rates[None, :]
-        import phylo_utils_tpu.ops.pmatrix as pm_ops
-
-        if engine.model.reversible:
-            sym, freqs = engine.model.build_parts(full["model"], dtype=dtype)
-            p = pm_ops.p_matrices_reversible(sym, freqs, ts)
-        else:
-            eig = engine.model.eigen(full["model"], dtype=dtype)
-            freqs = eig.freqs
-            p = pm_ops.transition_matrices(eig, ts)
+        _, cat_weights, p, freqs = mixture_rates_and_p(engine, full, dtype)
         root_partials, root_logscale = engine._prune(p, leaf_partials)
         lik = jnp.einsum(
             "ksi,i->ks", root_partials, freqs.astype(dtype), precision=_HI
@@ -221,6 +203,8 @@ def site_rate_posteriors(
         gam = cat_weights[:, None] * lik * jnp.exp(root_logscale - m[None, :])
         return (gam / jnp.sum(gam, axis=0, keepdims=True)).T   # (sites, K)
 
-    gam = jax.jit(compute)(full, engine._leaf_partials, engine._weights)
+    if not hasattr(engine, "_site_rate_jit"):
+        engine._site_rate_jit = jax.jit(compute)
+    gam = engine._site_rate_jit(full, engine._leaf_partials, engine._weights)
     gam = np.asarray(gam)[: engine._compressed.n_patterns]
     return gam[engine._compressed.site_to_pattern]

@@ -147,6 +147,14 @@ def parse_newick(text: str) -> "_trees.Tree":
     return builder.build(root)
 
 
+def _quote_label(label: str) -> str:
+    """Quote a Newick label when it contains structural characters, so the
+    output always round-trips through parse_newick."""
+    if label and any(c in label for c in "()[]':;, \t\n"):
+        return "'" + label.replace("'", "''") + "'"
+    return label
+
+
 def write_newick(tree: "_trees.Tree", lengths: Optional[np.ndarray] = None) -> str:
     """Serialize a Tree back to Newick (branch lengths from the tree or
     an override vector indexed by node id)."""
@@ -156,10 +164,10 @@ def write_newick(tree: "_trees.Tree", lengths: Optional[np.ndarray] = None) -> s
         kids = tree.children[node]
         if kids:
             inner = ",".join(fmt(k) for k in kids)
-            label = tree.names[node] or ""
+            label = _quote_label(tree.names[node] or "")
             s = f"({inner}){label}"
         else:
-            s = tree.names[node]
+            s = _quote_label(tree.names[node])
         if node != tree.root:
             s += f":{lens[node]:.10g}"
         return s
@@ -199,31 +207,65 @@ def read_fasta(path_or_text: str) -> Dict[str, str]:
 
 
 def read_phylip(path_or_text: str) -> Dict[str, str]:
-    """Sequential or interleaved relaxed PHYLIP."""
+    """Relaxed PHYLIP: sequential (incl. line-wrapped sequences) or
+    interleaved. The two layouts are ambiguous in general, so the
+    sequential interpretation (a new taxon starts only once the previous
+    one's sequence is complete) is tried first and the classic interleaved
+    interpretation (first ntax lines are name lines, then blocks cycle)
+    is the fallback."""
     text = _maybe_read(path_or_text)
     lines = [ln for ln in text.splitlines() if ln.strip()]
     if not lines:
         raise ValueError("empty phylip input")
     header = lines[0].split()
     ntax, nchar = int(header[0]), int(header[1])
-    names: List[str] = []
-    seqs: Dict[str, List[str]] = {}
-    idx = 0
-    for ln in lines[1:]:
-        parts = ln.split()
-        if len(names) < ntax:
-            nm = parts[0]
-            names.append(nm)
-            seqs[nm] = ["".join(parts[1:])]
-        else:  # interleaved continuation
-            nm = names[idx % ntax]
-            seqs[nm].append("".join(parts))
-            idx += 1
-    out = {k: "".join(v) for k, v in seqs.items()}
-    for k, v in out.items():
-        if len(v) != nchar:
-            raise ValueError(f"sequence {k!r} length {len(v)} != header {nchar}")
-    return out
+
+    def _validate(seqs: Dict[str, List[str]]) -> Dict[str, str]:
+        out = {k: "".join(v) for k, v in seqs.items()}
+        if len(out) != ntax:
+            raise ValueError(f"found {len(out)} taxa, header says {ntax}")
+        for k, v in out.items():
+            if len(v) != nchar:
+                raise ValueError(
+                    f"sequence {k!r} length {len(v)} != header {nchar}"
+                )
+        return out
+
+    def _sequential() -> Dict[str, str]:
+        names: List[str] = []
+        seqs: Dict[str, List[str]] = {}
+        for ln in lines[1:]:
+            parts = ln.split()
+            done = names and sum(map(len, seqs[names[-1]])) >= nchar
+            if len(names) < ntax and (not names or done):
+                nm = parts[0]
+                if nm in seqs:
+                    raise ValueError(f"duplicate taxon {nm!r}")
+                names.append(nm)
+                seqs[nm] = ["".join(parts[1:])]
+            else:
+                seqs[names[-1]].append("".join(parts))
+        return _validate(seqs)
+
+    def _interleaved() -> Dict[str, str]:
+        names: List[str] = []
+        seqs: Dict[str, List[str]] = {}
+        idx = 0
+        for ln in lines[1:]:
+            parts = ln.split()
+            if len(names) < ntax:
+                nm = parts[0]
+                names.append(nm)
+                seqs[nm] = ["".join(parts[1:])]
+            else:
+                seqs[names[idx % ntax]].append("".join(parts))
+                idx += 1
+        return _validate(seqs)
+
+    try:
+        return _sequential()
+    except (ValueError, IndexError):
+        return _interleaved()
 
 
 def read_alignment(path: str) -> Dict[str, str]:

@@ -45,6 +45,40 @@ def _canonical_dtype(dtype):
     return jnp.dtype(jnp.result_type(float))  # honors jax_enable_x64
 
 
+def mixture_rates_and_p(engine, params, dtype):
+    """Shared mixture construction: (rates, cat_weights, p, freqs).
+
+    Single source of truth for the rate-category vector (gamma or FreeRate),
+    category weights, and the batched P(t) tensor — consumed by the engine's
+    ``_loglik_fn`` and by ancestral.py's posterior passes so a rate-model
+    change lands in one place.
+    """
+    ncat = engine.ncat
+    if ncat > 1 and getattr(engine, "rate_model", "gamma") == "free":
+        cat_weights = params["cat_weights"].astype(dtype)
+        cat_weights = cat_weights / jnp.sum(cat_weights)
+        rates = params["rates"].astype(dtype)
+        rates = rates / jnp.sum(cat_weights * rates)       # weighted mean 1
+    elif ncat > 1:
+        rates = discrete_gamma(params["alpha"], ncat, engine.median)
+        rates = rates.astype(dtype)
+        cat_weights = jnp.full((ncat,), 1.0 / ncat, dtype)
+    else:
+        rates = jnp.ones((1,), dtype)
+        cat_weights = jnp.full((1,), 1.0, dtype)
+    t = params["branch_lengths"].astype(dtype)
+    ts = t[:, None] * rates[None, :]                       # (n_nodes, K)
+    if engine.model.reversible:
+        # degeneracy-safe custom-JVP path (ops.pmatrix docstring)
+        sym, freqs = engine.model.build_parts(params["model"], dtype=dtype)
+        p = p_matrices_reversible(sym, freqs, ts)          # (n_nodes, K, S, S)
+    else:
+        eig = engine.model.eigen(params["model"], dtype=dtype)
+        freqs = eig.freqs
+        p = transition_matrices(eig, ts)
+    return rates, cat_weights, p, freqs
+
+
 class LikelihoodEngine:
     """Compiled likelihood/gradient evaluator for one (topology, model) pair.
 
@@ -126,6 +160,15 @@ class LikelihoodEngine:
         if pruner == "pallas":
             from phylo_utils_tpu.ops.pallas_pruning import make_pallas_prune_fn
 
+            if self.dtype == jnp.dtype("float64"):
+                import warnings
+
+                warnings.warn(
+                    "pruner='pallas' computes partials in float32 internally "
+                    "(TPU kernel); results are cast back to float64 but carry "
+                    "f32 precision. Use pruner='xla' for full-f64 parity runs.",
+                    stacklevel=2,
+                )
             prune = make_pallas_prune_fn(self.schedule)
             if sharding is not None:
                 # A pallas_call is opaque to GSPMD; shard_map makes the
@@ -200,28 +243,7 @@ class LikelihoodEngine:
 
     def _loglik_fn(self, params, leaf_partials, weights):
         dtype = self.dtype
-        if self.ncat > 1 and self.rate_model == "free":
-            cat_weights = params["cat_weights"].astype(dtype)
-            cat_weights = cat_weights / jnp.sum(cat_weights)
-            rates = params["rates"].astype(dtype)
-            rates = rates / jnp.sum(cat_weights * rates)   # weighted mean 1
-        elif self.ncat > 1:
-            rates = discrete_gamma(params["alpha"], self.ncat, self.median)
-            rates = rates.astype(dtype)
-            cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
-        else:
-            rates = jnp.ones((1,), dtype)
-            cat_weights = jnp.full((self.ncat,), 1.0 / self.ncat, dtype)
-        t = params["branch_lengths"].astype(dtype)
-        ts = t[:, None] * rates[None, :]                   # (n_nodes, K)
-        if self.model.reversible:
-            # degeneracy-safe custom-JVP path (ops.pmatrix docstring)
-            sym, freqs = self.model.build_parts(params["model"], dtype=dtype)
-            p = p_matrices_reversible(sym, freqs, ts)      # (n_nodes, K, S, S)
-        else:
-            eig = self.model.eigen(params["model"], dtype=dtype)
-            freqs = eig.freqs
-            p = transition_matrices(eig, ts)
+        _, cat_weights, p, freqs = mixture_rates_and_p(self, params, dtype)
         root_partials, root_logscale = self._prune(p, leaf_partials)
         pinv = params.get("pinv") if self.invariant_sites else None
         inv = (
@@ -347,6 +369,9 @@ class GammaMixture:
     def update_substitution_model(self, model: Model = None, **params) -> None:
         if model is not None and model is not self.model:
             self.model = model
+            # parameters of the previous model are meaningless (and often
+            # invalid kwargs) for the new one
+            self._params.pop("model", None)
             if self._engine is not None:
                 self.set_tree(self._engine.tree)
         if params:

@@ -157,7 +157,9 @@ class ModelMixtureEngine(LikelihoodEngine):
             )
             return (gam / jnp.sum(gam, axis=0, keepdims=True)).T
 
-        gam = jax.jit(compute)(full, self._leaf_partials)
+        if not hasattr(self, "_catpost_jit"):
+            self._catpost_jit = jax.jit(compute)
+        gam = self._catpost_jit(full, self._leaf_partials)
         gam = np.asarray(gam)[: self._compressed.n_patterns]
         return gam[self._compressed.site_to_pattern]
 

@@ -197,8 +197,14 @@ def fit(
             (raw, opt_state), losses = lax.scan(
                 body, (raw, opt_state), None, length=steps_per_call
             )
-            return raw, opt_state, losses
+            # one extra forward so the END-of-chunk raw has a known loss
+            return raw, opt_state, losses, loss_fn(raw)
 
+    # Bookkeeping invariant: step() returns the loss of the raw it was
+    # GIVEN, so each recorded (ll, raw) pair must use the pre-step raw.
+    # In chunked mode only the chunk-start and chunk-end evaluations have
+    # a retained raw; intermediate step values feed the trace/patience
+    # counters but cannot win `best_raw`.
     raw = raw0
     trace = []
     best = -np.inf
@@ -207,31 +213,48 @@ def fit(
     n = 0
     while n < max_steps:
         if steps_per_call > 1:
-            raw, opt_state, losses = chunk(raw, opt_state)
+            raw_start = raw
+            raw, opt_state, losses, end_loss = chunk(raw, opt_state)
             lls = [-float(x) for x in np.asarray(losses)]
+            candidates = {0: raw_start}
+            end_ll = -float(end_loss)
         else:
+            raw_start = raw
             raw, opt_state, loss = step(raw, opt_state)
             lls = [-float(loss)]
-        for ll in lls:
+            candidates = {0: raw_start}
+            end_ll = None
+        for i, ll in enumerate(lls):
             n += 1
             trace.append(ll)
             if callback is not None:
                 callback(n, ll, untransform_params(raw))
             if ll > best + tol:
                 best, since_best = ll, 0
-                best_raw = raw  # chunk granularity: best raw within the chunk
+                if i in candidates:
+                    best_raw = candidates[i]
             else:
                 since_best += 1
+        if end_ll is not None and end_ll > best + tol:
+            best, since_best, best_raw = end_ll, 0, raw
         if since_best >= patience:
             break
+    # the current raw's loss was never evaluated in unchunked mode; give it
+    # a chance to be the returned optimum
+    final_candidate_ll = -float(
+        jax.jit(loss_fn)(raw)
+    ) if steps_per_call == 1 else None
+    if final_candidate_ll is not None and final_candidate_ll > best:
+        best, best_raw = final_candidate_ll, raw
     converged = since_best >= patience
     params = dict(frozen)
     params.update(untransform_params(best_raw))
-    # Re-evaluate at the best point (trace entries are pre-update losses).
+    # Report the logL OF THE RETURNED PARAMS (re-evaluated), never a value
+    # from a different parameter vector.
     final_ll = engine.loglikelihood(params)
     return FitResult(
         params=params,
-        loglik=float(max(final_ll, best)),
+        loglik=float(final_ll),
         trace=np.asarray(trace),
         n_steps=n,
         converged=converged,

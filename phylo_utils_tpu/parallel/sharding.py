@@ -30,15 +30,24 @@ __all__ = ["make_mesh", "SiteSharding", "distributed_init"]
 
 
 def distributed_init(**kwargs) -> None:
-    """Multi-host runtime init (call once per process before device use).
+    """Multi-host runtime init (call once per process BEFORE device use).
 
     Thin wrapper over ``jax.distributed.initialize`` so callers never import
-    jax.distributed directly; on a single host it is a no-op. The collective
-    transport (ICI within a slice, DCN across hosts) is compiler-lowered —
-    there is no NCCL/MPI-style backend to configure (SURVEY.md §5).
+    jax.distributed directly. Must run before anything touches the backend
+    (even ``jax.process_count()`` would initialize it host-locally — the
+    original implementation did exactly that and silently degraded to
+    independent single hosts). With kwargs, failures propagate; without
+    kwargs we rely on env auto-detection and treat "no coordinator
+    configured" as a single-process run. The collective transport (ICI
+    within a slice, DCN across hosts) is compiler-lowered — there is no
+    NCCL/MPI-style backend to configure (SURVEY.md §5).
     """
-    if jax.process_count() > 1 or kwargs:
+    try:
         jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        if kwargs:
+            raise
+        # single-process / no-coordinator environment: run standalone
 
 
 def make_mesh(

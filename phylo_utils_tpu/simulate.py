@@ -54,9 +54,11 @@ def simulate_states(
     int32 and ``site_rates`` the per-site rate multipliers actually used
     (0.0 for invariant sites drawn by ``pinv``).
     """
+    params = dict(params) if params else {}
+    # mixture parameters ride in `params` but are NOT model-builder kwargs
+    alpha_param = params.pop("alpha", None)
     model_params = model.defaults(None)
-    if params:
-        model_params.update({k: jnp.asarray(v) for k, v in params.items()})
+    model_params.update({k: jnp.asarray(v) for k, v in params.items()})
     if model.reversible:
         sym, freqs = model.build_parts(model_params)
         eig = None
@@ -67,7 +69,11 @@ def simulate_states(
 
     k_rates, k_root, k_inv, k_walk = jax.random.split(key, 4)
     if ncat > 1:
-        alpha = model_params.get("alpha", jnp.asarray(0.5, dtype))
+        alpha = (
+            jnp.asarray(alpha_param, dtype)
+            if alpha_param is not None
+            else jnp.asarray(0.5, dtype)
+        )
         rates = discrete_gamma(alpha, ncat, median).astype(dtype)
         cat = jax.random.randint(k_rates, (n_sites,), 0, ncat)
         site_rates = rates[cat]

@@ -238,3 +238,23 @@ def test_enable_debug_checks_catches_nan():
             ).block_until_ready()
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_write_newick_quotes_special_labels():
+    from phylo_utils_tpu.io import parse_newick, write_newick
+
+    t = parse_newick("('taxon A':0.1,('B(x)':0.2,\"c\":0.3)'in:ner':0.4);")
+    t2 = parse_newick(write_newick(t))  # must round-trip
+    assert set(t2.leaf_names) == set(t.leaf_names)
+
+
+def test_read_phylip_wrapped_sequential():
+    from phylo_utils_tpu.io import read_phylip
+
+    text = "2 12\nalpha ACGTAC\nGTACGT\nbeta  TTTTTT\nCCCCCC\n"
+    out = read_phylip(text)
+    assert out == {"alpha": "ACGTACGTACGT", "beta": "TTTTTTCCCCCC"}
+    # classic interleaved still works
+    inter = "2 12\nalpha ACGTAC\nbeta  TTTTTT\nGTACGT\nCCCCCC\n"
+    out2 = read_phylip(inter)
+    assert out2 == {"alpha": "ACGTACGTACGT", "beta": "TTTTTTCCCCCC"}

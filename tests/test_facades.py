@@ -100,3 +100,18 @@ def test_gamma_mixture_requires_wiring():
         gm.get_likelihood()
     with pytest.raises(ValueError):
         gm.set_tree("(a:1,b:1);")
+
+
+def test_gamma_mixture_model_switch_clears_stale_params():
+    """Regression: switching substitution models must drop the previous
+    model's parameters."""
+    tree = parse_newick("((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);")
+    aln = {"a": "ACGTACGTGG", "b": "ACGTTGCAGG",
+           "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
+    gm = GammaMixture(alpha=0.5, ncat=2, model=models.GTR)
+    gm.set_alignment(aln).set_tree(tree)
+    gm.update_substitution_model(rates=[1.0, 2.0, 1.0, 1.0, 2.0, 1.0])
+    ll_gtr = gm.get_likelihood()
+    gm.update_substitution_model(model=models.JC69)
+    ll_jc = gm.get_likelihood()  # must not raise TypeError
+    assert np.isfinite(ll_jc) and ll_jc != pytest.approx(ll_gtr)

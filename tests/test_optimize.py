@@ -166,3 +166,24 @@ def test_fit_chunked_steps_matches_unchunked():
              patience=1000, steps_per_call=8)
     np.testing.assert_allclose(r1.trace, r8.trace, rtol=1e-6)
     assert r1.n_steps == r8.n_steps == 40
+
+
+def test_fit_returned_loglik_matches_returned_params():
+    """Regression (code-review finding): FitResult.loglik must be the logL
+    OF FitResult.params even when the last optimizer step overshoots."""
+    import optax
+
+    tree = random_tree(5, seed=31)
+    aln = _aln(tree, 120, seed=32)
+    engine = LikelihoodEngine(tree, aln, models.K80)
+    # absurd lr so steps overshoot wildly
+    res = fit(engine, optimizer=optax.sgd(5.0), max_steps=8, patience=100)
+    assert res.loglik == pytest.approx(
+        engine.loglikelihood(res.params), abs=1e-9
+    )
+    # chunked path keeps the same invariant
+    res2 = fit(engine, optimizer=optax.sgd(5.0), max_steps=8, patience=100,
+               steps_per_call=4)
+    assert res2.loglik == pytest.approx(
+        engine.loglikelihood(res2.params), abs=1e-9
+    )

@@ -83,3 +83,18 @@ def test_oo_facade():
     assert set(aln) == {"a", "b", "c"}
     aln2 = sim.simulate(30)
     assert aln != aln2  # key advances between calls
+
+
+def test_simulate_with_explicit_alpha():
+    """Regression: params={'alpha': ...} with ncat>1 must not crash the
+    model builder, and alpha must actually change site-rate dispersion."""
+    tree = random_tree(6, seed=20, mean_brlen=0.3)
+    _, r_small = simulate_states(
+        jax.random.key(5), tree, models.JC69, 4000,
+        params={"alpha": 0.05}, ncat=8,
+    )
+    _, r_big = simulate_states(
+        jax.random.key(5), tree, models.JC69, 4000,
+        params={"alpha": 50.0}, ncat=8,
+    )
+    assert float(np.std(np.asarray(r_small))) > float(np.std(np.asarray(r_big)))
