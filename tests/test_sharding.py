@@ -95,10 +95,11 @@ def test_sharded_pallas_pruner_matches_unsharded(mesh):
     """The pallas kernel under shard_map must give the single-device logL."""
     tree = random_tree(12, seed=20)
     aln = _aln(tree, 96, seed=21)
-    single = LikelihoodEngine(tree, aln, models.GTR, ncat=2, pruner="pallas")
+    single = LikelihoodEngine(tree, aln, models.GTR, ncat=2, pruner="pallas",
+                              dtype="float32")
     sharded = LikelihoodEngine(
         tree, aln, models.GTR, ncat=2,
-        sharding=SiteSharding(mesh), pruner="pallas",
+        sharding=SiteSharding(mesh), pruner="pallas", dtype="float32",
     )
     assert single.loglikelihood() == pytest.approx(
         sharded.loglikelihood(), rel=1e-12
