@@ -101,8 +101,10 @@ def test_sharded_pallas_pruner_matches_unsharded(mesh):
         tree, aln, models.GTR, ncat=2,
         sharding=SiteSharding(mesh), pruner="pallas", dtype="float32",
     )
+    # full-f32 run: the sharded weighted sum reduces in a different order,
+    # so agreement is at f32 rounding level (exact in the f64 engine test)
     assert single.loglikelihood() == pytest.approx(
-        sharded.loglikelihood(), rel=1e-12
+        sharded.loglikelihood(), rel=1e-6
     )
     # gradient flows through the shard_mapped custom_vjp
     g = sharded.gradient()
