@@ -106,12 +106,12 @@ def test_sharded_pallas_pruner_matches_unsharded(mesh):
     assert single.loglikelihood() == pytest.approx(
         sharded.loglikelihood(), rel=1e-6
     )
-    # gradient flows through the shard_mapped custom_vjp
+    # gradient flows through the shard_mapped custom_vjp (f32 tolerance)
     g = sharded.gradient()
     gs = single.gradient()
     np.testing.assert_allclose(
         np.asarray(g["branch_lengths"]), np.asarray(gs["branch_lengths"]),
-        rtol=1e-8,
+        rtol=1e-4,
     )
 
 
