@@ -114,6 +114,7 @@ class LikelihoodEngine:
         pruner: str = "xla",
         remat: bool = False,
         rate_model: str = "gamma",
+        unroll: bool = True,
     ):
         if isinstance(tree, str):
             tree = pio.parse_newick(tree)
@@ -186,7 +187,11 @@ class LikelihoodEngine:
                 )
             self._prune = prune
         elif pruner == "xla":
-            self._prune = make_prune_fn(self.schedule, remat=remat)
+            # unroll=False compiles a lax.scan over levels: a much smaller
+            # program (one level body) — fast compiles for deep trees or
+            # compile-latency-sensitive entry points, same math.
+            self._prune = make_prune_fn(self.schedule, unroll=unroll,
+                                        remat=remat)
         else:
             raise ValueError(f"unknown pruner {pruner!r}; use 'xla' or 'pallas'")
 
