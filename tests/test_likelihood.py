@@ -217,3 +217,25 @@ def test_empirical_frequencies():
     np.testing.assert_allclose(f, expect, atol=1e-12)
     f2 = empirical_frequencies(aln, "dna", pseudocount=1.0)
     assert (f2 > 0).all() and f2.sum() == 1.0
+
+
+def test_engine_scan_path_matches_unrolled():
+    """unroll=False (lax.scan over levels) is trace-equivalent math."""
+    import numpy as np
+
+    from phylo_utils_tpu import models as _models
+    from phylo_utils_tpu.likelihood import LikelihoodEngine as _Engine
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(20, seed=9)
+    rng = np.random.default_rng(10)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=70))
+           for n in tree.leaf_names}
+    e_unroll = _Engine(tree, aln, _models.GTR, ncat=3)
+    e_scan = _Engine(tree, aln, _models.GTR, ncat=3, unroll=False)
+    assert e_unroll.loglikelihood() == e_scan.loglikelihood()
+    import jax
+
+    g1, g2 = e_unroll.gradient(), e_scan.gradient()
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
