@@ -297,6 +297,30 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_build_tree(args) -> int:
+    from phylo_utils_tpu.io import write_newick
+    from phylo_utils_tpu.nj import neighbor_joining
+    from phylo_utils_tpu.optimize import ml_distance_matrix
+
+    model = _get_model(args.model)
+    aln = _read_aln(args.alignment)
+    d = ml_distance_matrix(aln, model, params=_json_params(args.params))
+    tree = neighbor_joining(d, list(aln))
+    ll = None
+    if args.refine:
+        from phylo_utils_tpu.batched import nni_hill_climb
+
+        tree, ll, _ = nni_hill_climb(tree, aln, model, ncat=args.ncat,
+                                     moves=args.moves)
+    text = write_newick(tree)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    print(json.dumps({"tree": text, "loglik": ll, "method":
+                      "nj+" + args.moves if args.refine else "nj"}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from phylo_utils_tpu.server import serve
 
@@ -403,6 +427,18 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--full", action="store_true", help="emit all replicates")
     p.set_defaults(fn=cmd_bootstrap)
+
+    p = sub.add_parser("build-tree",
+                       help="de novo: ML distances -> NJ (-> NNI/SPR refine)")
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="JC69")
+    p.add_argument("--ncat", type=int, default=1)
+    p.add_argument("--params", help="JSON model params")
+    p.add_argument("--refine", action="store_true",
+                   help="NNI/SPR hill-climb from the NJ tree")
+    p.add_argument("--moves", default="nni", choices=["nni", "spr", "both"])
+    p.add_argument("--out", help="write newick here")
+    p.set_defaults(fn=cmd_build_tree)
 
     p = sub.add_parser("serve", help="HTTP inference server for one engine")
     _add_engine_args(p)
