@@ -96,12 +96,27 @@ def _postorder_arrays(schedule: PruningSchedule):
     )
 
 
+# State-space width at/above which the child contraction uses the MXU
+# (jnp.dot) instead of the VPU outer-product loop. For DNA (S_pad=8) a
+# padded 128x128 systolic matmul wastes ~256x of the array and the VPU
+# wins decisively; for codon models (S_pad=64) the dot is a real matmul.
+# Overridable via env PHYLO_MXU_MIN_SPAD for experiments.
+MXU_MIN_SPAD = int(os.environ.get("PHYLO_MXU_MIN_SPAD", "32"))
+
+
 def _vpu_matmul(p, x, s_pad: int):
     """(S,S) @ (S,T) as outer-product accumulation on the VPU."""
     acc = p[:, 0:1] * x[0:1, :]
     for j in range(1, s_pad):
         acc += p[:, j : j + 1] * x[j : j + 1, :]
     return acc
+
+
+def _contract(p, x, s_pad: int):
+    """Child contraction y = P @ x with a width-dependent unit choice."""
+    if s_pad >= MXU_MIN_SPAD:
+        return jnp.dot(p, x, preferred_element_type=jnp.float32)
+    return _vpu_matmul(p, x, s_pad)
 
 
 def _combine_children(child_data, s_pad, tiny):
@@ -113,7 +128,7 @@ def _combine_children(child_data, s_pad, tiny):
     acc = None
     sc = None
     for p, x, csc in child_data:
-        y = _vpu_matmul(p, x, s_pad)
+        y = _contract(p, x, s_pad)
         acc = y if acc is None else acc * y
         sc = csc if sc is None else sc + csc
     m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)  # (1, T)
@@ -178,7 +193,7 @@ def _dynamic_kernel(
         for c in range(cmax):
             cid = child_ref[i, c]
             valid = c < count
-            y = _vpu_matmul(p_ref[0, cid], buf[cid], s_pad)
+            y = _contract(p_ref[0, cid], buf[cid], s_pad)
             csc = logscale[cid]            # (1, T)
             if acc is None:
                 acc, sc = y, csc           # c == 0 always valid
