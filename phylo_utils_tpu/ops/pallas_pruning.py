@@ -115,7 +115,13 @@ def _vpu_matmul(p, x, s_pad: int):
 def _contract(p, x, s_pad: int):
     """Child contraction y = P @ x with a width-dependent unit choice."""
     if s_pad >= MXU_MIN_SPAD:
-        return jnp.dot(p, x, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the default MXU path accumulates in bf16
+        # passes and was measured to shift a 32-taxon protein logL by ~2
+        # units; full-f32 keeps the kernel within the engine's error budget.
+        return jnp.dot(
+            p, x, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return _vpu_matmul(p, x, s_pad)
 
 

@@ -39,9 +39,15 @@ def transition_matrices(eig: Eigen, t: jnp.ndarray) -> jnp.ndarray:
     # exp(lambda * t): (..., S)
     ew = jnp.exp(eig.evals * t[..., None])
     # (V * ew) @ Vi, batched over leading dims of t
-    return jnp.einsum(
+    p = jnp.einsum(
         "ik,...k,kj->...ij", eig.evecs, ew, eig.ivecs, precision=_HI
     )
+    # True transition probabilities are >= 0, but the f32 eigen
+    # reconstruction rounds tiny off-diagonals slightly negative for
+    # near-zero t (measured -3.8e-7 for the 61-state codon model), which
+    # can flip a site likelihood negative deep in the pruning product and
+    # surface as log(negative)=NaN. Clamp to the mathematical domain.
+    return jnp.maximum(p, 0.0)
 
 
 def _exp_divided_difference(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -87,6 +93,8 @@ def _p_matrices_reversible_jvp(primals, tangents):
     t = jnp.asarray(t)
     ew = jnp.exp(lam * t[..., None])
     p = jnp.einsum("ik,...k,kj->...ij", v, ew, vi, precision=_HI)
+    p = jnp.maximum(p, 0.0)  # keep the primal consistent with
+    # transition_matrices' nonnegativity clamp (see comment there)
 
     _, dq = jax.jvp(build_rate_matrix, (sym, freqs), (dsym, dfreqs))
     # dA = d(Q t) = dQ * t + Q * dt, in the eigenbasis of A = Q t

@@ -102,3 +102,28 @@ def test_simulate_and_recover_omega():
     )
     # frequency vector stays near-uniform (61 params); omega must drop
     assert float(res.params["model"]["omega"]) < 0.5
+
+
+def test_codon_gamma_mixture_f32_no_nan():
+    """Regression (found on TPU): the slow gamma category's near-zero
+    effective branch lengths round some f32 61x61 P entries negative,
+    which flipped site likelihoods negative -> log(NaN). P is clamped to
+    its mathematical domain now; a 32-taxon GY94+Gamma4 f32 run must be
+    finite and match the f64 path to f32 accuracy."""
+    import jax.numpy as jnp
+
+    from phylo_utils_tpu.models.base import eigen_reversible
+    from phylo_utils_tpu.ops.pmatrix import transition_matrices
+
+    sym, freqs = models.GY94.build_parts(dtype=jnp.float32)
+    p = transition_matrices(
+        eigen_reversible(sym, freqs), jnp.asarray([1e-4, 1.7e-4], jnp.float32)
+    )
+    assert float(jnp.min(p)) >= 0.0
+    tree = random_tree(32, seed=0, mean_brlen=0.15)
+    aln = simulate_alignment(jax.random.key(0), tree, models.GY94, 200)
+    e32 = LikelihoodEngine(tree, aln, models.GY94, ncat=4, dtype="float32")
+    e64 = LikelihoodEngine(tree, aln, models.GY94, ncat=4, dtype="float64")
+    ll32, ll64 = e32.loglikelihood(), e64.loglikelihood()
+    assert np.isfinite(ll32)
+    assert ll32 == pytest.approx(ll64, rel=2e-5)
