@@ -57,7 +57,11 @@ def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--alignment", required=True, help="FASTA/PHYLIP file")
     p.add_argument("--model", default="GTR", help="|".join(MODEL_NAMES))
     p.add_argument("--ncat", type=int, default=1, help="gamma categories")
-    p.add_argument("--pinv", action="store_true", help="+I mixture")
+    # NOTE: the boolean mixture switch is --invariant-sites; --pinv is a
+    # FLOAT proportion and only exists on `simulate` (they used to share a
+    # name with different semantics — ADVICE.md round 1).
+    p.add_argument("--invariant-sites", dest="invariant_sites",
+                   action="store_true", help="+I mixture")
     p.add_argument("--params", help="JSON params override")
     p.add_argument("--dtype", default=None, help="float32|float64")
     p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
@@ -87,7 +91,7 @@ def _build_engine(args):
         aln,
         model,
         ncat=args.ncat,
-        invariant_sites=args.pinv,
+        invariant_sites=args.invariant_sites,
         dtype=args.dtype,
         sharding=sharding,
         pruner=args.pruner,

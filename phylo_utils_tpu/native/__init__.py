@@ -181,11 +181,14 @@ def read_fasta_matrix_native(path: str) -> Tuple[List[str], np.ndarray]:
     if rc != 0:
         raise ValueError(f"{path}: malformed FASTA")
     raw = buf.tobytes()
-    names = [
-        raw[name_ranges[2 * i] : name_ranges[2 * i + 1]]
-        .decode("utf-8", "replace")
-        .strip()
-        .split()[0]
-        for i in range(n_seqs)
-    ]
+    names = []
+    for i in range(n_seqs):
+        parts = (
+            raw[name_ranges[2 * i] : name_ranges[2 * i + 1]]
+            .decode("utf-8", "replace")
+            .split()
+        )
+        if not parts:  # '>' with an empty header line
+            raise ValueError(f"{path}: record {i + 1} has an empty name")
+        names.append(parts[0])
     return names, matrix

@@ -35,7 +35,9 @@ def transition_matrices(eig: Eigen, t: jnp.ndarray) -> jnp.ndarray:
         qt = eig.q * t[..., None, None]
         flat = qt.reshape((-1,) + qt.shape[-2:])
         p = jax.vmap(jax.scipy.linalg.expm)(flat)
-        return p.reshape(t.shape + eig.q.shape)
+        # same nonnegativity clamp as the eigen path below: f32
+        # scaling-and-squaring can also round tiny entries negative
+        return jnp.maximum(p.reshape(t.shape + eig.q.shape), 0.0)
     # exp(lambda * t): (..., S)
     ew = jnp.exp(eig.evals * t[..., None])
     # (V * ew) @ Vi, batched over leading dims of t

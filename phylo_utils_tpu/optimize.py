@@ -239,13 +239,17 @@ def fit(
             best, since_best, best_raw = end_ll, 0, raw
         if since_best >= patience:
             break
-    # the current raw's loss was never evaluated in unchunked mode; give it
-    # a chance to be the returned optimum
-    final_candidate_ll = -float(
-        jax.jit(loss_fn)(raw)
-    ) if steps_per_call == 1 else None
-    if final_candidate_ll is not None and final_candidate_ll > best:
-        best, best_raw = final_candidate_ll, raw
+    # The current raw's loss was never evaluated in unchunked mode; give it
+    # a chance to be the returned optimum. Evaluate through the engine's
+    # cached jitted logL (one compiled program for the whole fit) instead of
+    # jitting loss_fn anew — per-topology compiles are tens of seconds on
+    # this platform's remote compiler.
+    if steps_per_call == 1:
+        cand = dict(frozen)
+        cand.update(untransform_params(raw))
+        final_candidate_ll = engine.loglikelihood(cand)
+        if final_candidate_ll > best:
+            best, best_raw = final_candidate_ll, raw
     converged = since_best >= patience
     params = dict(frozen)
     params.update(untransform_params(best_raw))

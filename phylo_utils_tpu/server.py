@@ -15,6 +15,9 @@ POST /sitewise          {"params": {...}?}         -> {"sitewise": [...]}
 POST /gradient          {"params": {...}?}         -> {"gradient": {...}}
 POST /fit               {"params": ..., "max_steps": n, "free": [...]}
 POST /bootstrap         {"n": 100, "seed": 0}      -> {"logliks": [...]}
+POST /partitions        {"params": {...}?}         -> {"partitions": {...}}
+                        (PartitionedEngine only; engines that lack an
+                        endpoint's method return a clean 501)
 """
 from __future__ import annotations
 
@@ -54,10 +57,18 @@ class EngineServer:
         params = body.get("params")
         with self._lock:  # one device dispatch at a time
             if route == "/health":
+                model = getattr(engine, "model", None)
+                if model is not None:
+                    model_name = model.name
+                else:  # PartitionedEngine: report per-partition models
+                    model_name = {
+                        p.name: p.model.name
+                        for p in getattr(engine, "partitions", [])
+                    }
                 return {
                     "status": "ok",
                     "device": str(jax.devices()[0]),
-                    "model": engine.model.name,
+                    "model": model_name,
                     "n_patterns": int(np.asarray(engine._weights).shape[0])
                     if not isinstance(engine._weights, tuple)
                     else sum(int(np.asarray(w).shape[0])
@@ -66,12 +77,35 @@ class EngineServer:
             if route == "/loglik":
                 return {"loglik": engine.loglikelihood(params)}
             if route == "/sitewise":
+                if not hasattr(engine, "sitewise_loglikelihoods"):
+                    raise NotImplementedError(
+                        "sitewise is not supported by "
+                        f"{type(engine).__name__}; use /partitions"
+                    )
                 return {
                     "sitewise": engine.sitewise_loglikelihoods(params).tolist()
+                }
+            if route == "/partitions":
+                if not hasattr(engine, "partition_loglikelihoods"):
+                    raise NotImplementedError(
+                        "per-partition logL requires a PartitionedEngine"
+                    )
+                return {
+                    "partitions": {
+                        k: float(v)
+                        for k, v in engine.partition_loglikelihoods(
+                            params
+                        ).items()
+                    }
                 }
             if route == "/gradient":
                 return {"gradient": _tree_to_json(engine.gradient(params))}
             if route == "/bootstrap":
+                if not hasattr(engine, "bootstrap_loglikelihoods"):
+                    raise NotImplementedError(
+                        "bootstrap is not supported by "
+                        f"{type(engine).__name__}"
+                    )
                 boots = engine.bootstrap_loglikelihoods(
                     int(body.get("n", 100)), params,
                     seed=int(body.get("seed", 0)),
@@ -112,9 +146,19 @@ class EngineServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _dispatch(self, route: str, body: dict):
+                try:
+                    self._reply(200, outer._handle(route, body))
+                except KeyError:
+                    self._reply(404, {"error": f"unknown route {route}"})
+                except NotImplementedError as exc:
+                    self._reply(501, {"error": str(exc)})
+                except Exception as exc:  # surface as a clean 400
+                    self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+
             def do_GET(self):
                 if self.path == "/health":
-                    self._reply(200, outer._handle("/health", {}))
+                    self._dispatch("/health", {})
                 else:
                     self._reply(404, {"error": f"unknown route {self.path}"})
 
@@ -122,11 +166,10 @@ class EngineServer:
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    self._reply(200, outer._handle(self.path, body))
-                except KeyError:
-                    self._reply(404, {"error": f"unknown route {self.path}"})
-                except Exception as exc:  # surface as a clean 400
-                    self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+                except Exception as exc:
+                    self._reply(400, {"error": f"bad JSON body: {exc}"})
+                    return
+                self._dispatch(self.path, body)
 
         return Handler
 

@@ -69,6 +69,47 @@ def test_fit_endpoint_and_errors(server):
     assert e.value.code == 404
 
 
+def test_partitioned_engine_health_and_501(server):
+    """ADVICE.md r1 (medium): /health must not 500 on a PartitionedEngine,
+    and endpoints its engine type lacks must return clean 501s."""
+    from phylo_utils_tpu.partition import Partition, PartitionedEngine
+
+    tree = random_tree(5, seed=2)
+    rng = np.random.default_rng(7)
+    alns = [
+        {n: "".join(rng.choice(list("ACGT"), size=30))
+         for n in tree.leaf_names}
+        for _ in range(2)
+    ]
+    eng = PartitionedEngine(tree, [
+        Partition("locus1", alns[0], models.JC69),
+        Partition("locus2", alns[1], models.HKY85, ncat=2),
+    ])
+    srv = EngineServer(eng, port=0)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health", timeout=60
+        ) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert h["model"] == {"locus1": "JC69", "locus2": "HKY85"}
+        assert h["n_patterns"] > 0
+        out = _post(srv, "/loglik")
+        assert out["loglik"] == pytest.approx(eng.loglikelihood())
+        parts = _post(srv, "/partitions")["partitions"]
+        assert set(parts) == {"locus1", "locus2"}
+        assert sum(parts.values()) == pytest.approx(out["loglik"], abs=1e-6)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/sitewise")
+        assert e.value.code == 501
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/bootstrap", {"n": 4})
+        assert e.value.code == 501
+    finally:
+        srv.stop()
+
+
 def test_concurrent_requests(server):
     srv, engine = server
     results = []
