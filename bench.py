@@ -36,6 +36,12 @@ ORACLE_SITES = 128      # oracle is slow; measure on a slice and scale
 def main():
     import jax
 
+    # x64 on: the f32 perf engine then builds P(t) and does the root
+    # reduction / final pattern sum in f64 (likelihood.py precision plan) —
+    # this is what closes rel_logl_err to <= 1e-6 while partials stay f32
+    # in the Pallas kernel.
+    jax.config.update("jax_enable_x64", True)
+
     from phylo_utils_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -94,11 +100,63 @@ def main():
     )
     err = abs(ll - ll_full_oracle) / max(abs(ll_full_oracle), 1.0)
 
-    # worst-case per-step latency: fresh parameter buffers each call,
-    # synced per call (an optimizer-loop-shaped workload; on the axon relay
-    # this path runs in its degraded dispatch mode — see module docstring)
-    import jax.numpy as jnp
+    # --- gradient-mode throughput (the optimization workload) -------------
+    # value_and_grad through the Pallas forward + Pallas backward kernels
+    # (ops/pallas_pruning.make_pallas_loglik_fn), same-buffer replay.
+    vag = engine._jit_vag
+    r = vag(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        r = vag(*args)
+    jax.block_until_ready(r)
+    grad_ms = (time.perf_counter() - t0) / 30 * 1e3
 
+    # --- steady-state fit loop: optimizer steps fused into one dispatch ---
+    # (the honest number for BASELINE config 5-shaped workloads: every step
+    # has fresh parameter buffers, so per-call dispatch runs in the relay's
+    # degraded mode — chunking via lax.scan amortizes it away)
+    import optax
+    from jax import lax
+
+    from phylo_utils_tpu.optimize import transform_params, untransform_params
+
+    CHUNK = 25
+    opt = optax.adam(1e-2)
+    raw0 = transform_params(args[0])
+    opt_state0 = opt.init(raw0)
+
+    def loss_fn(raw):
+        total, _ = engine._loglik_fn(
+            untransform_params(raw), args[1], args[2]
+        )
+        return -total
+
+    @jax.jit
+    def chunk(raw, opt_state):
+        def body(carry, _):
+            raw, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(raw)
+            updates, st = opt.update(grads, st, raw)
+            return (optax.apply_updates(raw, updates), st), loss
+
+        (raw, opt_state), losses = lax.scan(
+            body, (raw, opt_state), None, length=CHUNK
+        )
+        return raw, opt_state, losses
+
+    raw, st, _ = chunk(raw0, opt_state0)        # compile + warm
+    jax.block_until_ready((raw, st))
+    t0 = time.perf_counter()
+    raw, st, losses = chunk(raw, st)            # fresh buffers: real loop
+    jax.block_until_ready((raw, st))
+    fit_steps_per_s = CHUNK / (time.perf_counter() - t0)
+    final_fit_ll = -float(np.asarray(losses)[-1])
+
+    # worst-case per-step latency: fresh parameter buffers each call,
+    # synced per call (an optimizer-loop-shaped workload WITHOUT chunking;
+    # on the axon relay this path runs in its degraded dispatch mode — see
+    # module docstring)
     fresh_iters = 10
     t0 = time.perf_counter()
     for i in range(fresh_iters):
@@ -115,6 +173,10 @@ def main():
         "extra": {
             "n_patterns": int(n_patterns),
             "step_ms": round(dt * 1e3, 4),
+            "grad_step_ms": round(grad_ms, 4),
+            "grad_patterns_per_s": round(n_patterns / (grad_ms / 1e3), 1),
+            "fit_steps_per_s": round(fit_steps_per_s, 1),
+            "fit_chunk_ll": final_fit_ll,
             "step_ms_fresh_params_synced": round(fresh_ms, 4),
             "oracle_patterns_per_s": round(oracle_pps, 1),
             "rel_logl_err_vs_f64_oracle": float(err),

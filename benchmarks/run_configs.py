@@ -131,8 +131,11 @@ def main():
         )
         rel = abs(ll - gold) / max(abs(gold), 1.0)
         pps, dt = _throughput(engine, params)
-        gate = 1e-9 if cfg.get("dtype") == "float64" else 5e-6
-        ok = rel < gate  # f32 budget; the f64 parity config gates at 1e-9
+        # BASELINE metric: logL match to 1e-6 — in BOTH modes. The f32 perf
+        # mode meets it via the f64 P-construction/reduction split (see
+        # likelihood.py precision plan); the f64 parity config gates at 1e-9.
+        gate = 1e-9 if cfg.get("dtype") == "float64" else 1e-6
+        ok = rel < gate
         failures += 0 if ok else 1
         print(json.dumps({
             "config": cfg["name"],

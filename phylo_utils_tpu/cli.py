@@ -117,10 +117,19 @@ def cmd_fit(args) -> int:
 
     engine = _build_engine(args)
     params0 = _json_params(args.params)
+    resume_from = None
     if args.resume:
-        like = engine._full_params(params0)
-        state, step0, _ = load_checkpoint(args.resume, like)
-        params0 = state
+        # Full-state checkpoints (written by --checkpoint-every) hold
+        # {raw, opt_state} and resume bit-exactly inside fit(); legacy
+        # final-params checkpoints just seed params0.
+        with np.load(args.resume) as z:
+            is_full_state = any(k.startswith("raw") for k in z.files)
+        if is_full_state:
+            resume_from = args.resume
+        else:
+            like = engine._full_params(params0)
+            state, step0, _ = load_checkpoint(args.resume, like)
+            params0 = state
     free = tuple(args.free.split(",")) if args.free else None
     logger = MetricsLogger(args.metrics, echo=args.verbose)
     t0 = time.perf_counter()
@@ -134,9 +143,14 @@ def cmd_fit(args) -> int:
         engine, params0, free=free, max_steps=args.max_steps,
         steps_per_call=args.steps_per_call,
         callback=callback if (args.metrics or args.verbose) else None,
+        checkpoint_path=args.checkpoint if args.checkpoint_every else None,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=resume_from,
     )
     logger.close()
-    if args.checkpoint:
+    if args.checkpoint and not args.checkpoint_every:
+        # legacy final-params checkpoint (resumable full state is written
+        # periodically by fit() when --checkpoint-every is given)
         save_checkpoint(args.checkpoint, res.params, step=res.n_steps,
                         extra={"loglik": res.loglik})
     print(json.dumps({
@@ -368,8 +382,14 @@ def main(argv=None) -> int:
     p.add_argument("--steps-per-call", type=int, default=10,
                    help="optimizer steps fused per device dispatch")
     p.add_argument("--free", help="comma-separated free parameter names")
-    p.add_argument("--checkpoint", help="write final params checkpoint here")
-    p.add_argument("--resume", help="resume params from checkpoint")
+    p.add_argument("--checkpoint", help="write final params checkpoint here "
+                   "(with --checkpoint-every: resumable full optimizer "
+                   "state, written periodically)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint cadence in optimizer steps (0 = only "
+                        "final params)")
+    p.add_argument("--resume", help="resume from checkpoint (full-state "
+                   "checkpoints resume bit-exactly incl. optimizer state)")
     p.add_argument("--metrics", help="JSONL metrics path")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_fit)

@@ -34,6 +34,7 @@ from phylo_utils_tpu.ops.pruning import (
     invariant_site_likelihood,
     make_prune_fn,
     mixture_loglik,
+    mixture_loglik_from_ll,
 )
 
 __all__ = ["LikelihoodEngine"]
@@ -60,7 +61,13 @@ def mixture_rates_and_p(engine, params, dtype):
         rates = params["rates"].astype(dtype)
         rates = rates / jnp.sum(cat_weights * rates)       # weighted mean 1
     elif ncat > 1:
-        rates = discrete_gamma(params["alpha"], ncat, engine.median)
+        # cast alpha UP first: the Newton-inverted quantile follows alpha's
+        # dtype, and an f32 discretization error is coherent across every
+        # site (it perturbs the same 4 rates) — a real bite out of the 1e-6
+        # logL budget when `dtype` is the f64 reduce dtype.
+        rates = discrete_gamma(
+            jnp.asarray(params["alpha"], dtype), ncat, engine.median
+        )
         rates = rates.astype(dtype)
         cat_weights = jnp.full((ncat,), 1.0 / ncat, dtype)
     else:
@@ -129,6 +136,20 @@ class LikelihoodEngine:
         self.dtype = _canonical_dtype(dtype)
         self.sharding = sharding
 
+        # Precision plan for the 1e-6 logL budget (SURVEY.md §7 hard part 1):
+        # partials stay in `dtype` (f32 for the perf mode) through the
+        # pruning kernel — that's where the FLOPs are — but everything
+        # small is done in f64 when x64 is live: P(t) construction (eigh,
+        # expm; (n_nodes, K, S, S) only), the root reduction, rate-category
+        # mixing, and the final sum(w * lnL) over patterns (a 1024-term f32
+        # sum at |logL|~1e4 alone costs ~1e-2 absolute). Off-x64 this
+        # degrades gracefully to the plain `dtype` path.
+        self._reduce_dtype = (
+            jnp.dtype("float64")
+            if self.dtype == jnp.dtype("float32") and jax.config.x64_enabled
+            else self.dtype
+        )
+
         if isinstance(alignment, pio.CompressedAlignment):
             ca = alignment
         elif compress:
@@ -158,9 +179,30 @@ class LikelihoodEngine:
         weights = ca.weights                         # (P,)
 
         self.schedule = ptrees.compile_schedule(tree)
+        self._pallas_ll = None
         if pruner == "pallas":
-            from phylo_utils_tpu.ops.pallas_pruning import make_pallas_prune_fn
+            from phylo_utils_tpu.ops.pallas_pruning import (
+                make_pallas_loglik_fn,
+                make_pallas_prune_fn,
+                pallas_supported,
+            )
 
+            # Big-tree guard: the fused kernel holds the whole tree's
+            # partials in VMEM. If even the minimum site tile doesn't fit,
+            # fall back (forward -> XLA path; backward-only overflow ->
+            # keep the Pallas forward, gradients via the XLA VJP).
+            if not pallas_supported(self.schedule, model.n_states, "fwd"):
+                import warnings
+
+                warnings.warn(
+                    f"tree ({self.schedule.n_nodes} nodes x "
+                    f"{model.n_states} states) exceeds the Pallas kernel's "
+                    "VMEM working-set budget; using pruner='xla'",
+                    stacklevel=2,
+                )
+                pruner = "xla"
+
+        if pruner == "pallas":
             if self.dtype == jnp.dtype("float64"):
                 import warnings
 
@@ -171,6 +213,12 @@ class LikelihoodEngine:
                     stacklevel=2,
                 )
             prune = make_pallas_prune_fn(self.schedule)
+            pll = (
+                make_pallas_loglik_fn(self.schedule)
+                if pallas_supported(self.schedule, model.n_states, "save")
+                and pallas_supported(self.schedule, model.n_states, "bwd")
+                else None
+            )
             if sharding is not None:
                 # A pallas_call is opaque to GSPMD; shard_map makes the
                 # kernel run shard-local on each device's site slice (the
@@ -185,7 +233,16 @@ class LikelihoodEngine:
                     out_specs=(P(None, ax, None), P(None, ax)),
                     check_vma=False,
                 )
+                if pll is not None:
+                    pll = jax.shard_map(
+                        pll,
+                        mesh=sharding.mesh,
+                        in_specs=(P(), P(None, ax, None), P()),
+                        out_specs=P(None, ax),
+                        check_vma=False,
+                    )
             self._prune = prune
+            self._pallas_ll = pll
         elif pruner == "xla":
             # unroll=False compiles a lax.scan over levels: a much smaller
             # program (one level body) — fast compiles for deep trees or
@@ -248,17 +305,29 @@ class LikelihoodEngine:
 
     def _loglik_fn(self, params, leaf_partials, weights):
         dtype = self.dtype
-        _, cat_weights, p, freqs = mixture_rates_and_p(self, params, dtype)
-        root_partials, root_logscale = self._prune(p, leaf_partials)
+        rdt = getattr(self, "_reduce_dtype", dtype)
+        # P(t), rates, weights, freqs built in the high-precision dtype;
+        # only the pruning pass itself runs in `dtype`.
+        _, cat_weights, p, freqs = mixture_rates_and_p(self, params, rdt)
         pinv = params.get("pinv") if self.invariant_sites else None
         inv = (
-            invariant_site_likelihood(leaf_partials, freqs)
+            invariant_site_likelihood(leaf_partials.astype(rdt), freqs)
             if self.invariant_sites
             else None
         )
+        if self._pallas_ll is not None:
+            # fused path: per-category sitewise logL straight from the
+            # kernel (root reduction fused, real Pallas backward)
+            ll = self._pallas_ll(p.astype(dtype), leaf_partials, freqs)
+            return mixture_loglik_from_ll(
+                ll, cat_weights, weights.astype(rdt), pinv=pinv, inv_lik=inv
+            )
+        root_partials, root_logscale = self._prune(
+            p.astype(dtype), leaf_partials
+        )
         return mixture_loglik(
-            root_partials, root_logscale, freqs, cat_weights, weights,
-            pinv=pinv, inv_lik=inv,
+            root_partials.astype(rdt), root_logscale.astype(rdt), freqs,
+            cat_weights, weights.astype(rdt), pinv=pinv, inv_lik=inv,
         )
 
     # -- public API ----------------------------------------------------------

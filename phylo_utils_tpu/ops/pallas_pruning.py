@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from phylo_utils_tpu.ops.pruning import make_prune_fn
 from phylo_utils_tpu.trees import PruningSchedule
 
-__all__ = ["make_pallas_prune_fn"]
+__all__ = ["make_pallas_prune_fn", "make_pallas_loglik_fn"]
 
 import os
 
@@ -169,26 +169,37 @@ def _static_kernel(
     scale_ref[0] = logscale[root]
 
 
-def _dynamic_kernel(
-    # scalar prefetch (SMEM)
-    order_ref, child_ref, count_ref,
-    # tensor inputs (VMEM)
-    p_ref,        # (1, n_nodes, S_pad, S_pad)
-    leaf_ref,     # (n_leaves, S_pad, T)
-    # outputs (VMEM)
-    root_ref,     # (1, S_pad, T)
-    scale_ref,    # (1, 1, T)
-    # scratch
-    buf,          # (n_nodes, S_pad, T)
-    logscale,     # (n_nodes, 1, T)
-    *,
-    n_leaves: int,
-    n_internal: int,
-    cmax: int,
-    s_pad: int,
+class _NodeView:
+    """Index a (possibly block-prefixed) ref by node id.
+
+    Lets the same tree-walk body run on a scratch ref (``buf[node]``) and on
+    an output-block ref (``buf_ref[0, node]``) without duplicating the
+    kernel code.
+    """
+
+    __slots__ = ("ref", "pre")
+
+    def __init__(self, ref, pre=()):
+        self.ref, self.pre = ref, pre
+
+    def __getitem__(self, i):
+        return self.ref[self.pre + (i,)]
+
+    def __setitem__(self, i, v):
+        self.ref[self.pre + (i,)] = v
+
+    def fill_zero(self):
+        self.ref[...] = jnp.zeros(self.ref.shape, self.ref.dtype)
+
+
+def _walk_tree(
+    order_ref, child_ref, count_ref, p_ref, buf, logscale,
+    *, n_internal: int, cmax: int, s_pad: int,
 ):
-    buf[0:n_leaves] = leaf_ref[:]
-    logscale[:] = jnp.zeros_like(logscale)
+    """Post-order combine+rescale over the whole tree (shared kernel body).
+
+    ``buf``/``logscale`` are _NodeViews with leaves already loaded and
+    logscale zeroed."""
     tiny = jnp.float32(np.finfo(np.float32).tiny)
 
     def node_step(i, _):
@@ -212,9 +223,233 @@ def _dynamic_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_internal, node_step, 0)
+
+
+def _dynamic_kernel(
+    # scalar prefetch (SMEM)
+    order_ref, child_ref, count_ref,
+    # tensor inputs (VMEM)
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    leaf_ref,     # (n_leaves, S_pad, T)
+    # outputs (VMEM)
+    root_ref,     # (1, S_pad, T)
+    scale_ref,    # (1, 1, T)
+    # scratch
+    buf,          # (n_nodes, S_pad, T)
+    logscale,     # (n_nodes, 1, T)
+    *,
+    n_leaves: int,
+    n_internal: int,
+    cmax: int,
+    s_pad: int,
+):
+    buf[0:n_leaves] = leaf_ref[:]
+    logscale[:] = jnp.zeros_like(logscale)
+    _walk_tree(
+        order_ref, child_ref, count_ref, p_ref,
+        _NodeView(buf), _NodeView(logscale),
+        n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+    )
     root = order_ref[n_internal - 1]
     root_ref[0] = buf[root]
     scale_ref[0] = logscale[root]
+
+
+def _dynamic_saveall_kernel(
+    # scalar prefetch (SMEM)
+    order_ref, child_ref, count_ref,
+    # tensor inputs (VMEM)
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    leaf_ref,     # (n_leaves, S_pad, T)
+    # outputs (VMEM) — every node's partials/logscale, kept as residuals
+    buf_ref,      # (1, n_nodes, S_pad, T)
+    logscale_ref, # (1, n_nodes, 1, T)
+    *,
+    n_leaves: int,
+    n_internal: int,
+    cmax: int,
+    s_pad: int,
+):
+    buf_ref[0, 0:n_leaves] = leaf_ref[:]
+    logscale_ref[...] = jnp.zeros(logscale_ref.shape, logscale_ref.dtype)
+    _walk_tree(
+        order_ref, child_ref, count_ref, p_ref,
+        _NodeView(buf_ref, (0,)), _NodeView(logscale_ref, (0,)),
+        n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+    )
+
+
+def _dynamic_bwd_kernel(
+    # scalar prefetch (SMEM)
+    order_ref, child_ref, count_ref,
+    # tensor inputs (VMEM)
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    pt_ref,       # (1, n_nodes, S_pad, S_pad) — P^T per node (host-side)
+    buf_ref,      # (1, n_nodes, S_pad, T) — forward partials (rescaled)
+    ls_ref,       # (1, n_nodes, 1, T)     — forward logscale chain
+    groot_ref,    # (1, S_pad, T)          — seed dL/d(root partials)
+    # outputs (VMEM)
+    dp_ref,       # (1, n_nodes, S_pad, S_pad) — accumulated over site tiles
+    dleaf_ref,    # (1, n_leaves, S_pad, T)
+    # scratch
+    g,            # (n_nodes, S_pad, T) — outside vectors
+    *,
+    n_leaves: int,
+    n_internal: int,
+    cmax: int,
+    s_pad: int,
+):
+    """Reverse pass of the pruning walk (pre-order over the same schedule).
+
+    Math (rescaling divisors treated as constants — exact because the primal
+    ``ll = log(pi . x_root_true)`` is invariant to the rescaling scheme):
+    for node n with children c:  y_c = P_c x_c,  x_n = (prod_c y_c) / m_n
+      g_{y_c} = g_n * (prod_{c'!=c} y_{c'}) / m_n
+      dP_c   += g_{y_c} x_c^T        (contraction over the site tile — MXU)
+      g_c     = P_c^T g_{y_c}
+    Leaves' g rows are the leaf-partials cotangent.
+    """
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init_dp():
+        dp_ref[...] = jnp.zeros(dp_ref.shape, dp_ref.dtype)
+
+    g[...] = jnp.zeros(g.shape, g.dtype)
+    root = order_ref[0]
+    g[root] = groot_ref[0]
+
+    # NOTE: order/children/counts arrive PRE-REVERSED (top-down) so the
+    # loop indexes them directly — any arithmetic on the fori index mixes
+    # Mosaic's i32 induction var with x64-traced i64 literals and fails
+    # to lower ('arith.subi' width mismatch).
+    def node_step(i, _):
+        node = order_ref[i]
+        count = count_ref[i]
+        gn = g[node]                   # (S, T)
+        ys = []
+        sc_sum = None
+        for c in range(cmax):
+            cid = child_ref[i, c]
+            valid = c < count
+            y = _contract(p_ref[0, cid], buf_ref[0, cid], s_pad)
+            y = jnp.where(valid, y, jnp.ones_like(y))
+            ys.append((cid, valid, y))
+            # padding child ids are 0 (a leaf, logscale 0) so the masked
+            # sum equals the forward's; keep the mask for safety
+            csc = jnp.where(valid, ls_ref[0, cid], 0.0)
+            sc_sum = csc if sc_sum is None else sc_sum + csc
+        inv_m = jnp.exp(sc_sum - ls_ref[0, node])   # (1, T) = 1/m_node
+        for c in range(cmax):
+            cid, valid, y = ys[c]
+            sib = None
+            for c2 in range(cmax):
+                if c2 == c:
+                    continue
+                sib = ys[c2][2] if sib is None else sib * ys[c2][2]
+            gy = gn * inv_m if sib is None else gn * sib * inv_m
+            gy = jnp.where(valid, gy, 0.0)          # (S, T)
+            dp_ref[0, cid] += jax.lax.dot_general(
+                gy, buf_ref[0, cid],
+                (((1,), (1,)), ((), ())),           # contract site tiles
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            g[cid] += _contract(pt_ref[0, cid], gy, s_pad)
+        return 0
+
+    jax.lax.fori_loop(0, n_internal, node_step, 0)
+    dleaf_ref[0] = g[0:n_leaves]
+
+
+# Whole-tree-in-VMEM working-set budget. TPU v5e exposes 128 MiB of VMEM
+# per core; the budget leaves headroom for Mosaic's own double-buffering of
+# streamed blocks and for the compiler's scratch. Raise/lower via env for
+# experiments; trees whose working set exceeds it even at the minimum
+# (LANE-wide) site tile fall back per `pallas_supported` below.
+VMEM_BUDGET = int(
+    os.environ.get("PHYLO_VMEM_BUDGET", str(64 * 1024 * 1024))
+)
+
+
+def _working_bytes(
+    tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str
+) -> int:
+    """Estimated VMEM working set of one kernel program (bytes, f32).
+
+    ``mode``: 'fwd' (scratch buf + leaf block), 'save' (buf/logscale are
+    outputs kept in VMEM per block, leaf input too), 'bwd' (buf+logscale
+    inputs, g scratch, dleaf output, two P copies). Matters for 61-state
+    codon models on large trees, where s_pad=64 multiplies everything by
+    8 vs DNA.
+    """
+    per_site = (
+        n_nodes * s_pad            # partials buffer
+        + n_nodes                  # logscale buffer
+        + n_leaves * s_pad * 2     # leaf input block (x2 pipelining)
+        + 2 * s_pad                # root/scale output blocks
+    )
+    p_bytes = 4 * n_nodes * s_pad * s_pad
+    if mode == "save":
+        per_site = (
+            (n_nodes * s_pad + n_nodes) * 2   # buf+logscale OUTPUT blocks
+                                              # (x2: pipeline double-buffer)
+            + n_leaves * s_pad * 2            # leaf input block
+        )
+    if mode == "bwd":
+        per_site = (
+            n_nodes * s_pad * 2    # buf input (x2: pipeline double-buffer)
+            + n_nodes * s_pad      # g scratch
+            + n_nodes * 2          # logscale input (x2)
+            + n_leaves * s_pad * 2 # dleaf output block (x2)
+            + 4 * s_pad            # groot input (x2)
+        )
+        p_bytes *= 3               # p, p^T inputs + dp output
+    return 4 * tile * per_site + p_bytes
+
+
+def _pick_tile(
+    tile: int, sites: int, n_nodes: int, n_leaves: int, s_pad: int,
+    mode: str = "fwd",
+) -> int:
+    """Shrink the site tile until the kernel's VMEM working set fits."""
+    tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
+    while tile > LANE:
+        if _working_bytes(tile, n_nodes, n_leaves, s_pad, mode) <= VMEM_BUDGET:
+            break
+        tile //= 2
+    return tile
+
+
+def pallas_supported(
+    schedule: PruningSchedule, n_states: int, mode: str = "fwd"
+) -> bool:
+    """Does the whole-tree kernel's working set fit VMEM at the minimum
+    site tile?  The likelihood engine uses this to fall back to the XLA
+    path (forward) or the XLA VJP (backward) on oversized trees instead of
+    failing inside Mosaic."""
+    s_pad = _round_up(n_states, SUBLANE)
+    return (
+        _working_bytes(
+            LANE, schedule.n_nodes, schedule.n_leaves, s_pad, mode
+        )
+        <= VMEM_BUDGET
+    )
+
+
+def _pad_inputs(p_matrices, leaf_partials, s, s_pad, sites, sites_pad):
+    """Kernel layout: P category-major+padded; leaves state-major+padded."""
+    # (K, n_nodes, S_pad, S_pad): category-major so each program slices one k.
+    p = jnp.transpose(p_matrices.astype(jnp.float32), (1, 0, 2, 3))
+    p = jnp.pad(p, ((0, 0), (0, 0), (0, s_pad - s), (0, s_pad - s)))
+    # (n_leaves, S_pad, sites_pad), padded slots = 1.0 (harmless: padded
+    # states are zeroed by P's zero rows; padded sites are sliced off).
+    lp = jnp.transpose(leaf_partials.astype(jnp.float32), (0, 2, 1))
+    lp = jnp.pad(
+        lp, ((0, 0), (0, s_pad - s), (0, sites_pad - sites)),
+        constant_values=1.0,
+    )
+    return p, lp
 
 
 def _pallas_forward(
@@ -233,37 +468,13 @@ def _pallas_forward(
     sites = leaf_partials.shape[1]
     s = leaf_partials.shape[2]
     s_pad = _round_up(s, SUBLANE)
-    tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
-    # VMEM budget: scratch buf + leaf block scale with tile; shrink the site
-    # tile until the working set fits (matters for 61-state codon models on
-    # large trees, where s_pad=64 multiplies everything by 8 vs DNA).
-    VMEM_BUDGET = 12 * 1024 * 1024
-    while tile > LANE:
-        working = 4 * tile * (
-            n_nodes * s_pad            # partials scratch
-            + n_nodes                  # logscale scratch
-            + n_leaves * s_pad         # leaf input block (x2 for pipelining)
-            * 2
-            + 2 * s_pad                # output blocks
-        ) + 4 * n_nodes * s_pad * s_pad
-        if working <= VMEM_BUDGET:
-            break
-        tile //= 2
+    tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "fwd")
     sites_pad = _round_up(sites, tile)
     n_internal = order.shape[0]
     cmax = children.shape[1]
     dtype = jnp.float32
 
-    # (K, n_nodes, S_pad, S_pad): category-major so each program slices one k.
-    p = jnp.transpose(p_matrices.astype(dtype), (1, 0, 2, 3))
-    p = jnp.pad(p, ((0, 0), (0, 0), (0, s_pad - s), (0, s_pad - s)))
-    # (n_leaves, S_pad, sites_pad), padded slots = 1.0 (harmless: padded
-    # states are zeroed by P's zero rows; padded sites are sliced off).
-    lp = jnp.transpose(leaf_partials.astype(dtype), (0, 2, 1))
-    lp = jnp.pad(
-        lp, ((0, 0), (0, s_pad - s), (0, sites_pad - sites)),
-        constant_values=1.0,
-    )
+    p, lp = _pad_inputs(p_matrices, leaf_partials, s, s_pad, sites, sites_pad)
 
     n_tiles = sites_pad // tile
     static = n_internal <= STATIC_UNROLL_MAX
@@ -392,3 +603,254 @@ def make_pallas_prune_fn(
 
     prune.defvjp(prune_fwd, prune_bwd)
     return prune
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused path: Pallas forward with residuals + Pallas backward
+# ---------------------------------------------------------------------------
+
+
+def _pallas_forward_saveall(
+    p_matrices, leaf_partials, *,
+    order, children, counts, n_nodes, n_leaves, tile, interpret,
+):
+    """Forward walk that writes EVERY node's partials/logscale to HBM.
+
+    Returns ``(buf_all (K, n_nodes, S_pad, sites_pad),
+    ls_all (K, n_nodes, 1, sites_pad), p_pad (K, n_nodes, S_pad, S_pad))``
+    — the residuals the backward kernel consumes (kernel layout, f32).
+    """
+    k = p_matrices.shape[1]
+    sites = leaf_partials.shape[1]
+    s = leaf_partials.shape[2]
+    s_pad = _round_up(s, SUBLANE)
+    tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "save")
+    sites_pad = _round_up(sites, tile)
+    n_internal = order.shape[0]
+    cmax = children.shape[1]
+    p, lp = _pad_inputs(p_matrices, leaf_partials, s, s_pad, sites, sites_pad)
+    n_tiles = sites_pad // tile
+
+    kernel = functools.partial(
+        _dynamic_saveall_kernel,
+        n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles, k),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, s_pad),
+                lambda t, kk, *_: (kk, kk * 0, kk * 0, kk * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_leaves, s_pad, tile),
+                lambda t, kk, *_: (t * 0, t * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, tile),
+                lambda t, kk, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, 1, tile),
+                lambda t, kk, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    buf_all, ls_all = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((k, n_nodes, s_pad, sites_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_nodes, 1, sites_pad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(order), jnp.asarray(children), jnp.asarray(counts), p, lp)
+    return buf_all, ls_all, p
+
+
+def _pallas_backward(
+    p_pad, pt_pad, buf_all, ls_all, groot, *,
+    order, children, counts, n_nodes, n_leaves, tile, interpret,
+):
+    """Reverse walk: ``(dp_pad (K, n_nodes, S_pad, S_pad),
+    dleaf_k (K, n_leaves, S_pad, sites_pad))``."""
+    k, _, s_pad, sites_pad = buf_all.shape
+    n_internal = order.shape[0]
+    cmax = children.shape[1]
+    tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "bwd")
+    while sites_pad % tile:
+        tile //= 2
+    n_tiles = sites_pad // tile
+
+    kernel = functools.partial(
+        _dynamic_bwd_kernel,
+        n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+    )
+    # grid (k, n_tiles): site tiles iterate FASTEST so the dP output block
+    # (one per k, indexed (kk, 0, 0, 0)) is revisited consecutively and
+    # accumulates in VMEM across tiles.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, s_pad),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, s_pad),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, 1, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, s_pad),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_leaves, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_nodes, s_pad, tile), jnp.float32),
+        ],
+    )
+    # pre-reversed (top-down) schedule arrays — see kernel NOTE
+    dp_pad, dleaf_k = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((k, n_nodes, s_pad, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (k, n_leaves, s_pad, sites_pad), jnp.float32
+            ),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(order[::-1].copy()),
+      jnp.asarray(children[::-1].copy()),
+      jnp.asarray(counts[::-1].copy()),
+      p_pad, pt_pad, buf_all, ls_all, groot)
+    return dp_pad, dleaf_k
+
+
+def make_pallas_loglik_fn(
+    schedule: PruningSchedule,
+    tile: int = 4 * LANE,
+    interpret: bool = None,
+):
+    """Fused differentiable per-(category, site) log-likelihood.
+
+    Returns ``f(p_matrices (n_nodes, K, S, S), leaf_partials
+    (n_leaves, sites, S), freqs (S,)) -> ll (K, sites)`` with
+    ``ll[k, s] = log(sum_i freqs_i * true_root_partials[k, s, i])`` — the
+    root reduction is fused so the pair (partials, logscale) never crosses
+    the autodiff boundary, which is what makes the rescaling-as-constant
+    backward exact for ANY downstream cotangent (see _dynamic_bwd_kernel).
+    The reduction runs in ``freqs.dtype`` (pass f64 freqs for the precision
+    plan); pruning runs f32 in VMEM.
+
+    Unlike ``make_pallas_prune_fn`` (whose VJP re-runs the XLA forward and
+    backward), the backward here is a second Pallas kernel consuming the
+    forward's saved per-node partials — the gradient path keeps the fused
+    kernel's arithmetic rate. Reference parity: supersedes the Cython
+    sitewise derivative kernels (phylo_utils/likcalc.pyx, SURVEY.md §3.3)
+    with exact whole-tree gradients.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    order, children, counts = _postorder_arrays(schedule)
+    common = dict(
+        order=order, children=children, counts=counts,
+        n_nodes=schedule.n_nodes, n_leaves=schedule.n_leaves,
+        tile=tile, interpret=interpret,
+    )
+    root = int(order[-1])
+    _hi = jax.lax.Precision.HIGHEST
+
+    @jax.custom_vjp
+    def site_cat_ll(p_matrices, leaf_partials, freqs):
+        root_p, root_sc = _pallas_forward(p_matrices, leaf_partials, **common)
+        rdt = freqs.dtype
+        dot = jnp.einsum(
+            "ksi,i->ks", root_p.astype(rdt), freqs, precision=_hi
+        )
+        return jnp.log(dot) + root_sc.astype(rdt)
+
+    def fwd(p_matrices, leaf_partials, freqs):
+        sites = leaf_partials.shape[1]
+        s = leaf_partials.shape[2]
+        buf_all, ls_all, p_pad = _pallas_forward_saveall(
+            p_matrices, leaf_partials, **common
+        )
+        rdt = freqs.dtype
+        root_pp = buf_all[:, root, :s, :sites]      # (K, S, sites)
+        dot = jnp.einsum(
+            "kis,i->ks", root_pp.astype(rdt), freqs, precision=_hi
+        )
+        ll = jnp.log(dot) + ls_all[:, root, 0, :sites].astype(rdt)
+        p_tok = jnp.zeros((0,), p_matrices.dtype)
+        leaf_tok = jnp.zeros((0,), leaf_partials.dtype)
+        return ll, (p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs)
+
+    def bwd(res, ct):
+        p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs = res
+        k, _, s_pad, sites_pad = (
+            buf_all.shape[0], buf_all.shape[1], buf_all.shape[2],
+            buf_all.shape[3],
+        )
+        sites = dot.shape[1]
+        s = freqs.shape[0]
+        rdt = dot.dtype
+        lam = ct / dot                               # (K, sites) rdt
+        lam32 = jnp.pad(
+            lam.astype(jnp.float32), ((0, 0), (0, sites_pad - sites))
+        )
+        f32f = jnp.zeros((s_pad,), jnp.float32).at[:s].set(
+            freqs.astype(jnp.float32)
+        )
+        groot = lam32[:, None, :] * f32f[None, :, None]
+        pt_pad = jnp.swapaxes(p_pad, -1, -2)
+        dp_pad, dleaf_k = _pallas_backward(
+            p_pad, pt_pad, buf_all, ls_all, groot, **common
+        )
+        dp = jnp.transpose(dp_pad[:, :, :s, :s], (1, 0, 2, 3)).astype(
+            p_tok.dtype
+        )
+        dleaf = jnp.transpose(
+            jnp.sum(dleaf_k, axis=0)[:, :s, :sites], (0, 2, 1)
+        ).astype(leaf_tok.dtype)
+        root_pp = buf_all[:, root, :s, :sites]       # (K, S, sites)
+        dfreqs = jnp.einsum(
+            "ks,kis->i", lam, root_pp.astype(rdt), precision=_hi
+        )
+        return dp, dleaf, dfreqs
+
+    site_cat_ll.defvjp(fwd, bwd)
+    return site_cat_ll

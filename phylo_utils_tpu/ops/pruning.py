@@ -30,7 +30,12 @@ from jax import lax
 
 from phylo_utils_tpu.trees import PruningSchedule
 
-__all__ = ["make_prune_fn", "mixture_loglik", "invariant_site_likelihood"]
+__all__ = [
+    "make_prune_fn",
+    "mixture_loglik",
+    "mixture_loglik_from_ll",
+    "invariant_site_likelihood",
+]
 
 _HI = lax.Precision.HIGHEST
 
@@ -163,23 +168,56 @@ def mixture_loglik(
         axis=0,
     )
     if pinv is not None:
-        if inv_lik is None:
-            raise ValueError("inv_lik is required when pinv is given")
-        pinv = jnp.asarray(pinv, dtype)
-        log_var = jnp.log(mixed) + m
-        # variable sites have inv_lik == 0: their +I component is exactly
-        # -inf in log space (clamping to `tiny` would floor sitewise logL at
-        # log(pinv) + log(tiny), a real error in float32). NaN-safe where().
-        inv_lik = inv_lik.astype(dtype)
-        log_inv = jnp.where(
-            inv_lik > 0,
-            jnp.log(jnp.where(inv_lik > 0, inv_lik, 1.0)),
-            -jnp.inf,
-        )
-        sitewise = jnp.logaddexp(
-            jnp.log1p(-pinv) + log_var, jnp.log(pinv) + log_inv
-        )
+        sitewise = _mix_invariant(jnp.log(mixed) + m, pinv, inv_lik, dtype)
     else:
         sitewise = jnp.log(mixed) + m
+    total = jnp.sum(pattern_weights.astype(dtype) * sitewise)
+    return total, sitewise
+
+
+def _mix_invariant(log_var, pinv, inv_lik, dtype):
+    """+I mixing in log space: L_s = pinv*I_s + (1-pinv)*L_var,s."""
+    if inv_lik is None:
+        raise ValueError("inv_lik is required when pinv is given")
+    pinv = jnp.asarray(pinv, dtype)
+    # variable sites have inv_lik == 0: their +I component is exactly
+    # -inf in log space (clamping to `tiny` would floor sitewise logL at
+    # log(pinv) + log(tiny), a real error in float32). NaN-safe where().
+    inv_lik = inv_lik.astype(dtype)
+    log_inv = jnp.where(
+        inv_lik > 0,
+        jnp.log(jnp.where(inv_lik > 0, inv_lik, 1.0)),
+        -jnp.inf,
+    )
+    return jnp.logaddexp(
+        jnp.log1p(-pinv) + log_var, jnp.log(pinv) + log_inv
+    )
+
+
+def mixture_loglik_from_ll(
+    ll: jnp.ndarray,                # (K, sites) per-category sitewise logL
+    cat_weights: jnp.ndarray,       # (K,)
+    pattern_weights: jnp.ndarray,   # (sites,)
+    pinv: Optional[jnp.ndarray] = None,
+    inv_lik: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Category mixing given per-category LOG likelihoods (fused-root path).
+
+    Same semantics as ``mixture_loglik`` but starting from
+    ``ll[k, s] = log L_{s|k}`` (as produced by
+    ``pallas_pruning.make_pallas_loglik_fn``): a weighted logsumexp over
+    categories, optional +I, then the weighted pattern sum.
+    """
+    dtype = ll.dtype
+    m = jnp.max(ll, axis=0)                          # (sites,)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)           # all--inf guard
+    mixed = jnp.sum(
+        cat_weights[:, None].astype(dtype) * jnp.exp(ll - m[None, :]), axis=0
+    )
+    log_var = jnp.log(mixed) + m
+    if pinv is not None:
+        sitewise = _mix_invariant(log_var, pinv, inv_lik, dtype)
+    else:
+        sitewise = log_var
     total = jnp.sum(pattern_weights.astype(dtype) * sitewise)
     return total, sitewise

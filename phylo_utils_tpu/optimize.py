@@ -122,6 +122,9 @@ def fit(
     patience: int = 20,
     callback: Optional[Callable[[int, float, Dict], None]] = None,
     steps_per_call: int = 1,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> FitResult:
     """Maximize logL over branch lengths and model parameters jointly.
 
@@ -141,6 +144,15 @@ def fit(
         this (e.g. 10-50) when per-dispatch latency dominates — each
         dispatch then advances many steps; early stopping happens at chunk
         granularity.
+    checkpoint_path / checkpoint_every : when both set, the FULL optimizer
+        state ``{raw, opt_state}`` (unconstrained space) plus the step
+        counter is written atomically every ``checkpoint_every`` steps
+        (chunk granularity in chunked mode) — a killed run restarted with
+        ``resume_from=checkpoint_path`` replays the remaining steps
+        bit-exactly (pure-functional state; SURVEY.md §5 checkpoint row).
+    resume_from : checkpoint path to restore (raw, opt_state, step) from
+        before stepping. ``max_steps`` still bounds the TOTAL step count
+        including the restored steps.
     """
     base = engine._full_params(params0)
     if free is None:
@@ -206,11 +218,34 @@ def fit(
     # a retained raw; intermediate step values feed the trace/patience
     # counters but cannot win `best_raw`.
     raw = raw0
+    n = 0
+    if resume_from:
+        from phylo_utils_tpu.utils.checkpoint import load_checkpoint
+
+        state, n, _ = load_checkpoint(
+            resume_from, {"raw": raw0, "opt_state": opt_state}
+        )
+        raw, opt_state = state["raw"], state["opt_state"]
     trace = []
     best = -np.inf
-    best_raw = raw0
+    best_raw = raw
     since_best = 0
-    n = 0
+    last_ckpt = n
+
+    def _maybe_checkpoint(raw, opt_state, n):
+        nonlocal last_ckpt
+        if (
+            checkpoint_path
+            and checkpoint_every
+            and n - last_ckpt >= checkpoint_every
+        ):
+            from phylo_utils_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, {"raw": raw, "opt_state": opt_state}, step=n
+            )
+            last_ckpt = n
+
     while n < max_steps:
         if steps_per_call > 1:
             raw_start = raw
@@ -237,6 +272,7 @@ def fit(
                 since_best += 1
         if end_ll is not None and end_ll > best + tol:
             best, since_best, best_raw = end_ll, 0, raw
+        _maybe_checkpoint(raw, opt_state, n)
         if since_best >= patience:
             break
     # The current raw's loss was never evaluated in unchunked mode; give it

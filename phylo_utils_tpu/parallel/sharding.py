@@ -19,6 +19,7 @@ The same mesh abstraction covers all three required scale points
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -29,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "SiteSharding", "distributed_init"]
 
 
-def distributed_init(**kwargs) -> None:
+def distributed_init(timeout: Optional[float] = None, **kwargs) -> None:
     """Multi-host runtime init (call once per process BEFORE device use).
 
     Thin wrapper over ``jax.distributed.initialize`` so callers never import
@@ -41,12 +42,29 @@ def distributed_init(**kwargs) -> None:
     configured" as a single-process run. The collective transport (ICI
     within a slice, DCN across hosts) is compiler-lowered — there is no
     NCCL/MPI-style backend to configure (SURVEY.md §5).
+
+    ``timeout`` (seconds) bounds how long this process waits for the
+    coordinator / peers; on expiry a RuntimeError naming the coordinator
+    address is raised instead of a bare hang-then-crash, so an operator can
+    tell "peer never started" from "network partition" (SURVEY.md §5
+    failure-detection row).
     """
+    if timeout is not None:
+        kwargs.setdefault("initialization_timeout", int(timeout))
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as exc:
         if kwargs:
-            raise
+            coord = kwargs.get("coordinator_address") or os.environ.get(
+                "JAX_COORDINATOR_ADDRESS", "<env-configured>"
+            )
+            raise RuntimeError(
+                f"multi-host init failed (coordinator {coord}, "
+                f"process {kwargs.get('process_id', '?')}/"
+                f"{kwargs.get('num_processes', '?')}): {exc}. "
+                "Check that all processes started within the timeout and "
+                "the coordinator address/port is reachable from every host."
+            ) from exc
         # single-process / no-coordinator environment: run standalone
 
 

@@ -187,3 +187,33 @@ def test_fit_returned_loglik_matches_returned_params():
     assert res2.loglik == pytest.approx(
         engine.loglikelihood(res2.params), abs=1e-9
     )
+
+
+def test_fit_checkpoint_resume_bitexact(tmp_path):
+    """A killed-and-restarted fit must replay the remaining steps exactly.
+
+    Compare the step-20 full-state checkpoint from (a) an uninterrupted
+    20-step run and (b) a run killed at step 10 and resumed from its
+    checkpoint: every leaf (params in raw space + adam state) must be
+    bit-identical (VERDICT r1 item 9 / SURVEY.md §5 checkpoint row).
+    """
+    import optax
+
+    tree = random_tree(6, seed=4)
+    engine = LikelihoodEngine(tree, _aln(tree, 40, seed=5), models.HKY85)
+    pa = str(tmp_path / "a.npz")
+    pb = str(tmp_path / "b.npz")
+    kw = dict(
+        optimizer=optax.adam(1e-2), patience=10_000, steps_per_call=5,
+        checkpoint_every=10,
+    )
+    fit(engine, max_steps=20, checkpoint_path=pa, **kw)
+
+    fit(engine, max_steps=10, checkpoint_path=pb, **kw)   # "crash" at 10
+    res = fit(engine, max_steps=20, checkpoint_path=pb, resume_from=pb, **kw)
+    assert res.n_steps == 20  # total count includes the restored 10
+
+    with np.load(pa) as za, np.load(pb) as zb:
+        assert set(za.files) == set(zb.files)
+        for key in za.files:
+            assert np.array_equal(za[key], zb[key]), key

@@ -91,3 +91,100 @@ def test_both_schedule_lowerings_match_xla(monkeypatch, static_max):
     r_dyn, s_dyn = pp.make_pallas_prune_fn(sched)(p, lp)
     np.testing.assert_allclose(r_dyn, r_xla, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(s_dyn, s_xla, rtol=2e-5, atol=2e-4)
+
+
+def test_fused_loglik_value_and_grad_match_xla():
+    """The fused site_cat_ll path (Pallas forward + Pallas BACKWARD kernel)
+    must agree with the XLA engine on value, every gradient leaf, and
+    sitewise output — including +I and gamma (r2: real backward pass)."""
+    tree = random_tree(12, seed=11)
+    rng = np.random.default_rng(3)
+    aln = {
+        n: "".join(rng.choice(list("ACGT-N"), size=97))
+        for n in tree.leaf_names
+    }
+    kw = dict(ncat=4, invariant_sites=True, dtype="float32")
+    e_xla = LikelihoodEngine(tree, aln, models.GTR, **kw)
+    e_pal = LikelihoodEngine(tree, aln, models.GTR, pruner="pallas", **kw)
+    assert e_pal._pallas_ll is not None  # fused path active
+    p = e_xla.default_params()
+    p["branch_lengths"] = np.abs(rng.normal(0.15, 0.1, tree.n_nodes)) + 1e-3
+    lx, gx = e_xla.value_and_grad(p)
+    lp, gp = e_pal.value_and_grad(p)
+    assert abs(float(lx) - float(lp)) < 1e-4 * abs(float(lx))
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    for (path, a), (_, b) in zip(flat_x, flat_p):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=5e-4 * scale,
+            err_msg=str(path),
+        )
+    np.testing.assert_allclose(
+        e_pal.sitewise_loglikelihoods(p), e_xla.sitewise_loglikelihoods(p),
+        atol=5e-5,
+    )
+
+
+def test_vmem_fallback_big_tree(recwarn):
+    """Trees whose working set exceeds the VMEM budget must fall back to
+    the XLA pruner with a warning instead of failing inside Mosaic."""
+    import warnings
+
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    tree = random_tree(40, seed=5)
+    rng = np.random.default_rng(5)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=64))
+           for n in tree.leaf_names}
+    old = pp.VMEM_BUDGET
+    pp.VMEM_BUDGET = 64 * 1024  # absurdly small: nothing fits
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            eng = LikelihoodEngine(
+                tree, aln, models.GTR, ncat=2, dtype="float32",
+                pruner="pallas",
+            )
+        assert any("VMEM" in str(x.message) for x in w)
+        assert eng._pallas_ll is None
+        ref = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
+                               dtype="float32")
+        assert abs(eng.loglikelihood() - ref.loglikelihood()) < 1e-6
+    finally:
+        pp.VMEM_BUDGET = old
+
+
+def test_backward_only_fallback():
+    """When the forward fits but the saveall/backward working set doesn't,
+    the engine keeps the Pallas forward and routes gradients through the
+    XLA VJP (prune path), still producing correct grads."""
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    tree = random_tree(10, seed=9)
+    rng = np.random.default_rng(9)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=50))
+           for n in tree.leaf_names}
+    sched = compile_schedule(tree)
+    fwd_bytes = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                                  8, "fwd")
+    bwd_bytes = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                                  8, "bwd")
+    assert bwd_bytes > fwd_bytes
+    old = pp.VMEM_BUDGET
+    pp.VMEM_BUDGET = (fwd_bytes + bwd_bytes) // 2
+    try:
+        eng = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
+                               dtype="float32", pruner="pallas")
+        assert eng._pallas_ll is None          # fused path disabled
+        ref = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
+                               dtype="float32")
+        lx, gx = ref.value_and_grad()
+        lp, gp = eng.value_and_grad()
+        assert abs(float(lx) - float(lp)) < 1e-4 * abs(float(lx))
+        np.testing.assert_allclose(
+            np.asarray(gp["branch_lengths"]),
+            np.asarray(gx["branch_lengths"]), rtol=5e-3, atol=1e-3,
+        )
+    finally:
+        pp.VMEM_BUDGET = old
