@@ -21,19 +21,25 @@ Layout/TPU mapping (SURVEY.md §7 hard part 3):
 - per-node rescaling (divide by per-site max, accumulate log) is fused right
   after the children product — partials never leave VMEM unscaled.
 
-Two schedule lowerings:
-- **static** (default, n_internal <= 256): the post-order walk is fully
-  unrolled at trace time with node/child ids embedded as Python constants —
-  every VMEM access has a static address, no SMEM indirection, no loop
-  overhead. This is what a hand-written kernel generator would emit for a
-  fixed topology.
-- **dynamic** (large trees): node/child ids are scalar-prefetched into SMEM
+Three schedule lowerings:
+- **static** (opt-in via PHYLO_STATIC_UNROLL_MAX): the post-order walk is
+  fully unrolled at trace time with node/child ids embedded as Python
+  constants — every VMEM access has a static address, no SMEM indirection,
+  no loop overhead.
+- **dynamic** (default): node/child ids are scalar-prefetched into SMEM
   and a ``fori_loop`` walks them with dynamic VMEM indexing — O(1) code
-  size at the cost of per-node address computation.
+  size at the cost of per-node address computation. (2-D scalar arrays are
+  stored transposed, (cmax, n): SMEM pads the minor dim to the 128-lane
+  width, so the long axis must be minor or a 1000-taxon schedule blows the
+  1 MiB SMEM budget.)
+- **slot** (big trees, automatic): DFS post-order with register-style slot
+  reuse — scratch is O(tree depth) instead of O(n_nodes), which is what
+  lets 1000+-taxon trees fit the 16 MiB scoped-VMEM limit.
 
-The backward pass reuses the XLA path's VJP (identical math, different
-lowering), so ``jax.grad`` through an engine with ``pruner="pallas"`` is
-exact.
+Gradients: ``make_pallas_prune_fn``'s VJP replays the XLA path (exact,
+simple); ``make_pallas_loglik_fn`` is the fused differentiable path whose
+backward is a second Pallas kernel over the same schedule (see
+``_dynamic_bwd_kernel``) — that is what the likelihood engine uses.
 """
 from __future__ import annotations
 
@@ -68,6 +74,19 @@ STATIC_UNROLL_MAX = int(os.environ.get("PHYLO_STATIC_UNROLL_MAX", "0"))
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Experiment knob: force intermediate state widths up to this value (e.g.
+# 32 pads protein 20->32 instead of 20->24; 32 is vreg- and MXU-friendlier
+# than the awkward 3-sublane-register 24). 0 = plain SUBLANE rounding.
+SPAD_MIN = int(os.environ.get("PHYLO_SPAD_MIN", "0"))
+
+
+def _state_pad(s: int) -> int:
+    sp = _round_up(s, SUBLANE)
+    if SPAD_MIN and SUBLANE < sp < SPAD_MIN:
+        sp = SPAD_MIN
+    return sp
 
 
 def _postorder_arrays(schedule: PruningSchedule):
@@ -208,7 +227,7 @@ def _walk_tree(
         acc = None
         sc = None
         for c in range(cmax):
-            cid = child_ref[i, c]
+            cid = child_ref[c, i]
             valid = c < count
             y = _contract(p_ref[0, cid], buf[cid], s_pad)
             csc = logscale[cid]            # (1, T)
@@ -253,6 +272,136 @@ def _dynamic_kernel(
     root = order_ref[n_internal - 1]
     root_ref[0] = buf[root]
     scale_ref[0] = logscale[root]
+
+
+def _dfs_slot_schedule(schedule: PruningSchedule):
+    """DFS-post-order walk with register-style slot allocation.
+
+    The classic kernel keeps EVERY node's partials in scratch (O(n_nodes)
+    VMEM — the big-tree ceiling). In DFS post-order a node's partials are
+    dead as soon as its parent is combined, so a free-list assigns each
+    internal node a reusable slot; the live set is O(tree depth). Leaves
+    never get slots — the walk reads them straight from the streamed leaf
+    block.
+
+    Returns ``(nslot, child_node, child_src, child_isleaf, counts,
+    n_slots, root_slot)`` where ``child_node`` indexes P and ``child_src``
+    is a leaf id or a slot id according to ``child_isleaf``.
+    """
+    order, children, counts = _postorder_arrays(schedule)
+    n_leaves = schedule.n_leaves
+    cmax = children.shape[1]
+    kids = {
+        int(order[i]): [int(children[i, c]) for c in range(int(counts[i]))]
+        for i in range(order.shape[0])
+    }
+    root = int(order[-1])
+    post = []
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if node < n_leaves:
+            continue
+        if done:
+            post.append(node)
+        else:
+            stack.append((node, True))
+            for ch in kids[node]:
+                stack.append((ch, False))
+    slot_of: dict = {}
+    free: list = []
+    next_slot = 0
+    nn = len(post)
+    nslot = np.zeros(nn, np.int32)
+    child_node = np.zeros((nn, cmax), np.int32)
+    child_src = np.zeros((nn, cmax), np.int32)
+    child_isleaf = np.zeros((nn, cmax), np.int32)
+    counts2 = np.zeros(nn, np.int32)
+    for i, node in enumerate(post):
+        ks = kids[node]
+        counts2[i] = len(ks)
+        for c, ch in enumerate(ks):
+            child_node[i, c] = ch
+            if ch < n_leaves:
+                child_src[i, c] = ch
+                child_isleaf[i, c] = 1
+            else:
+                child_src[i, c] = slot_of[ch]
+        # children slots die here; the parent may reuse one
+        for ch in ks:
+            if ch >= n_leaves:
+                free.append(slot_of.pop(ch))
+        if free:
+            s = free.pop()
+        else:
+            s = next_slot
+            next_slot += 1
+        slot_of[node] = s
+        nslot[i] = s
+    return (
+        nslot, child_node, child_src, child_isleaf, counts2,
+        next_slot, slot_of[root],
+    )
+
+
+def _dynamic_slot_kernel(
+    # scalar prefetch (SMEM)
+    nslot_ref, cnode_ref, csrc_ref, cleaf_ref, count_ref,
+    # tensor inputs (VMEM)
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    leaf_ref,     # (n_leaves, S_pad, T)
+    # outputs (VMEM)
+    root_ref,     # (1, S_pad, T)
+    scale_ref,    # (1, 1, T)
+    # scratch — O(depth), not O(n_nodes)
+    buf,          # (n_slots, S_pad, T)
+    logscale,     # (n_slots, 1, T)
+    *,
+    n_leaves: int,
+    n_slots: int,
+    n_internal: int,
+    cmax: int,
+    s_pad: int,
+    root_slot: int,
+):
+    logscale[:] = jnp.zeros_like(logscale)
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+
+    def node_step(i, _):
+        slot = nslot_ref[i]
+        count = count_ref[i]
+        acc = None
+        sc = None
+        for c in range(cmax):
+            cn = cnode_ref[c, i]           # child NODE id (indexes P)
+            src = csrc_ref[c, i]           # leaf id or slot id
+            isleaf = cleaf_ref[c, i]
+            valid = c < count
+            # load both candidate sources (clamped), select: a VMEM read
+            # is cheap next to the contraction, and Mosaic has no
+            # data-dependent ref choice
+            xl = leaf_ref[jnp.minimum(src, n_leaves - 1)]
+            xs = buf[jnp.minimum(src, n_slots - 1)]
+            x = jnp.where(isleaf > 0, xl, xs)
+            y = _contract(p_ref[0, cn], x, s_pad)
+            csc = jnp.where(
+                isleaf > 0,
+                jnp.zeros_like(logscale[0]),
+                logscale[jnp.minimum(src, n_slots - 1)],
+            )
+            if acc is None:
+                acc, sc = y, csc           # c == 0 always valid
+            else:
+                acc = jnp.where(valid, acc * y, acc)
+                sc = jnp.where(valid, sc + csc, sc)
+        m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
+        buf[slot] = acc / m                # may reuse a child's slot: all
+        logscale[slot] = sc + jnp.log(m)   # reads happened above
+        return 0
+
+    jax.lax.fori_loop(0, n_internal, node_step, 0)
+    root_ref[0] = buf[root_slot]
+    scale_ref[0] = logscale[root_slot]
 
 
 def _dynamic_saveall_kernel(
@@ -330,7 +479,7 @@ def _dynamic_bwd_kernel(
         ys = []
         sc_sum = None
         for c in range(cmax):
-            cid = child_ref[i, c]
+            cid = child_ref[c, i]
             valid = c < count
             y = _contract(p_ref[0, cid], buf_ref[0, cid], s_pad)
             y = jnp.where(valid, y, jnp.ones_like(y))
@@ -362,76 +511,95 @@ def _dynamic_bwd_kernel(
     dleaf_ref[0] = g[0:n_leaves]
 
 
-# Whole-tree-in-VMEM working-set budget. TPU v5e exposes 128 MiB of VMEM
-# per core; the budget leaves headroom for Mosaic's own double-buffering of
-# streamed blocks and for the compiler's scratch. Raise/lower via env for
-# experiments; trees whose working set exceeds it even at the minimum
-# (LANE-wide) site tile fall back per `pallas_supported` below.
+# VMEM budget, empirically calibrated on TPU v5e through the axon relay
+# (2026-08-17): the compiler enforces a 16 MiB "scoped vmem" limit on a
+# kernel's stack allocation (measured: 16.60M rejected, "limit 16.00M"),
+# and the streamed leaf block was observed to count against it. The
+# formulas below estimate a kernel program's whole working set (scratch +
+# double-buffered streamed blocks + P copies); the default budget keeps
+# the true scoped usage under 16 MiB with margin. Trees that exceed it at
+# the minimum (LANE-wide) site tile fall back per `pallas_supported`:
+# forward -> the O(depth)-scratch slot kernel, then the XLA path; backward
+# -> the XLA VJP.
 VMEM_BUDGET = int(
-    os.environ.get("PHYLO_VMEM_BUDGET", str(64 * 1024 * 1024))
+    os.environ.get("PHYLO_VMEM_BUDGET", str(14 * 1024 * 1024))
 )
 
 
 def _working_bytes(
-    tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str
+    tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str,
+    n_slots: int = 0,
 ) -> int:
-    """Estimated VMEM working set of one kernel program (bytes, f32).
+    """Estimated VMEM bytes of one kernel program (f32).
 
-    ``mode``: 'fwd' (scratch buf + leaf block), 'save' (buf/logscale are
-    outputs kept in VMEM per block, leaf input too), 'bwd' (buf+logscale
-    inputs, g scratch, dleaf output, two P copies). Matters for 61-state
-    codon models on large trees, where s_pad=64 multiplies everything by
-    8 vs DNA.
+    Modes: 'fwd' (classic whole-tree scratch), 'slot' (DFS slot-reuse
+    scratch, O(depth)), 'save' (buf/logscale as output blocks), 'bwd'
+    (residual inputs + outside-vector scratch + dP/dleaf outputs).
     """
-    per_site = (
-        n_nodes * s_pad            # partials buffer
-        + n_nodes                  # logscale buffer
-        + n_leaves * s_pad * 2     # leaf input block (x2 pipelining)
-        + 2 * s_pad                # root/scale output blocks
-    )
     p_bytes = 4 * n_nodes * s_pad * s_pad
-    if mode == "save":
+    leaf = 2 * n_leaves * s_pad            # leaf input block, x2 pipelining
+    if mode == "fwd":
+        per_site = n_nodes * (s_pad + 1) + leaf + 4 * s_pad
+    elif mode == "slot":
+        per_site = n_slots * (s_pad + 1) + leaf + 4 * s_pad
+    elif mode == "save":
+        per_site = 2 * n_nodes * (s_pad + 1) + leaf
+    elif mode == "bwd":
         per_site = (
-            (n_nodes * s_pad + n_nodes) * 2   # buf+logscale OUTPUT blocks
-                                              # (x2: pipeline double-buffer)
-            + n_leaves * s_pad * 2            # leaf input block
+            3 * n_nodes * s_pad            # buf input x2 + g scratch
+            + 2 * n_nodes                  # logscale input x2
+            + 2 * n_leaves * s_pad         # dleaf output block x2
+            + 4 * s_pad                    # groot input x2
         )
-    if mode == "bwd":
-        per_site = (
-            n_nodes * s_pad * 2    # buf input (x2: pipeline double-buffer)
-            + n_nodes * s_pad      # g scratch
-            + n_nodes * 2          # logscale input (x2)
-            + n_leaves * s_pad * 2 # dleaf output block (x2)
-            + 4 * s_pad            # groot input (x2)
-        )
-        p_bytes *= 3               # p, p^T inputs + dp output
+        p_bytes *= 3                       # p, p^T inputs + dp output
+    else:
+        raise ValueError(mode)
     return 4 * tile * per_site + p_bytes
 
 
 def _pick_tile(
     tile: int, sites: int, n_nodes: int, n_leaves: int, s_pad: int,
-    mode: str = "fwd",
+    mode: str = "fwd", n_slots: int = 0,
 ) -> int:
     """Shrink the site tile until the kernel's VMEM working set fits."""
     tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
     while tile > LANE:
-        if _working_bytes(tile, n_nodes, n_leaves, s_pad, mode) <= VMEM_BUDGET:
+        if (
+            _working_bytes(tile, n_nodes, n_leaves, s_pad, mode, n_slots)
+            <= VMEM_BUDGET
+        ):
             break
         tile //= 2
     return tile
 
 
+def _slot_count(schedule: PruningSchedule) -> int:
+    return _dfs_slot_schedule(schedule)[5]
+
+
 def pallas_supported(
     schedule: PruningSchedule, n_states: int, mode: str = "fwd"
 ) -> bool:
-    """Does the whole-tree kernel's working set fit VMEM at the minimum
-    site tile?  The likelihood engine uses this to fall back to the XLA
-    path (forward) or the XLA VJP (backward) on oversized trees instead of
-    failing inside Mosaic."""
-    s_pad = _round_up(n_states, SUBLANE)
+    """Does the kernel's working set fit VMEM at the minimum site tile?
+
+    For the forward ('fwd') this already accounts for the O(depth)
+    slot-reuse kernel, which is what big trees run. The likelihood engine
+    uses this to fall back to the XLA path (forward) or the XLA VJP
+    (backward) on oversized trees instead of failing inside Mosaic.
+    """
+    s_pad = _state_pad(n_states)
+    if mode == "fwd":
+        if (
+            _working_bytes(LANE, schedule.n_nodes, schedule.n_leaves,
+                           s_pad, "fwd")
+            <= VMEM_BUDGET
+        ):
+            return True
+        mode = "slot"
+    n_slots = _slot_count(schedule) if mode == "slot" else 0
     return (
         _working_bytes(
-            LANE, schedule.n_nodes, schedule.n_leaves, s_pad, mode
+            LANE, schedule.n_nodes, schedule.n_leaves, s_pad, mode, n_slots
         )
         <= VMEM_BUDGET
     )
@@ -463,12 +631,25 @@ def _pallas_forward(
     n_leaves: int,
     tile: int,
     interpret: bool,
+    slot_data=None,
 ):
     k = p_matrices.shape[1]
     sites = leaf_partials.shape[1]
     s = leaf_partials.shape[2]
-    s_pad = _round_up(s, SUBLANE)
-    tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "fwd")
+    s_pad = _state_pad(s)
+    # classic whole-tree scratch when it fits; otherwise the O(depth)
+    # slot-reuse kernel (big trees)
+    use_slots = (
+        slot_data is not None
+        and _working_bytes(LANE, n_nodes, n_leaves, s_pad, "fwd")
+        > VMEM_BUDGET
+    )
+    if use_slots:
+        tile = _pick_tile(
+            tile, sites, n_nodes, n_leaves, s_pad, "slot", slot_data[5]
+        )
+    else:
+        tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "fwd")
     sites_pad = _round_up(sites, tile)
     n_internal = order.shape[0]
     cmax = children.shape[1]
@@ -507,15 +688,48 @@ def _pallas_forward(
             memory_space=pltpu.VMEM,
         ),
     ]
-    scratch_shapes = [
-        pltpu.VMEM((n_nodes, s_pad, tile), dtype),
-        pltpu.VMEM((n_nodes, 1, tile), dtype),
-    ]
     out_shape = [
         jax.ShapeDtypeStruct((k, s_pad, sites_pad), dtype),
         jax.ShapeDtypeStruct((k, 1, sites_pad), dtype),
     ]
 
+    if use_slots:
+        nslot, cnode, csrc, cleaf, counts2, n_slots, root_slot = slot_data
+        kernel = functools.partial(
+            _dynamic_slot_kernel,
+            n_leaves=n_leaves, n_slots=n_slots,
+            n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+            root_slot=root_slot,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_tiles, k),
+            in_specs=tensor_in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, s_pad, tile), dtype),
+                pltpu.VMEM((n_slots, 1, tile), dtype),
+            ],
+        )
+        root_p, root_sc = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(jnp.asarray(nslot), jnp.asarray(cnode.T.copy()),
+          jnp.asarray(csrc.T.copy()), jnp.asarray(cleaf.T.copy()),
+          jnp.asarray(counts2), p, lp)
+        root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
+        root_logscale = root_sc[:, 0, :sites]
+        out_dtype = leaf_partials.dtype
+        return (
+            root_partials.astype(out_dtype), root_logscale.astype(out_dtype)
+        )
+
+    scratch_shapes = [
+        pltpu.VMEM((n_nodes, s_pad, tile), dtype),
+        pltpu.VMEM((n_nodes, 1, tile), dtype),
+    ]
     if static:
         kernel = functools.partial(
             _static_kernel,
@@ -551,8 +765,8 @@ def _pallas_forward(
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
-        )(jnp.asarray(order), jnp.asarray(children), jnp.asarray(counts),
-          p, lp)
+        )(jnp.asarray(order), jnp.asarray(children.T.copy()),
+          jnp.asarray(counts), p, lp)
 
     root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
     root_logscale = root_sc[:, 0, :sites]
@@ -587,6 +801,7 @@ def make_pallas_prune_fn(
         n_leaves=schedule.n_leaves,
         tile=tile,
         interpret=interpret,
+        slot_data=_dfs_slot_schedule(schedule),
     )
 
     @jax.custom_vjp
@@ -623,7 +838,7 @@ def _pallas_forward_saveall(
     k = p_matrices.shape[1]
     sites = leaf_partials.shape[1]
     s = leaf_partials.shape[2]
-    s_pad = _round_up(s, SUBLANE)
+    s_pad = _state_pad(s)
     tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "save")
     sites_pad = _round_up(sites, tile)
     n_internal = order.shape[0]
@@ -671,7 +886,8 @@ def _pallas_forward_saveall(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(order), jnp.asarray(children), jnp.asarray(counts), p, lp)
+    )(jnp.asarray(order), jnp.asarray(children.T.copy()),
+      jnp.asarray(counts), p, lp)
     return buf_all, ls_all, p
 
 
@@ -754,7 +970,7 @@ def _pallas_backward(
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray(order[::-1].copy()),
-      jnp.asarray(children[::-1].copy()),
+      jnp.asarray(children[::-1].T.copy()),
       jnp.asarray(counts[::-1].copy()),
       p_pad, pt_pad, buf_all, ls_all, groot)
     return dp_pad, dleaf_k
@@ -794,9 +1010,13 @@ def make_pallas_loglik_fn(
     root = int(order[-1])
     _hi = jax.lax.Precision.HIGHEST
 
+    slot_data = _dfs_slot_schedule(schedule)
+
     @jax.custom_vjp
     def site_cat_ll(p_matrices, leaf_partials, freqs):
-        root_p, root_sc = _pallas_forward(p_matrices, leaf_partials, **common)
+        root_p, root_sc = _pallas_forward(
+            p_matrices, leaf_partials, slot_data=slot_data, **common
+        )
         rdt = freqs.dtype
         dot = jnp.einsum(
             "ksi,i->ks", root_p.astype(rdt), freqs, precision=_hi

@@ -1,0 +1,116 @@
+"""External literal goldens — anchors OUTSIDE the in-repo oracle.
+
+Round-1 VERDICT item 8: every golden previously traced to the self-built
+f64 oracle (itself validated against closed forms, but self-contained).
+These tests pin the engine against independently published constants and
+closed-form estimators from the literature:
+
+- Yang (1994) "Maximum likelihood phylogenetic estimation from DNA
+  sequences with variable rates over sites" Table: the mean-discretized
+  4-category gamma rates for alpha=0.5 — (0.0334, 0.2519, 0.8203, 2.8944)
+  — hard-coded below as printed, NOT derived from any code in this repo.
+- The alpha=1 (exponential), 2-category mean discretization has the exact
+  closed form r = (1 - ln 2, 1 + ln 2).
+- Jukes & Cantor (1969) distance: d = -3/4 ln(1 - 4p/3).
+- Kimura (1980) two-parameter distance and kappa:
+  d = -1/2 ln(1-2P-Q) - 1/4 ln(1-2Q),
+  kappa = (2a - b)/b with a = -ln(1-2P-Q), b = -ln(1-2Q)
+  (P = transition proportion, Q = transversion proportion). The engine's
+  gradient-based ML fit must land on these textbook closed-form MLEs.
+
+(The reference's own test alignments remain unavailable — /root/reference
+is an empty mount, re-verified this round — so published formulas/constants
+are the strongest available external anchor; see PARITY.md.)
+"""
+import math
+
+import numpy as np
+import pytest
+
+from phylo_utils_tpu import models
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.optimize import fit, ml_distance_matrix
+
+# Yang (1994), mean discretization, ncat=4, alpha=0.5 — published values.
+YANG94_ALPHA05_K4 = (0.0334, 0.2519, 0.8203, 2.8944)
+
+
+def test_discrete_gamma_matches_yang94_published_rates():
+    from phylo_utils_tpu.ops.gamma import discrete_gamma
+
+    rates = np.asarray(discrete_gamma(np.float64(0.5), 4))
+    np.testing.assert_allclose(rates, YANG94_ALPHA05_K4, atol=5e-5)
+
+
+def test_discrete_gamma_exponential_closed_form():
+    """alpha=1 is Exp(1): the 2-category means are exactly 1 -+ ln 2."""
+    from phylo_utils_tpu.ops.gamma import discrete_gamma
+
+    rates = np.asarray(discrete_gamma(np.float64(1.0), 2))
+    np.testing.assert_allclose(
+        rates, [1.0 - math.log(2.0), 1.0 + math.log(2.0)], atol=1e-9
+    )
+
+
+def _two_seq_alignment(n, diffs):
+    """Two DNA sequences of length n differing at `diffs` sites by the
+    given substitution kinds ('ts' A<->G transition, 'tv' A<->C
+    transversion)."""
+    a = ["A"] * n
+    b = ["A"] * n
+    i = 0
+    for kind, count in diffs:
+        for _ in range(count):
+            b[i] = "G" if kind == "ts" else "C"
+            i += 1
+    return {"x": "".join(a), "y": "".join(b)}
+
+
+def test_jc69_distance_formula():
+    n, nd = 500, 80
+    aln = _two_seq_alignment(n, [("ts", 50), ("tv", 30)])
+    p = nd / n
+    d_formula = -0.75 * math.log1p(-4.0 * p / 3.0)
+    d_hat = ml_distance_matrix(aln, models.JC69)[0, 1]
+    assert d_hat == pytest.approx(d_formula, rel=1e-4)
+
+
+def test_k80_ml_fit_matches_kimura1980_closed_form():
+    """Joint gradient fit of (branch length, kappa) on a two-taxon K80
+    engine must reproduce Kimura's closed-form MLEs."""
+    n, n_ts, n_tv = 600, 90, 24
+    aln = _two_seq_alignment(n, [("ts", n_ts), ("tv", n_tv)])
+    P, Q = n_ts / n, n_tv / n
+    a = -math.log(1.0 - 2.0 * P - Q)
+    b = -math.log(1.0 - 2.0 * Q)
+    d_formula = 0.5 * a + 0.25 * b
+    kappa_formula = (2.0 * a - b) / b
+
+    engine = LikelihoodEngine(
+        "(x:0.05,y:0.05);", aln, models.K80, compress=True
+    )
+    res = fit(engine, max_steps=300, tol=1e-12)
+    d_hat = float(np.sum(np.asarray(res.params["branch_lengths"])))
+    kappa_hat = float(res.params["model"]["kappa"])
+    assert d_hat == pytest.approx(d_formula, rel=2e-3)
+    assert kappa_hat == pytest.approx(kappa_formula, rel=2e-2)
+
+
+def test_jc69_two_sequence_loglik_closed_form():
+    """Closed-form two-sequence JC69 logL at distance d:
+    logL = n_same*log(1/4*(1/4+3/4 e^{-4d/3})) +
+           n_diff*log(1/4*(1/4-1/4 e^{-4d/3}))."""
+    n, nd = 300, 60
+    aln = _two_seq_alignment(n, [("ts", 40), ("tv", 20)])
+    d = 0.31
+    e = math.exp(-4.0 * d / 3.0)
+    p_same = 0.25 + 0.75 * e
+    p_diff = 0.25 - 0.25 * e
+    gold = (n - nd) * math.log(0.25 * p_same) + nd * math.log(
+        0.25 * p_diff
+    )
+    engine = LikelihoodEngine("(x:0.155,y:0.155);", aln, models.JC69)
+    ll = engine.loglikelihood(
+        {"branch_lengths": np.array([d / 2, d / 2, 0.0])}
+    )
+    assert ll == pytest.approx(gold, abs=1e-6)

@@ -166,13 +166,13 @@ def test_backward_only_fallback():
     aln = {n: "".join(rng.choice(list("ACGT"), size=50))
            for n in tree.leaf_names}
     sched = compile_schedule(tree)
-    fwd_bytes = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
-                                  8, "fwd")
-    bwd_bytes = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
-                                  8, "bwd")
-    assert bwd_bytes > fwd_bytes
+    fwd_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                              8, "fwd")
+    save_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                               8, "save")
+    assert save_b > fwd_b
     old = pp.VMEM_BUDGET
-    pp.VMEM_BUDGET = (fwd_bytes + bwd_bytes) // 2
+    pp.VMEM_BUDGET = (fwd_b + save_b) // 2
     try:
         eng = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
                                dtype="float32", pruner="pallas")
@@ -188,3 +188,32 @@ def test_backward_only_fallback():
         )
     finally:
         pp.VMEM_BUDGET = old
+
+
+def test_slot_kernel_matches_classic_and_xla():
+    """The O(depth) slot-reuse forward (big-tree path) must agree exactly
+    with the classic whole-tree kernel and the XLA path."""
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    sched, p, lp = _setup(20, 200, 4, seed=13)
+    r_xla, s_xla = make_prune_fn(sched)(p, lp)
+    r_classic, s_classic = make_pallas_prune_fn(sched)(p, lp)
+    old = pp.VMEM_BUDGET
+    # force the slot path: classic working set must exceed the budget but
+    # the slot working set (fewer scratch rows) must fit
+    fwd_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                              8, "fwd")
+    n_slots = pp._slot_count(sched)
+    slot_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                               8, "slot", n_slots)
+    assert slot_b < fwd_b
+    pp.VMEM_BUDGET = (slot_b + fwd_b) // 2
+    try:
+        assert n_slots < sched.n_nodes - sched.n_leaves + 1
+        r_slot, s_slot = make_pallas_prune_fn(sched)(p, lp)
+    finally:
+        pp.VMEM_BUDGET = old
+    np.testing.assert_allclose(r_slot, r_xla, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s_slot, s_xla, rtol=2e-5, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(r_slot), np.asarray(r_classic))
+    np.testing.assert_array_equal(np.asarray(s_slot), np.asarray(s_classic))
