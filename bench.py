@@ -9,12 +9,16 @@ serial structure as phylo_utils' Cython loop; SURVEY.md §6: the reference
 publishes no numbers and its mount is empty, so the oracle is the 10x
 denominator, swappable for real reference timings if the mount appears).
 
-Measurement order matters on the experimental axon runtime: the throughput
-loop runs FIRST, immediately after the compile/warmup call with the same
-buffers. Interleaving any other dispatch (fresh param dicts, host numpy
-work) before the loop was measured to degrade steady-state step time ~40x
-(0.038ms -> 1.6ms) for the remainder of the process. Parity checks therefore
-run after the timing.
+MEASUREMENT METHODOLOGY (r2): the axon relay MEMOIZES identical dispatches —
+calling a jitted fn twice with the same buffers returns a cached result in
+~0.03 ms regardless of problem size (measured: 64 taxa x 16384 patterns
+"ran" in 0.029 ms, which is physically impossible). Same-buffer replay
+therefore measures cache latency, not compute (round-1 numbers were
+cache-bound). Honest timing = N likelihood evaluations with UNIQUE branch
+lengths fused into ONE dispatch via lax.scan, with a per-call seed so outer
+dispatches are unique too; per-eval time = call time / N. Every evaluation
+includes the full pipeline (P(t) eigen-expm construction, fused Pallas
+pruning, f64 root reduction/mixing) — what a real optimizer step pays.
 """
 from __future__ import annotations
 
@@ -31,10 +35,14 @@ N_TAXA = 64
 N_SITES = 1024          # random DNA -> patterns ~= sites (all unique)
 NCAT = 4
 ORACLE_SITES = 128      # oracle is slow; measure on a slice and scale
+N_INNER = 50            # likelihood evals fused per dispatch
+N_INNER_GRAD = 25
 
 
 def main():
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     # x64 on: the f32 perf engine then builds P(t) and does the root
     # reduction / final pattern sum in f64 (likelihood.py precision plan) —
@@ -62,74 +70,90 @@ def main():
         tree, aln, models.GTR, ncat=NCAT, dtype=dtype, pruner=pruner
     )
     n_patterns = engine._compressed.n_patterns
-    params = engine.default_params()
+    params = engine._full_params(None)
+    lp, w = engine._leaf_partials, engine._weights
 
-    # --- throughput first (see module docstring) ---------------------------
+    # model fixed across the evals -> eigen computed once (the reference's
+    # TransitionMatrix semantics); P(t) is still rebuilt per evaluation
+    eig = engine.model_eigen(params)
+
+    def loglik(p2):
+        return engine._loglik_fn(p2, lp, w, eig=eig)[0]
+
+    acc0 = jnp.zeros((), jnp.result_type(float))
+
+    @jax.jit
+    def scan_eval(params, seed):
+        def body(acc, i):
+            p2 = dict(params)
+            p2["branch_lengths"] = params["branch_lengths"] * (
+                1.0 + 1e-7 * (i + seed)
+            )
+            return acc + loglik(p2).astype(acc.dtype), None
+
+        acc, _ = lax.scan(
+            body, acc0, jnp.arange(N_INNER, dtype=jnp.float32)
+        )
+        return acc
+
+    @jax.jit
+    def scan_vag(params, seed):
+        def body2(acc, i):
+            p2 = dict(params)
+            p2["branch_lengths"] = params["branch_lengths"] * (
+                1.0 + 1e-7 * (i + seed)
+            )
+            v, g = jax.value_and_grad(loglik)(p2)
+            return (
+                acc + v.astype(acc.dtype)
+                + jnp.sum(g["branch_lengths"]).astype(acc.dtype),
+                None,
+            )
+
+        acc, _ = lax.scan(
+            body2, acc0, jnp.arange(N_INNER_GRAD, dtype=jnp.float32)
+        )
+        return acc
+
+    def timed(fn, n_inner, n_reps=3):
+        jax.block_until_ready(fn(params, jnp.float32(0.0)))  # compile+warm
+        best = float("inf")
+        for s in range(1, n_reps + 1):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, jnp.float32(s * 1000.0)))
+            best = min(best, time.perf_counter() - t0)
+        return best / n_inner
+
+    per_eval = timed(scan_eval, N_INNER)
+    pps = n_patterns / per_eval
+    per_grad = timed(scan_vag, N_INNER_GRAD)
+
+    # single honest eval for the parity number
     fn = engine._jit_fn
-    args = (engine._full_params(params), engine._leaf_partials, engine._weights)
-    result_for_parity = fn(*args)
-    jax.block_until_ready(result_for_parity)  # compile + warm
-    n_iter = 50
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
-    pps = n_patterns / dt
+    result_for_parity = fn(params, lp, w)
+    jax.block_until_ready(result_for_parity)
     ll = float(result_for_parity[0])
 
-    # --- parity + oracle denominator (after timing) ------------------------
-    rates = oracle.discrete_gamma(0.5, NCAT)
-    gtr_oracle = oracle.gtr([1.0] * 6, [0.25] * 4)
-    weights = np.asarray(engine._compressed.weights)
-    lp64 = np.asarray(engine._compressed.partials, dtype=np.float64)
-    oracle_time = float("inf")
-    for _ in range(3):  # min over repeats: robust to CPU contention
-        t0 = time.perf_counter()
-        oracle.loglikelihood(
-            tree, aln, gtr_oracle, rates=rates,
-            pattern_weights=weights[:ORACLE_SITES],
-            leaf_partials=lp64[:, :ORACLE_SITES, :],
-        )
-        oracle_time = min(oracle_time, time.perf_counter() - t0)
-    oracle_pps = ORACLE_SITES / oracle_time
-
-    ll_full_oracle = oracle.loglikelihood(
-        tree, aln, gtr_oracle, rates=rates, pattern_weights=weights,
-        leaf_partials=lp64,
-    )
-    err = abs(ll - ll_full_oracle) / max(abs(ll_full_oracle), 1.0)
-
-    # --- gradient-mode throughput (the optimization workload) -------------
-    # value_and_grad through the Pallas forward + Pallas backward kernels
-    # (ops/pallas_pruning.make_pallas_loglik_fn), same-buffer replay.
-    vag = engine._jit_vag
-    r = vag(*args)
-    jax.block_until_ready(r)
+    # legacy same-buffer replay (relay cache latency, NOT compute) — kept
+    # for transparency about what round-1 measured
     t0 = time.perf_counter()
-    for _ in range(30):
-        r = vag(*args)
-    jax.block_until_ready(r)
-    grad_ms = (time.perf_counter() - t0) / 30 * 1e3
+    for _ in range(20):
+        out = fn(params, lp, w)
+    jax.block_until_ready(out)
+    replay_cached_ms = (time.perf_counter() - t0) / 20 * 1e3
 
     # --- steady-state fit loop: optimizer steps fused into one dispatch ---
-    # (the honest number for BASELINE config 5-shaped workloads: every step
-    # has fresh parameter buffers, so per-call dispatch runs in the relay's
-    # degraded mode — chunking via lax.scan amortizes it away)
     import optax
-    from jax import lax
 
     from phylo_utils_tpu.optimize import transform_params, untransform_params
 
     CHUNK = 25
     opt = optax.adam(1e-2)
-    raw0 = transform_params(args[0])
+    raw0 = transform_params(params)
     opt_state0 = opt.init(raw0)
 
     def loss_fn(raw):
-        total, _ = engine._loglik_fn(
-            untransform_params(raw), args[1], args[2]
-        )
+        total, _ = engine._loglik_fn(untransform_params(raw), lp, w)
         return -total
 
     @jax.jit
@@ -153,17 +177,27 @@ def main():
     fit_steps_per_s = CHUNK / (time.perf_counter() - t0)
     final_fit_ll = -float(np.asarray(losses)[-1])
 
-    # worst-case per-step latency: fresh parameter buffers each call,
-    # synced per call (an optimizer-loop-shaped workload WITHOUT chunking;
-    # on the axon relay this path runs in its degraded dispatch mode — see
-    # module docstring)
-    fresh_iters = 10
-    t0 = time.perf_counter()
-    for i in range(fresh_iters):
-        p = dict(args[0])
-        p["branch_lengths"] = p["branch_lengths"] * (1.0 + 1e-6 * (i + 1))
-        jax.block_until_ready(fn(p, args[1], args[2]))
-    fresh_ms = (time.perf_counter() - t0) / fresh_iters * 1e3
+    # --- parity + oracle denominator (after timing) ------------------------
+    rates = oracle.discrete_gamma(0.5, NCAT)
+    gtr_oracle = oracle.gtr([1.0] * 6, [0.25] * 4)
+    weights = np.asarray(engine._compressed.weights)
+    lp64 = np.asarray(engine._compressed.partials, dtype=np.float64)
+    oracle_time = float("inf")
+    for _ in range(3):  # min over repeats: robust to CPU contention
+        t0 = time.perf_counter()
+        oracle.loglikelihood(
+            tree, aln, gtr_oracle, rates=rates,
+            pattern_weights=weights[:ORACLE_SITES],
+            leaf_partials=lp64[:, :ORACLE_SITES, :],
+        )
+        oracle_time = min(oracle_time, time.perf_counter() - t0)
+    oracle_pps = ORACLE_SITES / oracle_time
+
+    ll_full_oracle = oracle.loglikelihood(
+        tree, aln, gtr_oracle, rates=rates, pattern_weights=weights,
+        leaf_partials=lp64,
+    )
+    err = abs(ll - ll_full_oracle) / max(abs(ll_full_oracle), 1.0)
 
     result = {
         "metric": "site-patterns/sec/chip, 64-taxon GTR+Gamma4 pruning",
@@ -171,13 +205,19 @@ def main():
         "unit": "patterns/s/chip",
         "vs_baseline": round(pps / oracle_pps, 2),
         "extra": {
+            "methodology": (
+                f"scan-batched: {N_INNER} full logL evals with unique "
+                "branch lengths fused per dispatch (the relay memoizes "
+                "identical dispatches; same-buffer replay is cache "
+                "latency — see replay_cached_ms)"
+            ),
             "n_patterns": int(n_patterns),
-            "step_ms": round(dt * 1e3, 4),
-            "grad_step_ms": round(grad_ms, 4),
-            "grad_patterns_per_s": round(n_patterns / (grad_ms / 1e3), 1),
+            "eval_ms": round(per_eval * 1e3, 4),
+            "grad_eval_ms": round(per_grad * 1e3, 4),
+            "grad_patterns_per_s": round(n_patterns / per_grad, 1),
             "fit_steps_per_s": round(fit_steps_per_s, 1),
             "fit_chunk_ll": final_fit_ll,
-            "step_ms_fresh_params_synced": round(fresh_ms, 4),
+            "replay_cached_ms": round(replay_cached_ms, 4),
             "oracle_patterns_per_s": round(oracle_pps, 1),
             "rel_logl_err_vs_f64_oracle": float(err),
             "pruner": pruner,

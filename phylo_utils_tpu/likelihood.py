@@ -46,13 +46,24 @@ def _canonical_dtype(dtype):
     return jnp.dtype(jnp.result_type(float))  # honors jax_enable_x64
 
 
-def mixture_rates_and_p(engine, params, dtype):
+def mixture_rates_and_p(engine, params, dtype, eig=None):
     """Shared mixture construction: (rates, cat_weights, p, freqs).
 
     Single source of truth for the rate-category vector (gamma or FreeRate),
     category weights, and the batched P(t) tensor — consumed by the engine's
     ``_loglik_fn`` and by ancestral.py's posterior passes so a rate-model
     change lands in one place.
+
+    ``eig``: a precomputed ``Eigen`` for the CURRENT model parameters. When
+    given, P(t) is reconstructed from it (V e^{lambda t} V^-1 — exactly the
+    reference's TransitionMatrix semantics, where the eigendecomposition
+    lives with the model and only P(t) is per-branch) instead of
+    re-decomposing Q on every evaluation. This is the fast path for
+    model-fixed workloads (branch-length optimization, distances, tree
+    search, bootstrap): the eigh is the single most expensive op in an
+    evaluation on TPU. Differentiable in branch lengths (d e^{lambda t}/dt
+    needs no eigh JVP); model-parameter gradients must use the eig=None
+    path (Daleckii-Krein custom JVP).
     """
     ncat = engine.ncat
     if ncat > 1 and getattr(engine, "rate_model", "gamma") == "free":
@@ -75,7 +86,10 @@ def mixture_rates_and_p(engine, params, dtype):
         cat_weights = jnp.full((1,), 1.0, dtype)
     t = params["branch_lengths"].astype(dtype)
     ts = t[:, None] * rates[None, :]                       # (n_nodes, K)
-    if engine.model.reversible:
+    if eig is not None:
+        freqs = eig.freqs.astype(dtype)
+        p = transition_matrices(eig, ts)
+    elif engine.model.reversible:
         # degeneracy-safe custom-JVP path (ops.pmatrix docstring)
         sym, freqs = engine.model.build_parts(params["model"], dtype=dtype)
         p = p_matrices_reversible(sym, freqs, ts)          # (n_nodes, K, S, S)
@@ -263,10 +277,35 @@ class LikelihoodEngine:
             self._weights = jnp.asarray(weights, self.dtype)
 
         self._jit_fn = jax.jit(self._loglik_fn)
+        self._jit_fn_eig = jax.jit(
+            lambda p, eig, lp, w: self._loglik_fn(p, lp, w, eig=eig)
+        )
         self._jit_grad = jax.jit(jax.grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0]))
         self._jit_vag = jax.jit(
             jax.value_and_grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0])
         )
+        self._eig_cache_key = None
+        self._eig_cache = None
+
+    def model_eigen(self, full_params):
+        """Eigen system for ``full_params['model']``, cached on the host by
+        parameter VALUE (reference parity: the eigendecomposition lives
+        with the model — phylo_utils/markov.py TransitionMatrix — and is
+        NOT redone per likelihood evaluation; on TPU the eigh is the most
+        expensive single op in an evaluation)."""
+        rdt = self._reduce_dtype
+        if "model" not in full_params:
+            # mixture/subclass engines with their own parameterization:
+            # no single model eigen to cache
+            return None
+        key = tuple(
+            (k, np.asarray(v).tobytes())
+            for k, v in sorted(full_params["model"].items())
+        )
+        if key != self._eig_cache_key:
+            self._eig_cache = self.model.eigen(full_params["model"], dtype=rdt)
+            self._eig_cache_key = key
+        return self._eig_cache
 
     # -- parameters ---------------------------------------------------------
 
@@ -303,12 +342,13 @@ class LikelihoodEngine:
 
     # -- core computation ----------------------------------------------------
 
-    def _loglik_fn(self, params, leaf_partials, weights):
+    def _loglik_fn(self, params, leaf_partials, weights, eig=None):
         dtype = self.dtype
         rdt = getattr(self, "_reduce_dtype", dtype)
         # P(t), rates, weights, freqs built in the high-precision dtype;
         # only the pruning pass itself runs in `dtype`.
-        _, cat_weights, p, freqs = mixture_rates_and_p(self, params, rdt)
+        _, cat_weights, p, freqs = mixture_rates_and_p(self, params, rdt,
+                                                       eig=eig)
         pinv = params.get("pinv") if self.invariant_sites else None
         inv = (
             invariant_site_likelihood(leaf_partials.astype(rdt), freqs)
@@ -332,19 +372,24 @@ class LikelihoodEngine:
 
     # -- public API ----------------------------------------------------------
 
-    def loglikelihood(self, params: Optional[Mapping] = None) -> float:
-        total, _ = self._jit_fn(
-            self._full_params(params), self._leaf_partials, self._weights
+    def _eval(self, full):
+        """(total, sitewise) via the cached-eigen fast path when available."""
+        eig = self.model_eigen(full)
+        if eig is None:
+            return self._jit_fn(full, self._leaf_partials, self._weights)
+        return self._jit_fn_eig(
+            full, eig, self._leaf_partials, self._weights
         )
+
+    def loglikelihood(self, params: Optional[Mapping] = None) -> float:
+        total, _ = self._eval(self._full_params(params))
         return float(total)
 
     def sitewise_loglikelihoods(
         self, params: Optional[Mapping] = None, per_pattern: bool = False
     ) -> np.ndarray:
         """Per-site (or per-pattern) log-likelihoods."""
-        _, sw = self._jit_fn(
-            self._full_params(params), self._leaf_partials, self._weights
-        )
+        _, sw = self._eval(self._full_params(params))
         sw = np.asarray(sw)[: self._compressed.n_patterns]
         if per_pattern:
             return sw
@@ -374,9 +419,7 @@ class LikelihoodEngine:
         (The reference would rerun its whole C pruning loop per replicate.)
         Resampling respects the original per-pattern multiplicities.
         """
-        _, sw = self._jit_fn(
-            self._full_params(params), self._leaf_partials, self._weights
-        )
+        _, sw = self._eval(self._full_params(params))
         n_pat = self._compressed.n_patterns
         sw = np.asarray(sw, np.float64)[:n_pat]
         w = np.asarray(self._compressed.weights, np.float64)[:n_pat]
