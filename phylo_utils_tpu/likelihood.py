@@ -395,6 +395,38 @@ class LikelihoodEngine:
             return sw
         return sw[self._compressed.site_to_pattern]
 
+    def loglikelihood_many(
+        self, branch_length_sets, params: Optional[Mapping] = None
+    ) -> np.ndarray:
+        """logL for MANY branch-length vectors under one fixed model.
+
+        ``branch_length_sets``: (B, n_nodes). All B evaluations run in one
+        fused dispatch (``vmap`` adds a batch grid axis to the Pallas
+        kernel), which amortizes the per-launch overhead — measured ~3x
+        the single-stream evaluation rate on TPU v5e. The model
+        eigendecomposition is computed once (``model_eigen``). Use for
+        branch scans, profile likelihoods, multi-start seeding, and
+        search-candidate scoring.
+        """
+        full = self._full_params(params)
+        eig = self.model_eigen(full)
+        bl = jnp.asarray(branch_length_sets, self.dtype)
+        if not hasattr(self, "_jit_many"):
+            def many(full, eig, bl, lp, w):
+                def one(b):
+                    p2 = dict(full)
+                    p2["branch_lengths"] = b
+                    return self._loglik_fn(p2, lp, w, eig=eig)[0]
+
+                return jax.vmap(one)(bl)
+
+            self._jit_many = jax.jit(many)
+        return np.asarray(
+            self._jit_many(
+                full, eig, bl, self._leaf_partials, self._weights
+            )
+        )
+
     def gradient(self, params: Optional[Mapping] = None) -> Dict:
         return self._jit_grad(
             self._full_params(params), self._leaf_partials, self._weights

@@ -97,6 +97,21 @@ def eigen_reversible(
     sqrtp = jnp.sqrt(freqs)
     b = (sqrtp[:, None] * q) / sqrtp[None, :]
     b = 0.5 * (b + b.T)  # exact symmetry against rounding
+    if b.dtype == jnp.float64:
+        # TPU's f64 eigh (emulated) returns NaN eigenpairs for certain
+        # exactly-tied degenerate matrices (root-caused 2026-08-17 on a
+        # doubly-degenerate 4x4 B from f32-rounded duplicate GTR rates:
+        # evals came back [ok, ok, nan, nan]). A deterministic GRADED
+        # diagonal perturbation of ~1e-13 x scale breaks the ties; the
+        # eigenvalue shift is <= S*1e-13*|Q| — orders of magnitude inside
+        # the 1e-6 logL budget (and below the f64 oracle gates). f32 eigh
+        # does not exhibit the failure and gets no jitter (1e-13 would
+        # round away anyway).
+        scale = jnp.max(jnp.abs(b))
+        s = b.shape[-1]
+        b = b + jnp.diag(
+            jnp.arange(s, dtype=b.dtype) * (1e-13 * scale / max(s - 1, 1))
+        )
     if host if host is not None else HOST_EIGH:
         w, u = _eigh_host(b)
     else:

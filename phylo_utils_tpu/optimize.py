@@ -161,12 +161,24 @@ def fit(
     frozen = {k: v for k, v in base.items() if k not in free_set}
     start = {k: v for k, v in base.items() if k in free_set}
 
+    # model parameters frozen -> the eigendecomposition is a constant of
+    # the whole fit: use the engine's cached-eigen fast path (the eigh is
+    # the most expensive single op per evaluation on TPU)
+    eig = None
+    if "model" not in free_set and hasattr(engine, "model_eigen"):
+        eig = engine.model_eigen(base)
+
     def loss_fn(raw):
         params = dict(frozen)
         params.update(untransform_params(raw))
-        total, _ = engine._loglik_fn(
-            params, engine._leaf_partials, engine._weights
-        )
+        if eig is not None:
+            total, _ = engine._loglik_fn(
+                params, engine._leaf_partials, engine._weights, eig=eig
+            )
+        else:
+            total, _ = engine._loglik_fn(
+                params, engine._leaf_partials, engine._weights
+            )
         return -total
 
     raw0 = transform_params(start)

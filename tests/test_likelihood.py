@@ -239,3 +239,67 @@ def test_engine_scan_path_matches_unrolled():
     g1, g2 = e_unroll.gradient(), e_scan.gradient()
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_loglikelihood_many_matches_single():
+    """Batched branch-length evaluation (one fused dispatch) must equal
+    per-set single evaluations, on both pruners."""
+    import numpy as np
+
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(10, seed=21)
+    rng = np.random.default_rng(2)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=60))
+           for n in tree.leaf_names}
+    for pruner in ("xla", "pallas"):
+        eng = LikelihoodEngine(tree, aln, models.HKY85, ncat=3,
+                               dtype="float32", pruner=pruner)
+        base = np.asarray(eng.default_params()["branch_lengths"])
+        sets = np.stack([base * s for s in (0.5, 1.0, 1.7, 3.0)])
+        batched = eng.loglikelihood_many(sets)
+        singles = [
+            eng.loglikelihood({"branch_lengths": s}) for s in sets
+        ]
+        np.testing.assert_allclose(batched, singles, rtol=1e-6, atol=1e-4)
+
+
+def test_eigen_tied_degenerate_structure_finite_and_accurate():
+    """Regression: TPU's f64 eigh returned NaN eigenpairs for a doubly-
+    degenerate GTR B-matrix arising from f32-rounded duplicate rates
+    (adam step 1 of a fit). eigen_reversible now applies a graded 1e-13
+    diagonal tie-break for f64; this pins (a) finiteness at the exact
+    failing parameter point and (b) that the jitter costs nothing at the
+    oracle tolerance."""
+    import jax.numpy as jnp
+
+    from phylo_utils_tpu.models.base import eigen_reversible
+
+    prm = {
+        "rates": np.asarray(
+            [1.0063176, 1.0063176, 0.99367917, 0.99367917, 1.0063176,
+             1.0063176], np.float64
+        ),
+        "freqs": np.asarray(
+            [0.25250009, 0.25250009, 0.24749991, 0.24749991], np.float64
+        ),
+    }
+    sym, fr = models.GTR.build_parts(prm, dtype=jnp.float64)
+    eig = eigen_reversible(sym, fr)
+    for leaf in (eig.evals, eig.evecs, eig.ivecs):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    rec = (
+        np.asarray(eig.evecs)
+        @ np.diag(np.asarray(eig.evals))
+        @ np.asarray(eig.ivecs)
+    )
+    np.testing.assert_allclose(rec, np.asarray(eig.q), atol=1e-12)
+    # logL at a jittered-eigen point still matches the (jitter-free) oracle
+    tree = parse_newick("((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);")
+    aln = {"a": "ACGTACGTGG", "b": "ACGTTGCAGG",
+           "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
+    eng = LikelihoodEngine(tree, aln, models.GTR)
+    ll = eng.loglikelihood({"model": prm})
+    m = oracle.gtr(list(prm["rates"]), list(prm["freqs"]))
+    gold = oracle.loglikelihood(tree, aln, m)
+    assert abs(ll - gold) < 1e-8 * abs(gold)
