@@ -118,9 +118,44 @@ def _postorder_arrays(schedule: PruningSchedule):
 # State-space width at/above which the child contraction uses the MXU
 # (jnp.dot) instead of the VPU outer-product loop. For DNA (S_pad=8) a
 # padded 128x128 systolic matmul wastes ~256x of the array and the VPU
-# wins decisively; for codon models (S_pad=64) the dot is a real matmul.
-# Overridable via env PHYLO_MXU_MIN_SPAD for experiments.
-MXU_MIN_SPAD = int(os.environ.get("PHYLO_MXU_MIN_SPAD", "32"))
+# wins decisively; for protein (S_pad=24) and codon (S_pad=64) the MXU
+# wins. Honest-methodology A/B on TPU v5e (32-taxon LG+G4, 1024 patterns,
+# 2026-08-17): MXU@24 844k patterns/s vs VPU 794-812k, logL parity
+# unchanged (3.5e-7 vs f64). Overridable via env PHYLO_MXU_MIN_SPAD.
+MXU_MIN_SPAD = int(os.environ.get("PHYLO_MXU_MIN_SPAD", "24"))
+
+
+# Category folding (wide-state models): stack `fold` rate categories' P
+# matrices into one block-diagonal (fold*S_pad)^2 matrix so the child
+# contraction is ONE wide MXU matmul instead of `fold` narrow ones.
+# Rescaling stays per category block (see _block_rescale).
+#
+# MEASURED NEGATIVE RESULT on TPU v5e (honest batched methodology,
+# 2026-08-17) — hence DEFAULT OFF: protein 32-taxa LG+G4 folded 4x24=96:
+# 646k patterns/s vs 844k unfolded MXU@24; codon folded 2x64=128: 65.0k
+# vs 67.4k unfolded. At Precision.HIGHEST (the only Mosaic-lowerable
+# full-f32 mode; HIGH fails to lower) the 6-pass cost and the fold^2
+# growth of the block-diagonal P's VMEM traffic eat the utilization gain.
+# Kept as an env-gated experiment (PHYLO_FOLD_CATEGORIES=auto|<int>) —
+# the lowering is exact (per-block rescale == per-category rescale) and
+# covered by tests, so future hardware can re-evaluate with one env var.
+def _pick_fold(k: int, s_pad: int) -> int:
+    env = os.environ.get("PHYLO_FOLD_CATEGORIES", "0")
+    if env == "0" or k <= 1:
+        return 1
+    if env == "auto":
+        if s_pad < 16:
+            return 1
+        f = k
+    else:
+        f = min(int(env), k)
+    while f > 1 and (k % f or f * s_pad > LANE):
+        f -= 1
+    # folding is an MXU play: only worth it if the folded width hits the
+    # MXU path at all
+    if f * s_pad < MXU_MIN_SPAD:
+        return 1
+    return max(f, 1)
 
 
 def _vpu_matmul(p, x, s_pad: int):
@@ -137,6 +172,8 @@ def _contract(p, x, s_pad: int):
         # HIGHEST precision: the default MXU path accumulates in bf16
         # passes and was measured to shift a 32-taxon protein logL by ~2
         # units; full-f32 keeps the kernel within the engine's error budget.
+        # (Precision.HIGH — 3 bf16 passes — is NOT lowerable by Mosaic:
+        # "Unsupported dot precision", measured 2026-08-17.)
         return jnp.dot(
             p, x, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -211,15 +248,43 @@ class _NodeView:
         self.ref[...] = jnp.zeros(self.ref.shape, self.ref.dtype)
 
 
+def _block_rescale(acc, s_pad: int, n_blocks: int, tiny):
+    """Per-category-block rescale of a (n_blocks*s_pad, T) partials tile.
+
+    With categories folded onto the state axis each block needs its own
+    max (sharing one max across categories would let the slow category's
+    partials drift toward f32 underflow on deep trees). Returns
+    ``(rescaled (n_blocks*s_pad, T), log_m (n_blocks, T))``.
+    """
+    if n_blocks == 1:
+        m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
+        return acc / m, jnp.log(m)
+    ms = [
+        jnp.maximum(
+            jnp.max(acc[b * s_pad:(b + 1) * s_pad], axis=0, keepdims=True),
+            tiny,
+        )
+        for b in range(n_blocks)
+    ]
+    out = jnp.concatenate(
+        [acc[b * s_pad:(b + 1) * s_pad] / ms[b] for b in range(n_blocks)],
+        axis=0,
+    )
+    return out, jnp.log(jnp.concatenate(ms, axis=0))
+
+
 def _walk_tree(
     order_ref, child_ref, count_ref, p_ref, buf, logscale,
-    *, n_internal: int, cmax: int, s_pad: int,
+    *, n_internal: int, cmax: int, s_pad: int, n_blocks: int = 1,
 ):
     """Post-order combine+rescale over the whole tree (shared kernel body).
 
     ``buf``/``logscale`` are _NodeViews with leaves already loaded and
-    logscale zeroed."""
+    logscale zeroed. ``n_blocks > 1`` means categories are folded onto the
+    state axis (block-diagonal P): the contraction spans all blocks at
+    once but the rescale stays per block."""
     tiny = jnp.float32(np.finfo(np.float32).tiny)
+    s_tot = n_blocks * s_pad
 
     def node_step(i, _):
         node = order_ref[i]
@@ -229,16 +294,16 @@ def _walk_tree(
         for c in range(cmax):
             cid = child_ref[c, i]
             valid = c < count
-            y = _contract(p_ref[0, cid], buf[cid], s_pad)
-            csc = logscale[cid]            # (1, T)
+            y = _contract(p_ref[0, cid], buf[cid], s_tot)
+            csc = logscale[cid]            # (n_blocks, T)
             if acc is None:
                 acc, sc = y, csc           # c == 0 always valid
             else:
                 acc = jnp.where(valid, acc * y, acc)
                 sc = jnp.where(valid, sc + csc, sc)
-        m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
-        buf[node] = acc / m
-        logscale[node] = sc + jnp.log(m)
+        part, log_m = _block_rescale(acc, s_pad, n_blocks, tiny)
+        buf[node] = part
+        logscale[node] = sc + log_m
         return 0
 
     jax.lax.fori_loop(0, n_internal, node_step, 0)
@@ -254,20 +319,28 @@ def _dynamic_kernel(
     root_ref,     # (1, S_pad, T)
     scale_ref,    # (1, 1, T)
     # scratch
-    buf,          # (n_nodes, S_pad, T)
-    logscale,     # (n_nodes, 1, T)
+    buf,          # (n_nodes, n_blocks*S_pad, T)
+    logscale,     # (n_nodes, n_blocks, T)
     *,
     n_leaves: int,
     n_internal: int,
     cmax: int,
     s_pad: int,
+    n_blocks: int = 1,
 ):
-    buf[0:n_leaves] = leaf_ref[:]
+    if n_blocks == 1:
+        buf[0:n_leaves] = leaf_ref[:]
+    else:
+        # leaves stream at S_pad width; replicate across category blocks
+        # in VMEM (cheap next to the contraction, and it keeps the HBM
+        # traffic and the leaf input block fold-independent)
+        lv = leaf_ref[:]
+        buf[0:n_leaves] = jnp.concatenate([lv] * n_blocks, axis=1)
     logscale[:] = jnp.zeros_like(logscale)
     _walk_tree(
         order_ref, child_ref, count_ref, p_ref,
         _NodeView(buf), _NodeView(logscale),
-        n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+        n_internal=n_internal, cmax=cmax, s_pad=s_pad, n_blocks=n_blocks,
     )
     root = order_ref[n_internal - 1]
     root_ref[0] = buf[root]
@@ -528,18 +601,21 @@ VMEM_BUDGET = int(
 
 def _working_bytes(
     tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str,
-    n_slots: int = 0,
+    n_slots: int = 0, n_blocks: int = 1,
 ) -> int:
     """Estimated VMEM bytes of one kernel program (f32).
 
     Modes: 'fwd' (classic whole-tree scratch), 'slot' (DFS slot-reuse
     scratch, O(depth)), 'save' (buf/logscale as output blocks), 'bwd'
     (residual inputs + outside-vector scratch + dP/dleaf outputs).
+    ``n_blocks > 1``: category-folded forward — scratch rows and the P
+    block widen to ``n_blocks * s_pad``; the leaf input block does not.
     """
-    p_bytes = 4 * n_nodes * s_pad * s_pad
+    s_tot = n_blocks * s_pad
+    p_bytes = 4 * n_nodes * s_tot * s_tot
     leaf = 2 * n_leaves * s_pad            # leaf input block, x2 pipelining
     if mode == "fwd":
-        per_site = n_nodes * (s_pad + 1) + leaf + 4 * s_pad
+        per_site = n_nodes * (s_tot + n_blocks) + leaf + 4 * (s_tot + n_blocks)
     elif mode == "slot":
         per_site = n_slots * (s_pad + 1) + leaf + 4 * s_pad
     elif mode == "save":
@@ -559,13 +635,15 @@ def _working_bytes(
 
 def _pick_tile(
     tile: int, sites: int, n_nodes: int, n_leaves: int, s_pad: int,
-    mode: str = "fwd", n_slots: int = 0,
+    mode: str = "fwd", n_slots: int = 0, n_blocks: int = 1,
 ) -> int:
     """Shrink the site tile until the kernel's VMEM working set fits."""
     tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
     while tile > LANE:
         if (
-            _working_bytes(tile, n_nodes, n_leaves, s_pad, mode, n_slots)
+            _working_bytes(
+                tile, n_nodes, n_leaves, s_pad, mode, n_slots, n_blocks
+            )
             <= VMEM_BUDGET
         ):
             break
@@ -637,6 +715,9 @@ def _pallas_forward(
     sites = leaf_partials.shape[1]
     s = leaf_partials.shape[2]
     s_pad = _state_pad(s)
+    n_internal = order.shape[0]
+    cmax = children.shape[1]
+    static = n_internal <= STATIC_UNROLL_MAX
     # classic whole-tree scratch when it fits; otherwise the O(depth)
     # slot-reuse kernel (big trees)
     use_slots = (
@@ -644,21 +725,41 @@ def _pallas_forward(
         and _working_bytes(LANE, n_nodes, n_leaves, s_pad, "fwd")
         > VMEM_BUDGET
     )
+    fold = 1
+    if not use_slots and not static:
+        fold = _pick_fold(k, s_pad)
+        while fold > 1 and (
+            k % fold or fold * s_pad > LANE
+            or _working_bytes(
+                LANE, n_nodes, n_leaves, s_pad, "fwd", n_blocks=fold
+            ) > VMEM_BUDGET
+        ):
+            fold -= 1
+    kf = k // fold
+    s_tot = fold * s_pad
     if use_slots:
         tile = _pick_tile(
             tile, sites, n_nodes, n_leaves, s_pad, "slot", slot_data[5]
         )
     else:
-        tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "fwd")
+        tile = _pick_tile(
+            tile, sites, n_nodes, n_leaves, s_pad, "fwd", n_blocks=fold
+        )
     sites_pad = _round_up(sites, tile)
-    n_internal = order.shape[0]
-    cmax = children.shape[1]
     dtype = jnp.float32
 
     p, lp = _pad_inputs(p_matrices, leaf_partials, s, s_pad, sites, sites_pad)
+    if fold > 1:
+        # block-diagonal P per folded group: (kf, n_nodes, s_tot, s_tot)
+        pf = p.reshape(kf, fold, n_nodes, s_pad, s_pad)
+        pb = jnp.zeros((kf, n_nodes, s_tot, s_tot), dtype)
+        for b in range(fold):
+            pb = pb.at[
+                :, :, b * s_pad:(b + 1) * s_pad, b * s_pad:(b + 1) * s_pad
+            ].set(pf[:, b])
+        p = pb
 
     n_tiles = sites_pad // tile
-    static = n_internal <= STATIC_UNROLL_MAX
 
     # NOTE: zero offsets are derived from the (i32) grid indices rather than
     # written as literals — under jax_enable_x64 literal 0s trace as i64 and
@@ -666,7 +767,7 @@ def _pallas_forward(
     # 'func.return'").
     tensor_in_specs = [
         pl.BlockSpec(
-            (1, n_nodes, s_pad, s_pad),
+            (1, n_nodes, s_tot, s_tot),
             lambda t, kk, *_: (kk, kk * 0, kk * 0, kk * 0),
             memory_space=pltpu.VMEM,
         ),
@@ -678,19 +779,19 @@ def _pallas_forward(
     ]
     out_specs = [
         pl.BlockSpec(
-            (1, s_pad, tile),
+            (1, s_tot, tile),
             lambda t, kk, *_: (kk, kk * 0, t),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 1, tile),
+            (1, fold, tile),
             lambda t, kk, *_: (kk, kk * 0, t),
             memory_space=pltpu.VMEM,
         ),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((k, s_pad, sites_pad), dtype),
-        jax.ShapeDtypeStruct((k, 1, sites_pad), dtype),
+        jax.ShapeDtypeStruct((kf, s_tot, sites_pad), dtype),
+        jax.ShapeDtypeStruct((kf, fold, sites_pad), dtype),
     ]
 
     if use_slots:
@@ -727,8 +828,8 @@ def _pallas_forward(
         )
 
     scratch_shapes = [
-        pltpu.VMEM((n_nodes, s_pad, tile), dtype),
-        pltpu.VMEM((n_nodes, 1, tile), dtype),
+        pltpu.VMEM((n_nodes, s_tot, tile), dtype),
+        pltpu.VMEM((n_nodes, fold, tile), dtype),
     ]
     if static:
         kernel = functools.partial(
@@ -752,10 +853,11 @@ def _pallas_forward(
         kernel = functools.partial(
             _dynamic_kernel,
             n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+            n_blocks=fold,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(n_tiles, k),
+            grid=(n_tiles, kf),
             in_specs=tensor_in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch_shapes,
@@ -768,8 +870,10 @@ def _pallas_forward(
         )(jnp.asarray(order), jnp.asarray(children.T.copy()),
           jnp.asarray(counts), p, lp)
 
+    # un-fold: block b of folded group g is category g*fold + b
+    root_p = root_p.reshape(k, s_pad, sites_pad)
     root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
-    root_logscale = root_sc[:, 0, :sites]
+    root_logscale = root_sc.reshape(k, sites_pad)[:, :sites]
     out_dtype = leaf_partials.dtype
     return root_partials.astype(out_dtype), root_logscale.astype(out_dtype)
 

@@ -217,3 +217,41 @@ def test_slot_kernel_matches_classic_and_xla():
     np.testing.assert_allclose(s_slot, s_xla, rtol=2e-5, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(r_slot), np.asarray(r_classic))
     np.testing.assert_array_equal(np.asarray(s_slot), np.asarray(s_classic))
+
+
+def test_category_fold_selection(monkeypatch):
+    """Fold picks the widest block-diagonal stack that fits 128 lanes."""
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    monkeypatch.setenv("PHYLO_FOLD_CATEGORIES", "auto")
+    assert pp._pick_fold(4, 8) == 1       # DNA: VPU path, no fold
+    assert pp._pick_fold(4, 24) == 4      # protein: 4x24=96 <= 128
+    assert pp._pick_fold(4, 64) == 2      # codon: 2x64=128 <= 128
+    assert pp._pick_fold(3, 24) == 3
+    assert pp._pick_fold(1, 24) == 1
+
+
+def test_category_fold_matches_unfolded(monkeypatch):
+    """Folded (block-diagonal MXU) protein forward == unfolded == XLA."""
+    sched, p, lp = _setup(16, 130, 20)
+    r_xla, s_xla = make_prune_fn(sched)(p, lp)
+
+    monkeypatch.setenv("PHYLO_FOLD_CATEGORIES", "0")
+    r_un, s_un = make_pallas_prune_fn(sched)(p, lp)
+    monkeypatch.setenv("PHYLO_FOLD_CATEGORIES", "auto")
+    r_f, s_f = make_pallas_prune_fn(sched)(p, lp)
+
+    np.testing.assert_allclose(r_f, r_un, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s_f, s_un, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(r_f, r_xla, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s_f, s_xla, rtol=2e-5, atol=2e-4)
+
+
+def test_category_fold_odd_categories(monkeypatch):
+    """ncat=3 folds 3x24=72 wide; parity with the XLA path holds."""
+    monkeypatch.setenv("PHYLO_FOLD_CATEGORIES", "auto")
+    sched, p, lp = _setup(8, 100, 20, ncat=3)
+    r_xla, s_xla = make_prune_fn(sched)(p, lp)
+    r_f, s_f = make_pallas_prune_fn(sched)(p, lp)
+    np.testing.assert_allclose(r_f, r_xla, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s_f, s_xla, rtol=2e-5, atol=2e-4)
