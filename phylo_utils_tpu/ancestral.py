@@ -154,9 +154,12 @@ def ancestral_posteriors(
             eig = engine.model.eigen(full["model"], dtype=dtype)
             freqs = eig.freqs
             p = pm_ops.transition_matrices(eig, ts)
+        p = pm_ops.extend_p_identity(p, schedule.n_nodes)
         down, logscale = _down_pass(schedule, p, leaf_partials)
         out = _up_pass(schedule, p, down, freqs)
-        internal = slice(schedule.n_leaves, schedule.n_nodes)
+        # binarization pseudo-nodes (ids >= n_real_nodes) are not tree
+        # nodes — report posteriors for real internal nodes only
+        internal = slice(schedule.n_leaves, schedule.n_real_nodes)
         joint = down[internal] * out[internal]      # (I, K, sites, S)
         per_cat = joint / jnp.maximum(
             jnp.sum(joint, axis=-1, keepdims=True),

@@ -25,7 +25,11 @@ from phylo_utils_tpu import io as pio
 from phylo_utils_tpu import trees as ptrees
 from phylo_utils_tpu.models.base import Model
 from phylo_utils_tpu.ops.gamma import discrete_gamma
-from phylo_utils_tpu.ops.pmatrix import p_matrices_reversible, transition_matrices
+from phylo_utils_tpu.ops.pmatrix import (
+    extend_p_identity,
+    p_matrices_reversible,
+    transition_matrices,
+)
 from phylo_utils_tpu.ops.pruning import mixture_loglik
 
 __all__ = ["pad_schedules", "TopologySetEngine", "optimize_branch_lengths", "nni_hill_climb"]
@@ -208,6 +212,7 @@ class TopologySetEngine:
             eig = self.model.eigen(params["model"], dtype=dtype)
             freqs = eig.freqs
             p = transition_matrices(eig, ts)
+        p = extend_p_identity(p, self.n_nodes)   # (B, n_sched, K, S, S)
 
         def one_tree(nodes, children, mask, p_b, perm):
             leaves = self._leaf_partials[perm]              # (n_leaves, P, S)

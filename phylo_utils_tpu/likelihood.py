@@ -27,6 +27,7 @@ from phylo_utils_tpu import trees as ptrees
 from phylo_utils_tpu.models.base import Model
 from phylo_utils_tpu.ops.gamma import discrete_gamma
 from phylo_utils_tpu.ops.pmatrix import (
+    extend_p_identity,
     p_matrices_reversible,
     transition_matrices,
 )
@@ -97,6 +98,8 @@ def mixture_rates_and_p(engine, params, dtype, eig=None):
         eig = engine.model.eigen(params["model"], dtype=dtype)
         freqs = eig.freqs
         p = transition_matrices(eig, ts)
+    # identity blocks for binarization pseudo-nodes (no-op on binary trees)
+    p = extend_p_identity(p, engine.schedule.n_nodes)
     return rates, cat_weights, p, freqs
 
 

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from phylo_utils_tpu.likelihood import LikelihoodEngine
-from phylo_utils_tpu.ops.pmatrix import p_matrices_reversible
+from phylo_utils_tpu.ops.pmatrix import (
+    extend_p_identity,
+    p_matrices_reversible,
+)
 from phylo_utils_tpu.ops.pruning import (
     invariant_site_likelihood,
     mixture_loglik,
@@ -104,6 +107,7 @@ class ModelMixtureEngine(LikelihoodEngine):
             lambda s, f: p_matrices_reversible(s, f, t)
         )(sym_k, freqs_k)                                    # (K, n_nodes, S, S)
         p = jnp.swapaxes(p_k, 0, 1)                          # (n_nodes, K, S, S)
+        p = extend_p_identity(p, self.schedule.n_nodes)
         root_partials, root_logscale = self._prune(p, leaf_partials)
         # mixture root reduction with PER-CATEGORY frequencies
         site_lik = jnp.einsum(
@@ -148,6 +152,7 @@ class ModelMixtureEngine(LikelihoodEngine):
                 lambda s, f: p_matrices_reversible(s, f, t)
             )(sym_k, freqs_k)
             p = jnp.swapaxes(p_k, 0, 1)
+            p = extend_p_identity(p, self.schedule.n_nodes)
             root_partials, root_logscale = self._prune(p, leaf_partials)
             lik = jnp.einsum("ksi,ki->ks", root_partials,
                              freqs_k.astype(dtype))

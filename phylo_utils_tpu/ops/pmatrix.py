@@ -23,9 +23,34 @@ __all__ = [
     "dp_matrices",
     "d2p_matrices",
     "p_matrices_reversible",
+    "extend_p_identity",
 ]
 
 _HI = lax.Precision.HIGHEST
+
+
+def extend_p_identity(p: jnp.ndarray, n_total: int) -> jnp.ndarray:
+    """Append exact-identity P blocks for binarization pseudo-nodes.
+
+    ``trees.compile_schedule(binarize=True)`` splits multifurcations into
+    binary combines through pseudo-nodes (ids >= n_real). Their "edge" is
+    a structural zero-length connection whose transition matrix is the
+    EXACT identity — not ``P(0)`` reconstructed through the
+    eigendecomposition, which carries f32 rounding — so the pruning
+    product through a pseudo-node is a bit-exact pass-through and the
+    appended blocks contribute no gradient (the cotangent of a broadcast
+    constant is discarded).
+
+    ``p``: (..., n_real, K, S, S) -> (..., n_total, K, S, S).
+    """
+    extra = n_total - p.shape[-4]
+    if extra <= 0:
+        return p
+    s = p.shape[-1]
+    eye = jnp.broadcast_to(
+        jnp.eye(s, dtype=p.dtype), p.shape[:-4] + (extra,) + p.shape[-3:]
+    )
+    return jnp.concatenate([p, eye], axis=-4)
 
 
 def transition_matrices(eig: Eigen, t: jnp.ndarray) -> jnp.ndarray:

@@ -159,6 +159,15 @@ class PruningSchedule:
     level_nodes: np.ndarray
     level_children: np.ndarray
     level_childmask: np.ndarray
+    # Nodes < n_real_nodes are real tree nodes; ids in
+    # [n_real_nodes, n_nodes) are binarization pseudo-nodes (see
+    # compile_schedule) whose transition matrix is the exact identity
+    # (ops.pmatrix.extend_p_identity).
+    n_real_nodes: int = -1
+
+    def __post_init__(self):
+        if self.n_real_nodes < 0:
+            object.__setattr__(self, "n_real_nodes", self.n_nodes)
 
     @property
     def n_levels(self) -> int:
@@ -169,22 +178,55 @@ class PruningSchedule:
         return self.level_nodes.shape[1]
 
 
-def compile_schedule(tree: Tree) -> PruningSchedule:
-    """Group internal nodes into dependency levels and pad to rectangles."""
-    n = tree.n_nodes
+def compile_schedule(tree: Tree, binarize: bool = True) -> PruningSchedule:
+    """Group internal nodes into dependency levels and pad to rectangles.
+
+    ``binarize`` (default): multifurcations are split into chains of
+    binary combines through appended *pseudo-nodes* (ids >= tree.n_nodes;
+    the root keeps its id). A pseudo-node's "edge" is the exact identity
+    matrix, so the likelihood is mathematically unchanged — but the
+    schedule's max-children drops to 2, which removes the masked third
+    contraction every *binary* node would otherwise pay in both pruner
+    paths: an unrooted tree's single trifurcating root previously forced
+    cmax=3 on all ~2N nodes (+50% contraction FLOPs). Consumers that
+    build P(t) from branch lengths must append identity blocks for the
+    pseudo-nodes via ``ops.pmatrix.extend_p_identity``. Binary trees
+    produce bit-identical schedules with or without ``binarize``.
+    """
+    n_real = tree.n_nodes
+    children_map: List[List[int]] = [list(tree.children[i])
+                                     for i in range(n_real)]
+    if binarize:
+        for node in range(n_real):
+            kids = children_map[node]
+            while len(kids) > 2:
+                a, b = kids[0], kids[1]
+                pseudo = len(children_map)
+                children_map.append([a, b])
+                kids = [pseudo] + kids[2:]
+            children_map[node] = kids
+    n = len(children_map)
+
     height = np.zeros(n, dtype=np.int64)
     internal_by_level: Dict[int, List[int]] = {}
-    for node in tree.postorder():
-        kids = tree.children[node]
+    stack = [(tree.root, False)]
+    while stack:
+        node, expanded = stack.pop()
+        kids = children_map[node]
         if not kids:
             continue
-        h = 1 + max(int(height[c]) for c in kids)
-        height[node] = h
-        internal_by_level.setdefault(h, []).append(node)
+        if expanded:
+            h = 1 + max(int(height[c]) for c in kids)
+            height[node] = h
+            internal_by_level.setdefault(h, []).append(node)
+        else:
+            stack.append((node, True))
+            for c in reversed(kids):
+                stack.append((c, False))
 
     n_levels = max(internal_by_level) if internal_by_level else 0
     width = max((len(v) for v in internal_by_level.values()), default=0)
-    cmax = max((len(tree.children[i]) for i in range(n) if tree.children[i]), default=0)
+    cmax = max((len(k) for k in children_map if k), default=0)
 
     level_nodes = np.full((n_levels, width), n, dtype=np.int32)  # pad -> trash row
     level_children = np.zeros((n_levels, width, cmax), dtype=np.int32)
@@ -192,7 +234,7 @@ def compile_schedule(tree: Tree) -> PruningSchedule:
     for lvl in range(1, n_levels + 1):
         for w, node in enumerate(internal_by_level.get(lvl, [])):
             level_nodes[lvl - 1, w] = node
-            for c, child in enumerate(tree.children[node]):
+            for c, child in enumerate(children_map[node]):
                 level_children[lvl - 1, w, c] = child
                 level_childmask[lvl - 1, w, c] = 1.0
     return PruningSchedule(
@@ -203,6 +245,7 @@ def compile_schedule(tree: Tree) -> PruningSchedule:
         level_nodes=level_nodes,
         level_children=level_children,
         level_childmask=level_childmask,
+        n_real_nodes=n_real,
     )
 
 
