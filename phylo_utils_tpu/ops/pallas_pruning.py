@@ -35,6 +35,12 @@ Three schedule lowerings:
 - **slot** (big trees, automatic): DFS post-order with register-style slot
   reuse — scratch is O(tree depth) instead of O(n_nodes), which is what
   lets 1000+-taxon trees fit the 16 MiB scoped-VMEM limit.
+- **stream** (big trees x wide states, automatic): the slot walk with leaf
+  partials AND per-node P matrices left in HBM and DMA'd per child with a
+  one-node-lookahead double buffer (see _dynamic_slot_stream_kernel) —
+  VMEM no longer grows with tree size at all, so there is no fused-kernel
+  ceiling (300-taxon codon measured +48% over the XLA fallback it
+  replaces; 2026-08-17).
 
 Gradients: ``make_pallas_prune_fn``'s VJP replays the XLA path (exact,
 simple); ``make_pallas_loglik_fn`` is the fused differentiable path whose
@@ -477,6 +483,140 @@ def _dynamic_slot_kernel(
     scale_ref[0] = logscale[root_slot]
 
 
+def _dynamic_slot_stream_kernel(
+    # scalar prefetch (SMEM) — *_nxt are the same arrays shifted by one
+    # node (see _pallas_forward): Mosaic cannot do arithmetic on the fori
+    # induction var (i32 var + x64-traced literals fails to lower), so the
+    # one-node-lookahead prefetch reads "node i+1's schedule" at column i.
+    nslot_ref, cnode_ref, csrc_ref, cleaf_ref, count_ref,
+    cnode_nxt_ref, csrc_nxt_ref, cleaf_nxt_ref, count_nxt_ref,
+    # tensor inputs — BOTH stay in HBM (pl.ANY), DMA'd per child
+    p_hbm,        # (K, n_nodes, S_pad, S_pad)
+    leaf_hbm,     # (n_leaves, S_pad, sites_pad)
+    # outputs (VMEM)
+    root_ref,     # (1, S_pad, T)
+    scale_ref,    # (1, 1, T)
+    # scratch
+    buf,          # (n_slots, S_pad, T)
+    logscale,     # (n_slots, 1, T)
+    lbuf,         # (2, cmax, S_pad, T) — double-buffered leaf DMA landing
+    pbuf,         # (2, cmax, S_pad, LANE) — double-buffered P landing (P's
+                  # minor dim is padded to the 128 lane width: Mosaic DMA
+                  # slices must be lane-aligned)
+    lsem,         # DMA semaphores (2, cmax) for leaves
+    psem,         # DMA semaphores (2, cmax) for P
+    *,
+    n_leaves: int,
+    n_slots: int,
+    n_internal: int,
+    cmax: int,
+    s_pad: int,
+    tile: int,
+    root_slot: int,
+):
+    """Slot kernel with HBM-streamed leaves AND P matrices (big trees).
+
+    The classic/slot kernels bring ALL leaf partials and ALL per-node P
+    matrices into VMEM as pipelined input blocks — together the dominant
+    VMEM consumers for big trees (300-taxon codon: 9.4 MiB of P + 18.8
+    MiB of leaf block; the compiler double-buffers input blocks, so the
+    true scoped footprint is ~2x that). Here both stay in HBM; each
+    node's child P (and leaf partials when the child is a leaf) are
+    DMA'd into small double-buffered landing pads with a one-node
+    lookahead — node i+1's copies are issued before node i's compute
+    waits, so the DMA latency hides behind the child contraction. VMEM
+    drops to O(n_slots * tile + cmax * (S_pad * tile + S_pad^2)), which
+    is what lets 300+-taxon codon and 512+-taxon protein trees run fused
+    instead of falling back to the XLA path — with no tree-size ceiling
+    left (scratch no longer grows with n_nodes or n_leaves).
+    """
+    t_idx = pl.program_id(0)
+    k_idx = pl.program_id(1)
+    logscale[:] = jnp.zeros_like(logscale)
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    # np.int32 literals: Python ints trace as i64 under jax_enable_x64 and
+    # Mosaic's memref_slice rejects i64 indices.
+    i32 = np.int32
+
+    def leaf_copy(src, b, c):
+        return pltpu.make_async_copy(
+            leaf_hbm.at[src, :, pl.ds(t_idx * tile, tile)],
+            lbuf.at[b, i32(c)],
+            lsem.at[b, i32(c)],
+        )
+
+    def p_copy(cn, b, c):
+        return pltpu.make_async_copy(
+            p_hbm.at[k_idx, cn],
+            pbuf.at[b, i32(c)],
+            psem.at[b, i32(c)],
+        )
+
+    def issue(node_ref, src_ref, leaf_ref_, cnt_ref, i, b):
+        for c in range(cmax):
+            valid = i32(c) < cnt_ref[i]
+
+            @pl.when(valid)
+            def _():
+                p_copy(node_ref[c, i], b, c).start()
+
+            @pl.when(jnp.logical_and(leaf_ref_[c, i] > 0, valid))
+            def _():
+                leaf_copy(src_ref[c, i], b, c).start()
+
+    # prologue: node 0's operands into buffer 0
+    issue(cnode_ref, csrc_ref, cleaf_ref, count_ref, i32(0), i32(0))
+
+    def node_step(i, b):
+        # prefetch node i+1's operands into the other buffer (the shifted
+        # *_nxt arrays hold zeros past the end, so the final lookahead is
+        # a no-op issue)
+        issue(
+            cnode_nxt_ref, csrc_nxt_ref, cleaf_nxt_ref, count_nxt_ref,
+            i, i32(1) - b,
+        )
+
+        slot = nslot_ref[i]
+        count = count_ref[i]
+        acc = None
+        sc = None
+        for c in range(cmax):
+            src = csrc_ref[c, i]           # leaf id or slot id
+            isleaf = cleaf_ref[c, i]
+            valid = i32(c) < count
+
+            @pl.when(valid)
+            def _():
+                p_copy(cnode_ref[c, i], b, c).wait()
+
+            @pl.when(jnp.logical_and(isleaf > 0, valid))
+            def _():
+                leaf_copy(src, b, c).wait()
+
+            xl = lbuf[b, i32(c)]
+            xs = buf[jnp.minimum(src, i32(n_slots - 1))]
+            x = jnp.where(isleaf > 0, xl, xs)
+            y = _contract(pbuf[b, i32(c)][:, :s_pad], x, s_pad)
+            csc = jnp.where(
+                isleaf > 0,
+                jnp.zeros_like(logscale[0]),
+                logscale[jnp.minimum(src, i32(n_slots - 1))],
+            )
+            if acc is None:
+                acc, sc = y, csc           # c == 0 always valid
+            else:
+                acc = jnp.where(valid, acc * y, acc)
+                sc = jnp.where(valid, sc + csc, sc)
+        m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
+        buf[slot] = acc / m
+        logscale[slot] = sc + jnp.log(m)
+        return i32(1) - b
+
+    jax.lax.fori_loop(0, n_internal, node_step, jnp.int32(0))
+    root_ref[0] = buf[root_slot]
+    scale_ref[0] = logscale[root_slot]
+
+
 def _dynamic_saveall_kernel(
     # scalar prefetch (SMEM)
     order_ref, child_ref, count_ref,
@@ -606,8 +746,10 @@ def _working_bytes(
     """Estimated VMEM bytes of one kernel program (f32).
 
     Modes: 'fwd' (classic whole-tree scratch), 'slot' (DFS slot-reuse
-    scratch, O(depth)), 'save' (buf/logscale as output blocks), 'bwd'
-    (residual inputs + outside-vector scratch + dP/dleaf outputs).
+    scratch, O(depth)), 'stream' (slot scratch + HBM-streamed leaves —
+    no leaf input block at all, only the 2 x cmax DMA landing pad),
+    'save' (buf/logscale as output blocks), 'bwd' (residual inputs +
+    outside-vector scratch + dP/dleaf outputs).
     ``n_blocks > 1``: category-folded forward — scratch rows and the P
     block widen to ``n_blocks * s_pad``; the leaf input block does not.
     """
@@ -618,6 +760,11 @@ def _working_bytes(
         per_site = n_nodes * (s_tot + n_blocks) + leaf + 4 * (s_tot + n_blocks)
     elif mode == "slot":
         per_site = n_slots * (s_pad + 1) + leaf + 4 * s_pad
+    elif mode == "stream":
+        # P and leaves stay in HBM; VMEM = slot scratch + DMA landing pads
+        cmax = 2  # schedules are binarized (trees.compile_schedule)
+        per_site = n_slots * (s_pad + 1) + 2 * cmax * s_pad + 4 * s_pad
+        p_bytes = 4 * 2 * cmax * s_pad * s_pad
     elif mode == "save":
         per_site = 2 * n_nodes * (s_pad + 1) + leaf
     elif mode == "bwd":
@@ -660,10 +807,11 @@ def pallas_supported(
 ) -> bool:
     """Does the kernel's working set fit VMEM at the minimum site tile?
 
-    For the forward ('fwd') this already accounts for the O(depth)
-    slot-reuse kernel, which is what big trees run. The likelihood engine
-    uses this to fall back to the XLA path (forward) or the XLA VJP
-    (backward) on oversized trees instead of failing inside Mosaic.
+    For the forward ('fwd') this already accounts for the fallback chain
+    big trees run: classic whole-tree scratch -> O(depth) slot-reuse ->
+    slot-reuse with HBM-streamed leaves. The likelihood engine uses this
+    to fall back to the XLA path (forward) or the XLA VJP (backward) on
+    oversized trees instead of failing inside Mosaic.
     """
     s_pad = _state_pad(n_states)
     if mode == "fwd":
@@ -673,8 +821,15 @@ def pallas_supported(
             <= VMEM_BUDGET
         ):
             return True
-        mode = "slot"
-    n_slots = _slot_count(schedule) if mode == "slot" else 0
+        n_slots = _slot_count(schedule)
+        return any(
+            _working_bytes(
+                LANE, schedule.n_nodes, schedule.n_leaves, s_pad, m, n_slots
+            )
+            <= VMEM_BUDGET
+            for m in ("slot", "stream")
+        )
+    n_slots = _slot_count(schedule) if mode in ("slot", "stream") else 0
     return (
         _working_bytes(
             LANE, schedule.n_nodes, schedule.n_leaves, s_pad, mode, n_slots
@@ -737,9 +892,17 @@ def _pallas_forward(
             fold -= 1
     kf = k // fold
     s_tot = fold * s_pad
+    use_stream = False
     if use_slots:
+        use_stream = (
+            _working_bytes(
+                LANE, n_nodes, n_leaves, s_pad, "slot", slot_data[5]
+            )
+            > VMEM_BUDGET
+        )
         tile = _pick_tile(
-            tile, sites, n_nodes, n_leaves, s_pad, "slot", slot_data[5]
+            tile, sites, n_nodes, n_leaves, s_pad,
+            "stream" if use_stream else "slot", slot_data[5],
         )
     else:
         tile = _pick_tile(
@@ -796,30 +959,82 @@ def _pallas_forward(
 
     if use_slots:
         nslot, cnode, csrc, cleaf, counts2, n_slots, root_slot = slot_data
-        kernel = functools.partial(
-            _dynamic_slot_kernel,
-            n_leaves=n_leaves, n_slots=n_slots,
-            n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-            root_slot=root_slot,
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_tiles, k),
-            in_specs=tensor_in_specs,
-            out_specs=out_specs,
-            scratch_shapes=[
+        # leaf-block slot kernel when the block fits; otherwise stream
+        # leaves from HBM (see _dynamic_slot_stream_kernel)
+        if use_stream:
+            kernel = functools.partial(
+                _dynamic_slot_stream_kernel,
+                n_leaves=n_leaves, n_slots=n_slots,
+                n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+                tile=tile, root_slot=root_slot,
+            )
+            in_specs = [
+                pl.BlockSpec(memory_space=pl.ANY),   # P stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # leaves stay in HBM
+            ]
+            scratch = [
                 pltpu.VMEM((n_slots, s_pad, tile), dtype),
                 pltpu.VMEM((n_slots, 1, tile), dtype),
-            ],
+                pltpu.VMEM((2, cmax, s_pad, tile), dtype),
+                pltpu.VMEM((2, cmax, s_pad, LANE), dtype),
+                pltpu.SemaphoreType.DMA((2, cmax)),
+                pltpu.SemaphoreType.DMA((2, cmax)),
+            ]
+            # lane-align P's minor dim for DMA (see pbuf comment)
+            p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, LANE - s_tot)))
+            # node i+1's schedule at column i (zeros past the end -> the
+            # final lookahead is a no-op); see kernel docstring
+            cnode_nxt = np.vstack([cnode[1:], np.zeros((1, cmax), np.int32)])
+            csrc_nxt = np.vstack([csrc[1:], np.zeros((1, cmax), np.int32)])
+            cleaf_nxt = np.vstack([cleaf[1:], np.zeros((1, cmax), np.int32)])
+            cnt_nxt = np.append(counts2[1:], np.int32(0))
+            prefetch = (
+                jnp.asarray(nslot), jnp.asarray(cnode.T.copy()),
+                jnp.asarray(csrc.T.copy()), jnp.asarray(cleaf.T.copy()),
+                jnp.asarray(counts2), jnp.asarray(cnode_nxt.T.copy()),
+                jnp.asarray(csrc_nxt.T.copy()),
+                jnp.asarray(cleaf_nxt.T.copy()), jnp.asarray(cnt_nxt),
+            )
+        else:
+            kernel = functools.partial(
+                _dynamic_slot_kernel,
+                n_leaves=n_leaves, n_slots=n_slots,
+                n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+                root_slot=root_slot,
+            )
+            in_specs = tensor_in_specs
+            scratch = [
+                pltpu.VMEM((n_slots, s_pad, tile), dtype),
+                pltpu.VMEM((n_slots, 1, tile), dtype),
+            ]
+            prefetch = (
+                jnp.asarray(nslot), jnp.asarray(cnode.T.copy()),
+                jnp.asarray(csrc.T.copy()), jnp.asarray(cleaf.T.copy()),
+                jnp.asarray(counts2),
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(prefetch),
+            grid=(n_tiles, k),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
-        root_p, root_sc = pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            grid_spec=grid_spec,
-            interpret=interpret,
-        )(jnp.asarray(nslot), jnp.asarray(cnode.T.copy()),
-          jnp.asarray(csrc.T.copy()), jnp.asarray(cleaf.T.copy()),
-          jnp.asarray(counts2), p, lp)
+
+        def call(*args):
+            return pl.pallas_call(
+                kernel,
+                out_shape=out_shape,
+                grid_spec=grid_spec,
+                interpret=interpret,
+            )(*args)
+
+        if use_stream:
+            # vmap cannot slice an ANY-memory-space (HBM) operand into
+            # blocks; batched evals over a big tree serialize instead —
+            # each kernel call already fills the chip, so lax.map loses
+            # nothing.
+            call = jax.custom_batching.sequential_vmap(call)
+        root_p, root_sc = call(*prefetch, p, lp)
         root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
         root_logscale = root_sc[:, 0, :sites]
         out_dtype = leaf_partials.dtype

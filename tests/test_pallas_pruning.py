@@ -138,7 +138,9 @@ def test_vmem_fallback_big_tree(recwarn):
     aln = {n: "".join(rng.choice(list("ACGT"), size=64))
            for n in tree.leaf_names}
     old = pp.VMEM_BUDGET
-    pp.VMEM_BUDGET = 64 * 1024  # absurdly small: nothing fits
+    # absurdly small: nothing fits — not even the HBM-streaming kernel,
+    # whose scratch is O(n_slots * tile) (~50 KiB here)
+    pp.VMEM_BUDGET = 8 * 1024
     try:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -217,6 +219,72 @@ def test_slot_kernel_matches_classic_and_xla():
     np.testing.assert_allclose(s_slot, s_xla, rtol=2e-5, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(r_slot), np.asarray(r_classic))
     np.testing.assert_array_equal(np.asarray(s_slot), np.asarray(s_classic))
+
+
+def test_engine_stream_path_matches_xla():
+    """At a budget where only the streaming kernel fits, the engine must
+    keep pruner='pallas' (no fallback warning) and match the XLA engine."""
+    import warnings
+
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    tree = random_tree(40, seed=5)
+    rng = np.random.default_rng(5)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=64))
+           for n in tree.leaf_names}
+    old = pp.VMEM_BUDGET
+    pp.VMEM_BUDGET = 128 * 1024  # stream fits; classic/slot do not
+    try:
+        sched = compile_schedule(tree)
+        assert not pp._working_bytes(
+            pp.LANE, sched.n_nodes, sched.n_leaves, 8, "slot",
+            pp._slot_count(sched)) <= pp.VMEM_BUDGET
+        assert pp.pallas_supported(sched, 4, "fwd")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            eng = LikelihoodEngine(
+                tree, aln, models.GTR, ncat=2, dtype="float32",
+                pruner="pallas",
+            )
+        assert not any("VMEM" in str(x.message) for x in w)
+        ref = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
+                               dtype="float32")
+        assert abs(eng.loglikelihood() - ref.loglikelihood()) < 1e-4
+    finally:
+        pp.VMEM_BUDGET = old
+
+
+def test_stream_kernel_matches_slot_and_xla():
+    """The HBM-leaf-streaming slot forward (big-tree x wide-state path)
+    must agree exactly with the leaf-block slot kernel and, to f32
+    rounding, with the XLA path. Forced by a budget window where the
+    leaf-block slot working set overflows but the streamed one fits."""
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    sched, p, lp = _setup(40, 200, 20, seed=7)
+    s_pad = pp._state_pad(20)
+    r_xla, s_xla = make_prune_fn(sched)(p, lp)
+    n_slots = pp._slot_count(sched)
+    slot_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                               s_pad, "slot", n_slots)
+    stream_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
+                                 s_pad, "stream", n_slots)
+    assert stream_b < slot_b
+    old = pp.VMEM_BUDGET
+    pp.VMEM_BUDGET = (stream_b + slot_b) // 2
+    try:
+        r_stream, s_stream = make_pallas_prune_fn(sched)(p, lp)
+    finally:
+        pp.VMEM_BUDGET = old
+    pp.VMEM_BUDGET = slot_b + 1
+    try:
+        r_slot, s_slot = make_pallas_prune_fn(sched)(p, lp)
+    finally:
+        pp.VMEM_BUDGET = old
+    np.testing.assert_allclose(r_stream, r_xla, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s_stream, s_xla, rtol=2e-5, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(r_stream), np.asarray(r_slot))
+    np.testing.assert_array_equal(np.asarray(s_stream), np.asarray(s_slot))
 
 
 def test_category_fold_selection(monkeypatch):
