@@ -68,7 +68,13 @@ from phylo_utils_tpu.optimize import (  # noqa: F401
     newton_branch_length,
 )
 from phylo_utils_tpu.simulate import SequenceSimulator, simulate_alignment  # noqa: F401
-from phylo_utils_tpu.mixtures import ModelMixtureEngine, omega_posteriors  # noqa: F401
+from phylo_utils_tpu.mixtures import (  # noqa: F401
+    M7Engine,
+    M8Engine,
+    ModelMixtureEngine,
+    omega_posteriors,
+    positive_selection_test,
+)
 from phylo_utils_tpu.model_selection import compare_models  # noqa: F401
 from phylo_utils_tpu.nj import neighbor_joining  # noqa: F401
 from phylo_utils_tpu.trees import (  # noqa: F401

@@ -29,7 +29,8 @@ from phylo_utils_tpu.ops.pruning import (
     mixture_loglik,
 )
 
-__all__ = ["ModelMixtureEngine", "omega_posteriors"]
+__all__ = ["ModelMixtureEngine", "M7Engine", "M8Engine",
+           "omega_posteriors", "positive_selection_test"]
 
 
 def _stack_params(param_dicts: Sequence[Mapping], dtype) -> Dict:
@@ -92,16 +93,23 @@ class ModelMixtureEngine(LikelihoodEngine):
                     full[k] = jnp.asarray(v, self.dtype)
         return full
 
+    def _category_model_params(self, params):
+        """Hook: (stacked per-category model-param dict, class weights).
+
+        Subclasses (M7/M8) derive the stacked parameters from
+        hyperparameters instead of carrying them free."""
+        cat_weights = params["cat_weights"].astype(self.dtype)
+        return params["mixture"], cat_weights / jnp.sum(cat_weights)
+
     def _loglik_fn(self, params, leaf_partials, weights):
         dtype = self.dtype
-        cat_weights = params["cat_weights"].astype(dtype)
-        cat_weights = cat_weights / jnp.sum(cat_weights)
+        mixture, cat_weights = self._category_model_params(params)
         t = params["branch_lengths"].astype(dtype)           # (n_nodes,)
 
         def build_one(cat_params):
             return self.model.build(**cat_params)            # (sym, freqs)
 
-        sym_k, freqs_k = jax.vmap(build_one)(params["mixture"])  # (K,S,S),(K,S)
+        sym_k, freqs_k = jax.vmap(build_one)(mixture)        # (K,S,S),(K,S)
         # per-category P for all edges: vmap categories, batch edges inside
         p_k = jax.vmap(
             lambda s, f: p_matrices_reversible(s, f, t)
@@ -142,12 +150,11 @@ class ModelMixtureEngine(LikelihoodEngine):
         dtype = self.dtype
 
         def compute(full, leaf_partials):
-            cat_weights = full["cat_weights"].astype(dtype)
-            cat_weights = cat_weights / jnp.sum(cat_weights)
+            mixture, cat_weights = self._category_model_params(full)
             t = full["branch_lengths"].astype(dtype)
             sym_k, freqs_k = jax.vmap(
                 lambda cp: self.model.build(**cp)
-            )(full["mixture"])
+            )(mixture)
             p_k = jax.vmap(
                 lambda s, f: p_matrices_reversible(s, f, t)
             )(sym_k, freqs_k)
@@ -169,12 +176,129 @@ class ModelMixtureEngine(LikelihoodEngine):
         return gam[self._compressed.site_to_pattern]
 
 
+class M7Engine(ModelMixtureEngine):
+    """Yang et al. (2000) M7: site omega ~ Beta(p, q), discretized.
+
+    ``ncat`` equal-weight classes whose omega is the within-bin Beta mean
+    (PAML codeml's discretization; ``ops.beta.discrete_beta``), with the
+    GY94 kappa and codon frequencies shared across classes. Free
+    parameters: ``beta_p``, ``beta_q`` (positive), ``shared`` (kappa,
+    freqs), branch lengths — all differentiable end-to-end, so ``fit``
+    optimizes the beta shape directly. The null model of the M7-vs-M8
+    positive-selection test (``positive_selection_test``).
+    """
+
+    _EXTRA_KEYS: tuple = ()
+
+    def __init__(self, tree, alignment, model=None, ncat: int = 10,
+                 **kwargs):
+        if model is None:
+            from phylo_utils_tpu.models import GY94 as model
+        self.n_beta = int(ncat)
+        n_classes = self.n_beta + (1 if self._EXTRA_KEYS else 0)
+        mixture = [dict(model.param_defaults) for _ in range(n_classes)]
+        super().__init__(tree, alignment, model, mixture, **kwargs)
+
+    def default_params(self) -> Dict:
+        shared0 = {
+            k: v for k, v in self.model.param_defaults.items()
+            if k != "omega"
+        }
+        params = {
+            "branch_lengths": jnp.asarray(self.tree.lengths, self.dtype),
+            "shared": {
+                k: jnp.asarray(v, self.dtype) for k, v in shared0.items()
+            },
+            "beta_p": jnp.asarray(1.0, self.dtype),
+            "beta_q": jnp.asarray(1.0, self.dtype),
+        }
+        for k, v in self._extra_defaults().items():
+            params[k] = jnp.asarray(v, self.dtype)
+        if self.invariant_sites:
+            params["pinv"] = jnp.asarray(0.2, self.dtype)
+        return params
+
+    def _extra_defaults(self) -> Dict:
+        return {}
+
+    def _full_params(self, params: Optional[Mapping]) -> Dict:
+        full = self.default_params()
+        if params:
+            for k, v in params.items():
+                if k == "shared":
+                    full["shared"] = {**full["shared"], **{
+                        kk: jnp.asarray(vv, self.dtype)
+                        for kk, vv in v.items()
+                    }}
+                else:
+                    full[k] = jnp.asarray(v, self.dtype)
+        return full
+
+    def _class_omegas_weights(self, params):
+        from phylo_utils_tpu.ops.beta import discrete_beta
+
+        om = discrete_beta(
+            params["beta_p"], params["beta_q"], self.n_beta
+        ).astype(self.dtype)
+        w = jnp.full((self.n_beta,), 1.0 / self.n_beta, self.dtype)
+        return om, w
+
+    def _category_model_params(self, params):
+        om, w = self._class_omegas_weights(params)
+        k = om.shape[0]
+        mixture = {
+            kk: jnp.broadcast_to(vv[None, ...], (k,) + vv.shape)
+            for kk, vv in params["shared"].items()
+        }
+        mixture = {**mixture, "omega": om}
+        return mixture, w
+
+
+class M8Engine(M7Engine):
+    """Yang et al. (2000) M8: Beta(p, q) plus one omega > 1 class.
+
+    With proportion ``p0`` sites follow the discretized Beta (purifying/
+    neutral); with proportion 1 - p0 they evolve under
+    ``omega = 1 + omega_delta`` (positive selection; the +1 floor keeps
+    the extra class in the omega > 1 regime codeml constrains it to and
+    the delta softplus-positive under ``fit``'s reparameterization).
+    Compare against M7 with ``positive_selection_test``.
+    """
+
+    _EXTRA_KEYS = ("p0", "omega_delta")
+
+    def _extra_defaults(self) -> Dict:
+        return {"p0": 0.9, "omega_delta": 1.0}
+
+    def _class_omegas_weights(self, params):
+        om, _ = super()._class_omegas_weights(params)
+        p0 = jnp.clip(params["p0"].astype(self.dtype), 1e-6, 1.0 - 1e-6)
+        om = jnp.concatenate([
+            om, (1.0 + params["omega_delta"].astype(self.dtype))[None],
+        ])
+        w = jnp.concatenate([
+            jnp.full((self.n_beta,), 1.0 / self.n_beta, self.dtype) * p0,
+            (1.0 - p0)[None],
+        ])
+        return om, w
+
+
+def positive_selection_test(ll_m7: float, ll_m8: float) -> Dict:
+    """M7-vs-M8 LRT for positive selection (2 extra params -> df=2)."""
+    from phylo_utils_tpu.model_selection import likelihood_ratio_test
+
+    return likelihood_ratio_test(ll_m7, ll_m8, df=2)
+
+
 def omega_posteriors(
     engine: ModelMixtureEngine, params: Optional[Mapping] = None
 ):
     """Per-site (posterior_mean_omega, class_posteriors) for a GY94 omega
-    mixture (M3-style site-selection scan)."""
+    mixture — the M3/M7/M8 site-selection scan (for M8, the posterior
+    weight on the last class is the per-site positive-selection
+    probability, codeml's BEB-style site table's NEB analog)."""
     full = engine._full_params(params)
-    omegas = np.asarray(full["mixture"]["omega"], np.float64)
+    mixture, _ = engine._category_model_params(full)
+    omegas = np.asarray(mixture["omega"], np.float64)
     gam = engine.category_posteriors(params)
     return gam @ omegas, gam

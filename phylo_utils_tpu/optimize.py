@@ -51,7 +51,7 @@ _HI = lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 _SIMPLEX_KEYS = {"freqs", "cat_weights"}  # softmax-parameterized (sum to 1)
-_UNIT_KEYS = {"pinv"}              # sigmoid-parameterized (0, 1)
+_UNIT_KEYS = {"pinv", "p0"}        # sigmoid-parameterized (0, 1)
 # everything else positive-valued: softplus-parameterized
 
 

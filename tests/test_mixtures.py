@@ -85,3 +85,64 @@ def test_mixture_validation():
     e = ModelMixtureEngine(tree, aln, models.HKY85,
                            [{"kappa": 2.0}, {"freqs": [0.1, 0.2, 0.3, 0.4]}])
     assert np.isfinite(e.loglikelihood())
+
+
+def test_m7_matches_explicit_mixture():
+    """M7 logL must equal a ModelMixtureEngine built from the same
+    discretized-beta omega classes (exact same math, different params)."""
+    from phylo_utils_tpu.mixtures import M7Engine
+    from phylo_utils_tpu.ops.beta import discrete_beta
+
+    tree = random_tree(5, seed=3, mean_brlen=0.15)
+    aln = simulate_alignment(jax.random.key(2), tree, models.GY94, 60,
+                             params={"omega": 0.5, "kappa": 2.0})
+    ca = encode_codon_alignment(aln)
+    p, q, K = 0.7, 1.9, 4
+    m7 = M7Engine(tree, ca, ncat=K)
+    ll7 = m7.loglikelihood({"beta_p": p, "beta_q": q})
+    omegas = np.asarray(discrete_beta(p, q, K))
+    explicit = ModelMixtureEngine(
+        tree, ca, models.GY94, mixture=[{"omega": w} for w in omegas],
+    )
+    lle = explicit.loglikelihood()
+    assert ll7 == pytest.approx(lle, abs=1e-8)
+    # gradients must flow into the beta shape parameters
+    g = m7.gradient({"beta_p": p, "beta_q": q})
+    assert abs(float(g["beta_p"])) > 0
+    assert abs(float(g["beta_q"])) > 0
+
+
+def test_m8_positive_selection_recovery():
+    """M8 on data with an omega=4 class: the extra class picks it up and
+    the M7-vs-M8 LRT rejects the beta-only null."""
+    from phylo_utils_tpu.mixtures import (
+        M7Engine,
+        M8Engine,
+        positive_selection_test,
+    )
+
+    tree = random_tree(6, seed=1, mean_brlen=0.2)
+    aln_pur = simulate_alignment(jax.random.key(0), tree, models.GY94, 150,
+                                 params={"omega": 0.1, "kappa": 2.0})
+    aln_pos = simulate_alignment(jax.random.key(1), tree, models.GY94, 150,
+                                 params={"omega": 4.0, "kappa": 2.0})
+    aln = {n: aln_pur[n] + aln_pos[n] for n in aln_pur}
+    ca = encode_codon_alignment(aln)
+    free7 = ("branch_lengths", "shared", "beta_p", "beta_q")
+    m7 = M7Engine(tree, ca, ncat=4)
+    res7 = fit(m7, free=free7, max_steps=60, patience=12)
+    m8 = M8Engine(tree, ca, ncat=4)
+    res8 = fit(m8, free=free7 + ("p0", "omega_delta"),
+               max_steps=80, patience=15)
+    assert res8.loglik > res7.loglik - 1e-6
+    lrt = positive_selection_test(res7.loglik, res8.loglik)
+    assert lrt["pvalue"] < 0.01
+    # the positive class: omega > 1 with a nontrivial weight
+    omega_pos = 1.0 + float(np.asarray(res8.params["omega_delta"]))
+    p0 = float(np.asarray(res8.params["p0"]))
+    assert omega_pos > 1.5
+    assert 0.2 < p0 < 0.95
+    # per-site scan: positive half gets higher last-class posteriors
+    mean_omega, gam = omega_posteriors(m8, res8.params)
+    assert gam.shape == (300, 5)
+    assert gam[150:, -1].mean() > gam[:150, -1].mean() + 0.2
