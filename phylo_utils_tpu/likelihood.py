@@ -230,11 +230,13 @@ class LikelihoodEngine:
                     stacklevel=2,
                 )
             prune = make_pallas_prune_fn(self.schedule)
-            pll = (
-                make_pallas_loglik_fn(self.schedule)
-                if pallas_supported(self.schedule, model.n_states, "save")
-                and pallas_supported(self.schedule, model.n_states, "bwd")
-                else None
+            # always available: when the whole-tree saveall/backward
+            # working set overflows VMEM, make_pallas_loglik_fn chains
+            # VMEM-sized SEGMENTS (value-only calls still take the fast
+            # fused forward) — gradients keep kernel speed at any tree
+            # size
+            pll = make_pallas_loglik_fn(
+                self.schedule, n_states=model.n_states
             )
             if sharding is not None:
                 # A pallas_call is opaque to GSPMD; shard_map makes the

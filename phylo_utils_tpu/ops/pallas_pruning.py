@@ -622,7 +622,10 @@ def _dynamic_saveall_kernel(
     order_ref, child_ref, count_ref,
     # tensor inputs (VMEM)
     p_ref,        # (1, n_nodes, S_pad, S_pad)
-    leaf_ref,     # (n_leaves, S_pad, T)
+    leaf_ref,     # (1, n_leaves, S_pad, T) — per-category (segment boundary
+                  # inputs differ by rate category; real leaves broadcast)
+    leaf_lsc_ref, # (1, n_leaves, 1, T) — input logscale (zeros for real
+                  # leaves; nonzero for segment-boundary virtual leaves)
     # outputs (VMEM) — every node's partials/logscale, kept as residuals
     buf_ref,      # (1, n_nodes, S_pad, T)
     logscale_ref, # (1, n_nodes, 1, T)
@@ -632,8 +635,9 @@ def _dynamic_saveall_kernel(
     cmax: int,
     s_pad: int,
 ):
-    buf_ref[0, 0:n_leaves] = leaf_ref[:]
+    buf_ref[0, 0:n_leaves] = leaf_ref[0]
     logscale_ref[...] = jnp.zeros(logscale_ref.shape, logscale_ref.dtype)
+    logscale_ref[0, 0:n_leaves] = leaf_lsc_ref[0]
     _walk_tree(
         order_ref, child_ref, count_ref, p_ref,
         _NodeView(buf_ref, (0,)), _NodeView(logscale_ref, (0,)),
@@ -649,13 +653,15 @@ def _dynamic_bwd_kernel(
     pt_ref,       # (1, n_nodes, S_pad, S_pad) — P^T per node (host-side)
     buf_ref,      # (1, n_nodes, S_pad, T) — forward partials (rescaled)
     ls_ref,       # (1, n_nodes, 1, T)     — forward logscale chain
-    groot_ref,    # (1, S_pad, T)          — seed dL/d(root partials)
+    gseed_ref,    # (1, n_seed, S_pad, T) — seeds dL/d(partials) of the
+                  # boundary-output nodes (whole tree: n_seed=1, the root)
     # outputs (VMEM)
     dp_ref,       # (1, n_nodes, S_pad, S_pad) — accumulated over site tiles
     dleaf_ref,    # (1, n_leaves, S_pad, T)
     # scratch
     g,            # (n_nodes, S_pad, T) — outside vectors
     *,
+    seed_ids,     # numpy (n_seed,) node ids (static constants)
     n_leaves: int,
     n_internal: int,
     cmax: int,
@@ -678,8 +684,8 @@ def _dynamic_bwd_kernel(
         dp_ref[...] = jnp.zeros(dp_ref.shape, dp_ref.dtype)
 
     g[...] = jnp.zeros(g.shape, g.dtype)
-    root = order_ref[0]
-    g[root] = groot_ref[0]
+    for j in range(seed_ids.shape[0]):
+        g[int(seed_ids[j])] = gseed_ref[0, j]
 
     # NOTE: order/children/counts arrive PRE-REVERSED (top-down) so the
     # loop indexes them directly — any arithmetic on the fori index mixes
@@ -766,18 +772,32 @@ def _working_bytes(
         per_site = n_slots * (s_pad + 1) + 2 * cmax * s_pad + 4 * s_pad
         p_bytes = 4 * 2 * cmax * s_pad * s_pad
     elif mode == "save":
-        per_site = 2 * n_nodes * (s_pad + 1) + leaf
+        # buf/ls output blocks x2 pipelining + leaf/lsc input blocks x2;
+        # P input block x2 (measured: a 228-node protein segment's
+        # backward hit 21.7M where the old single-counted formula said
+        # 13M — the compiler double-buffers EVERY revisited block)
+        per_site = 2 * n_nodes * (s_pad + 1) + 2 * n_leaves * (s_pad + 1)
+        p_bytes *= 2
     elif mode == "bwd":
         per_site = (
             3 * n_nodes * s_pad            # buf input x2 + g scratch
             + 2 * n_nodes                  # logscale input x2
             + 2 * n_leaves * s_pad         # dleaf output block x2
-            + 4 * s_pad                    # groot input x2
+            + 2 * 16 * s_pad               # seed input x2 (<=16 seeds)
         )
-        p_bytes *= 3                       # p, p^T inputs + dp output
+        p_bytes *= 6                       # p, p^T inputs + dp output, each x2
     else:
         raise ValueError(mode)
-    return 4 * tile * per_site + p_bytes
+    total = 4 * tile * per_site + p_bytes
+    if mode in ("save", "bwd"):
+        # Empirical calibration (TPU v5e, 2026-08-17): Mosaic's scoped-
+        # vmem accounting for these many-blocked kernels runs ~1.9x the
+        # itemized block sum when an outer vmap adds a batch grid axis
+        # (measured 23.4M vs 12.4M itemized on a 197-node protein
+        # segment backward). Double the estimate so tile/segment sizing
+        # stays inside the hard 16M limit.
+        total *= 2
+    return total
 
 
 def _pick_tile(
@@ -1144,25 +1164,24 @@ def make_pallas_prune_fn(
 # ---------------------------------------------------------------------------
 
 
-def _pallas_forward_saveall(
-    p_matrices, leaf_partials, *,
+def _saveall_call(
+    p_pad, lp_k, lsc_k, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
 ):
-    """Forward walk that writes EVERY node's partials/logscale to HBM.
+    """Run the saveall kernel on pre-padded kernel-layout inputs.
 
-    Returns ``(buf_all (K, n_nodes, S_pad, sites_pad),
-    ls_all (K, n_nodes, 1, sites_pad), p_pad (K, n_nodes, S_pad, S_pad))``
-    — the residuals the backward kernel consumes (kernel layout, f32).
+    ``p_pad (K, n_nodes, S_pad, S_pad)``, ``lp_k (K, n_leaves, S_pad,
+    sites_pad)`` (per-category leaves: segment-boundary inputs differ by
+    category; real leaves are broadcast), ``lsc_k (K, n_leaves, 1,
+    sites_pad)`` input logscales. Returns ``(buf_all, ls_all)``.
     """
-    k = p_matrices.shape[1]
-    sites = leaf_partials.shape[1]
-    s = leaf_partials.shape[2]
-    s_pad = _state_pad(s)
-    tile = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "save")
-    sites_pad = _round_up(sites, tile)
+    k, _, s_pad, _ = p_pad.shape
+    sites_pad = lp_k.shape[3]
     n_internal = order.shape[0]
     cmax = children.shape[1]
-    p, lp = _pad_inputs(p_matrices, leaf_partials, s, s_pad, sites, sites_pad)
+    tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "save")
+    while sites_pad % tile:
+        tile //= 2
     n_tiles = sites_pad // tile
 
     kernel = functools.partial(
@@ -1179,8 +1198,13 @@ def _pallas_forward_saveall(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_leaves, s_pad, tile),
-                lambda t, kk, *_: (t * 0, t * 0, t),
+                (1, n_leaves, s_pad, tile),
+                lambda t, kk, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_leaves, 1, tile),
+                lambda t, kk, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1206,19 +1230,23 @@ def _pallas_forward_saveall(
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray(order), jnp.asarray(children.T.copy()),
-      jnp.asarray(counts), p, lp)
-    return buf_all, ls_all, p
+      jnp.asarray(counts), p_pad, lp_k, lsc_k)
+    return buf_all, ls_all
 
 
-def _pallas_backward(
-    p_pad, pt_pad, buf_all, ls_all, groot, *,
+def _backward_call(
+    p_pad, pt_pad, buf_all, ls_all, gseeds, seed_ids, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
 ):
-    """Reverse walk: ``(dp_pad (K, n_nodes, S_pad, S_pad),
-    dleaf_k (K, n_leaves, S_pad, sites_pad))``."""
+    """Reverse walk seeded at ``seed_ids`` (numpy, static): returns
+    ``(dp_pad (K, n_nodes, S_pad, S_pad),
+    dleaf_k (K, n_leaves, S_pad, sites_pad))``.
+    ``gseeds (K, n_seed, S_pad, sites_pad)`` are the cotangents of the
+    seed nodes' (rescaled) partials."""
     k, _, s_pad, sites_pad = buf_all.shape
     n_internal = order.shape[0]
     cmax = children.shape[1]
+    n_seed = int(seed_ids.shape[0])
     tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "bwd")
     while sites_pad % tile:
         tile //= 2
@@ -1226,6 +1254,7 @@ def _pallas_backward(
 
     kernel = functools.partial(
         _dynamic_bwd_kernel,
+        seed_ids=np.asarray(seed_ids, np.int32),
         n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
     )
     # grid (k, n_tiles): site tiles iterate FASTEST so the dP output block
@@ -1256,8 +1285,8 @@ def _pallas_backward(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s_pad, tile),
-                lambda kk, t, *_: (kk, kk * 0, t),
+                (1, n_seed, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1291,14 +1320,170 @@ def _pallas_backward(
     )(jnp.asarray(order[::-1].copy()),
       jnp.asarray(children[::-1].T.copy()),
       jnp.asarray(counts[::-1].copy()),
-      p_pad, pt_pad, buf_all, ls_all, groot)
+      p_pad, pt_pad, buf_all, ls_all, gseeds)
     return dp_pad, dleaf_k
+
+
+def _dfs_internal_post(schedule: PruningSchedule):
+    """(DFS post-order list of internal node ids, child map, root)."""
+    order, children, counts = _postorder_arrays(schedule)
+    n_leaves = schedule.n_leaves
+    kids = {
+        int(order[i]): [int(children[i, c]) for c in range(int(counts[i]))]
+        for i in range(order.shape[0])
+    }
+    root = int(order[-1])
+    post, stack = [], [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if node < n_leaves:
+            continue
+        if done:
+            post.append(node)
+        else:
+            stack.append((node, True))
+            for ch in kids[node]:
+                stack.append((ch, False))
+    return post, kids, root
+
+
+class _Segment:
+    """One VMEM-sized chunk of the pruning walk (host-side descriptor).
+
+    Children of a chunk's internal nodes that live outside the chunk
+    become *virtual leaves*: real alignment leaves, or boundary nodes
+    computed by an earlier segment. Local node ids are
+    [0, n_vleaf) virtual leaves then [n_vleaf, n_vleaf + n_int) internals.
+    """
+
+    __slots__ = (
+        "int_nodes", "vleaf_global", "vleaf_is_leaf", "order", "children",
+        "counts", "p_gather", "boundary_local", "boundary_global",
+        "vleaf_anc_boundary", "n_nodes", "n_leaves",
+    )
+
+
+def _segment_schedules(schedule: PruningSchedule, s_pad: int, budget: int):
+    """Greedy contiguous partition of the DFS post-order walk.
+
+    Packs internal nodes into segments whose save- AND bwd-mode VMEM
+    working sets fit ``budget`` at the minimum site tile. Contiguity in
+    DFS post-order guarantees every child is in the same or an earlier
+    segment. Returns a list of _Segment.
+    """
+    post, kids, root = _dfs_internal_post(schedule)
+    n_leaves = schedule.n_leaves
+    cmax = schedule.n_children_max
+
+    def seg_cost(ints):
+        vleaf = set()
+        sset = set(ints)
+        for n in ints:
+            for ch in kids[n]:
+                if ch not in sset:
+                    vleaf.add(ch)
+        n_loc = len(ints) + len(vleaf)
+        return max(
+            _working_bytes(LANE, n_loc, len(vleaf), s_pad, "save"),
+            _working_bytes(LANE, n_loc, len(vleaf), s_pad, "bwd"),
+        )
+
+    chunks, cur = [], []
+    for node in post:
+        if cur and seg_cost(cur + [node]) > budget:
+            chunks.append(cur)
+            cur = [node]
+        else:
+            cur = cur + [node]
+    if cur:
+        chunks.append(cur)
+
+    # which internals are referenced by LATER chunks (boundary outputs)
+    seg_of = {}
+    for si, ints in enumerate(chunks):
+        for n in ints:
+            seg_of[n] = si
+
+    segments = []
+    for si, ints in enumerate(chunks):
+        sset = set(ints)
+        vleaf_global, seen = [], set()
+        for n in ints:
+            for ch in kids[n]:
+                if ch not in sset and ch not in seen:
+                    seen.add(ch)
+                    vleaf_global.append(ch)
+        local = {g: j for j, g in enumerate(vleaf_global)}
+        nv = len(vleaf_global)
+        for r, g in enumerate(ints):
+            local[g] = nv + r
+        order_l = np.asarray([local[g] for g in ints], np.int32)
+        children_l = np.zeros((len(ints), cmax), np.int32)
+        counts_l = np.zeros((len(ints),), np.int32)
+        for r, g in enumerate(ints):
+            ks = kids[g]
+            counts_l[r] = len(ks)
+            for c, ch in enumerate(ks):
+                children_l[r, c] = local[ch]
+        seg = _Segment()
+        seg.int_nodes = np.asarray(ints, np.int32)
+        seg.vleaf_global = np.asarray(vleaf_global, np.int32)
+        seg.vleaf_is_leaf = np.asarray(
+            [g < n_leaves for g in vleaf_global], bool
+        )
+        seg.order = order_l
+        seg.children = children_l
+        seg.counts = counts_l
+        # P rows for every LOCAL node id (vleaves first, then internals):
+        # the kernel contracts P by child id, and children may be vleaves
+        seg.p_gather = np.asarray(vleaf_global + ints, np.int32)
+        segments.append(seg)
+
+    # boundary outputs: internals consumed by later segments (+ the root)
+    consumed_later = [set() for _ in chunks]
+    for si, seg in enumerate(segments):
+        for g, is_l in zip(seg.vleaf_global, seg.vleaf_is_leaf):
+            if not is_l:
+                consumed_later[seg_of[int(g)]].add(int(g))
+    for si, seg in enumerate(segments):
+        outs = sorted(consumed_later[si])
+        if root in seg.int_nodes and root not in outs:
+            outs.append(root)
+        seg.boundary_global = np.asarray(outs, np.int32)
+        nv = len(seg.vleaf_global)
+        rank = {int(g): r for r, g in enumerate(seg.int_nodes)}
+        seg.boundary_local = np.asarray(
+            [nv + rank[g] for g in outs], np.int32
+        )
+        seg.n_nodes = nv + len(seg.int_nodes)
+        seg.n_leaves = nv
+    # each virtual leaf's ancestor boundary output WITHIN its segment: the
+    # segment is a forest whose tree roots are exactly the boundary
+    # outputs (a node with its parent in the same segment is consumed
+    # there, never later), so climbing parents always lands on one. Used
+    # to route input-logscale cotangents: a vleaf's lsc adds exactly once
+    # into its tree root's output lsc.
+    for seg in segments:
+        pmap = {}
+        for g in seg.int_nodes:
+            for ch in kids[int(g)]:
+                pmap[ch] = int(g)
+        bidx = {int(g): j for j, g in enumerate(seg.boundary_global)}
+        anc = []
+        for g in seg.vleaf_global:
+            node = pmap[int(g)]
+            while node not in bidx:
+                node = pmap[node]
+            anc.append(bidx[node])
+        seg.vleaf_anc_boundary = np.asarray(anc, np.int32)
+    return segments
 
 
 def make_pallas_loglik_fn(
     schedule: PruningSchedule,
     tile: int = 4 * LANE,
     interpret: bool = None,
+    n_states: int = None,
 ):
     """Fused differentiable per-(category, site) log-likelihood.
 
@@ -1306,33 +1491,44 @@ def make_pallas_loglik_fn(
     (n_leaves, sites, S), freqs (S,)) -> ll (K, sites)`` with
     ``ll[k, s] = log(sum_i freqs_i * true_root_partials[k, s, i])`` — the
     root reduction is fused so the pair (partials, logscale) never crosses
-    the autodiff boundary, which is what makes the rescaling-as-constant
-    backward exact for ANY downstream cotangent (see _dynamic_bwd_kernel).
-    The reduction runs in ``freqs.dtype`` (pass f64 freqs for the precision
-    plan); pruning runs f32 in VMEM.
+    the autodiff boundary in the whole-tree case. The reduction runs in
+    ``freqs.dtype`` (pass f64 freqs for the precision plan); pruning runs
+    f32 in VMEM.
 
-    Unlike ``make_pallas_prune_fn`` (whose VJP re-runs the XLA forward and
-    backward), the backward here is a second Pallas kernel consuming the
-    forward's saved per-node partials — the gradient path keeps the fused
-    kernel's arithmetic rate. Reference parity: supersedes the Cython
-    sitewise derivative kernels (phylo_utils/likcalc.pyx, SURVEY.md §3.3)
-    with exact whole-tree gradients.
+    The plain (non-differentiated) call runs the fast fused forward
+    (``_pallas_forward`` — slot/stream lowerings included); gradients run
+    a save-everything forward plus a second Pallas kernel over the saved
+    per-node partials (``_dynamic_bwd_kernel``).
+
+    **Segmented big-tree mode**: when the whole-tree saveall/backward
+    working set exceeds VMEM, the post-order walk is partitioned into
+    VMEM-sized SEGMENTS (``_segment_schedules``); each segment is its own
+    saveall+backward ``custom_vjp`` and segments chain through
+    per-category boundary (partials, logscale) tensors in HBM. Freezing
+    each segment's rescale divisors stays exact because the end-to-end
+    logL is algebraically invariant to every rescaling constant (the
+    divisor is always paired with its +log m term). This removes the
+    gradient path's tree-size ceiling — any tree that fits HBM
+    differentiates at kernel speed.
+
+    Reference parity: supersedes the Cython sitewise derivative kernels
+    (phylo_utils/likcalc.pyx, SURVEY.md §3.3) with exact whole-tree
+    gradients.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     order, children, counts = _postorder_arrays(schedule)
+    n_nodes, n_leaves = schedule.n_nodes, schedule.n_leaves
     common = dict(
         order=order, children=children, counts=counts,
-        n_nodes=schedule.n_nodes, n_leaves=schedule.n_leaves,
-        tile=tile, interpret=interpret,
+        n_nodes=n_nodes, n_leaves=n_leaves, tile=tile, interpret=interpret,
     )
     root = int(order[-1])
     _hi = jax.lax.Precision.HIGHEST
 
     slot_data = _dfs_slot_schedule(schedule)
 
-    @jax.custom_vjp
-    def site_cat_ll(p_matrices, leaf_partials, freqs):
+    def fast_ll(p_matrices, leaf_partials, freqs):
         root_p, root_sc = _pallas_forward(
             p_matrices, leaf_partials, slot_data=slot_data, **common
         )
@@ -1342,54 +1538,171 @@ def make_pallas_loglik_fn(
         )
         return jnp.log(dot) + root_sc.astype(rdt)
 
-    def fwd(p_matrices, leaf_partials, freqs):
+    whole_tree = n_states is None or (
+        pallas_supported(schedule, n_states, "save")
+        and pallas_supported(schedule, n_states, "bwd")
+    )
+
+    if whole_tree:
+        root_ids = np.asarray([root], np.int32)
+
+        @jax.custom_vjp
+        def site_cat_ll(p_matrices, leaf_partials, freqs):
+            return fast_ll(p_matrices, leaf_partials, freqs)
+
+        def fwd(p_matrices, leaf_partials, freqs):
+            k = p_matrices.shape[1]
+            sites = leaf_partials.shape[1]
+            s = leaf_partials.shape[2]
+            s_pad = _state_pad(s)
+            t_eff = _pick_tile(tile, sites, n_nodes, n_leaves, s_pad, "save")
+            sites_pad = _round_up(sites, t_eff)
+            p_pad, lp = _pad_inputs(
+                p_matrices, leaf_partials, s, s_pad, sites, sites_pad
+            )
+            lp_k = jnp.broadcast_to(lp[None], (k,) + lp.shape)
+            lsc_k = jnp.zeros((k, n_leaves, 1, sites_pad), jnp.float32)
+            buf_all, ls_all = _saveall_call(p_pad, lp_k, lsc_k, **common)
+            rdt = freqs.dtype
+            root_pp = buf_all[:, root, :s, :sites]      # (K, S, sites)
+            dot = jnp.einsum(
+                "kis,i->ks", root_pp.astype(rdt), freqs, precision=_hi
+            )
+            ll = jnp.log(dot) + ls_all[:, root, 0, :sites].astype(rdt)
+            p_tok = jnp.zeros((0,), p_matrices.dtype)
+            leaf_tok = jnp.zeros((0,), leaf_partials.dtype)
+            return ll, (p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs)
+
+        def bwd(res, ct):
+            p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs = res
+            sites_pad = buf_all.shape[3]
+            s_pad = buf_all.shape[2]
+            sites = dot.shape[1]
+            s = freqs.shape[0]
+            rdt = dot.dtype
+            lam = ct / dot                               # (K, sites) rdt
+            lam32 = jnp.pad(
+                lam.astype(jnp.float32), ((0, 0), (0, sites_pad - sites))
+            )
+            f32f = jnp.zeros((s_pad,), jnp.float32).at[:s].set(
+                freqs.astype(jnp.float32)
+            )
+            gseeds = (
+                lam32[:, None, None, :] * f32f[None, None, :, None]
+            )                                            # (K, 1, S_pad, sp)
+            pt_pad = jnp.swapaxes(p_pad, -1, -2)
+            dp_pad, dleaf_k = _backward_call(
+                p_pad, pt_pad, buf_all, ls_all, gseeds, root_ids, **common
+            )
+            dp = jnp.transpose(dp_pad[:, :, :s, :s], (1, 0, 2, 3)).astype(
+                p_tok.dtype
+            )
+            dleaf = jnp.transpose(
+                jnp.sum(dleaf_k, axis=0)[:, :s, :sites], (0, 2, 1)
+            ).astype(leaf_tok.dtype)
+            root_pp = buf_all[:, root, :s, :sites]       # (K, S, sites)
+            dfreqs = jnp.einsum(
+                "ks,kis->i", lam, root_pp.astype(rdt), precision=_hi
+            )
+            return dp, dleaf, dfreqs
+
+        site_cat_ll.defvjp(fwd, bwd)
+        return site_cat_ll
+
+    # ---- segmented mode ----
+    s_pad = _state_pad(n_states)
+    segments = _segment_schedules(
+        schedule, s_pad, int(VMEM_BUDGET * 0.9)
+    )
+
+    def make_seg_fn(seg):
+        arrays = dict(
+            order=seg.order, children=seg.children, counts=seg.counts,
+            n_nodes=seg.n_nodes, n_leaves=seg.n_leaves,
+            tile=tile, interpret=interpret,
+        )
+        bloc = np.asarray(seg.boundary_local, np.int32)
+        anc = np.asarray(seg.vleaf_anc_boundary, np.int32)
+
+        @jax.custom_vjp
+        def f(p_seg, vleaf, vlsc):
+            buf, ls = _saveall_call(p_seg, vleaf, vlsc, **arrays)
+            return buf[:, bloc], ls[:, bloc]
+
+        def f_fwd(p_seg, vleaf, vlsc):
+            buf, ls = _saveall_call(p_seg, vleaf, vlsc, **arrays)
+            return (buf[:, bloc], ls[:, bloc]), (p_seg, buf, ls)
+
+        def f_bwd(res, cts):
+            p_seg, buf, ls = res
+            ct_b, ct_l = cts
+            pt = jnp.swapaxes(p_seg, -1, -2)
+            dp, dvleaf = _backward_call(
+                p_seg, pt, buf, ls, ct_b.astype(jnp.float32), bloc,
+                **arrays
+            )
+            # a vleaf's input logscale adds exactly once into its tree
+            # root's output logscale (and nowhere else) — route the
+            # cotangent straight from that boundary output
+            dvlsc = ct_l[:, anc]
+            return dp, dvleaf, dvlsc
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    seg_fns = [make_seg_fn(seg) for seg in segments]
+
+    def seg_chain_ll(p_matrices, leaf_partials, freqs):
+        k = p_matrices.shape[1]
         sites = leaf_partials.shape[1]
         s = leaf_partials.shape[2]
-        buf_all, ls_all, p_pad = _pallas_forward_saveall(
-            p_matrices, leaf_partials, **common
+        sites_pad = _round_up(sites, LANE)
+        p_pad, lp = _pad_inputs(
+            p_matrices, leaf_partials, s, s_pad, sites, sites_pad
         )
+        lp_k = jnp.broadcast_to(lp[None], (k,) + lp.shape)
+        bparts, blscs = {}, {}
+        for seg, fn in zip(segments, seg_fns):
+            nv = int(seg.n_leaves)
+            leaf_rows = np.nonzero(seg.vleaf_is_leaf)[0]
+            vleaf = jnp.zeros((k, nv, s_pad, sites_pad), jnp.float32)
+            vlsc = jnp.zeros((k, nv, 1, sites_pad), jnp.float32)
+            if leaf_rows.size:
+                gids = seg.vleaf_global[leaf_rows]
+                vleaf = vleaf.at[:, leaf_rows].set(lp_k[:, gids])
+            for j, (gid, is_l) in enumerate(
+                zip(seg.vleaf_global, seg.vleaf_is_leaf)
+            ):
+                if not is_l:
+                    vleaf = vleaf.at[:, j].set(bparts[int(gid)])
+                    vlsc = vlsc.at[:, j].set(blscs[int(gid)])
+            p_seg = p_pad[:, seg.p_gather]
+            bp, bl = fn(p_seg, vleaf, vlsc)
+            for j, gid in enumerate(seg.boundary_global):
+                bparts[int(gid)] = bp[:, j]
+                blscs[int(gid)] = bl[:, j]
         rdt = freqs.dtype
-        root_pp = buf_all[:, root, :s, :sites]      # (K, S, sites)
+        root_pp = bparts[root][:, :s, :sites]            # (K, S, sites)
         dot = jnp.einsum(
             "kis,i->ks", root_pp.astype(rdt), freqs, precision=_hi
         )
-        ll = jnp.log(dot) + ls_all[:, root, 0, :sites].astype(rdt)
-        p_tok = jnp.zeros((0,), p_matrices.dtype)
-        leaf_tok = jnp.zeros((0,), leaf_partials.dtype)
-        return ll, (p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs)
+        return jnp.log(dot) + blscs[root][:, 0, :sites].astype(rdt)
 
-    def bwd(res, ct):
-        p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs = res
-        k, _, s_pad, sites_pad = (
-            buf_all.shape[0], buf_all.shape[1], buf_all.shape[2],
-            buf_all.shape[3],
+    @jax.custom_vjp
+    def site_cat_ll(p_matrices, leaf_partials, freqs):
+        # value-only calls take the fast fused forward (incl. the
+        # HBM-streaming lowering); the segmented saveall chain runs only
+        # under differentiation
+        return fast_ll(p_matrices, leaf_partials, freqs)
+
+    def fwd(p_matrices, leaf_partials, freqs):
+        ll, pullback = jax.vjp(
+            seg_chain_ll, p_matrices, leaf_partials, freqs
         )
-        sites = dot.shape[1]
-        s = freqs.shape[0]
-        rdt = dot.dtype
-        lam = ct / dot                               # (K, sites) rdt
-        lam32 = jnp.pad(
-            lam.astype(jnp.float32), ((0, 0), (0, sites_pad - sites))
-        )
-        f32f = jnp.zeros((s_pad,), jnp.float32).at[:s].set(
-            freqs.astype(jnp.float32)
-        )
-        groot = lam32[:, None, :] * f32f[None, :, None]
-        pt_pad = jnp.swapaxes(p_pad, -1, -2)
-        dp_pad, dleaf_k = _pallas_backward(
-            p_pad, pt_pad, buf_all, ls_all, groot, **common
-        )
-        dp = jnp.transpose(dp_pad[:, :, :s, :s], (1, 0, 2, 3)).astype(
-            p_tok.dtype
-        )
-        dleaf = jnp.transpose(
-            jnp.sum(dleaf_k, axis=0)[:, :s, :sites], (0, 2, 1)
-        ).astype(leaf_tok.dtype)
-        root_pp = buf_all[:, root, :s, :sites]       # (K, S, sites)
-        dfreqs = jnp.einsum(
-            "ks,kis->i", lam, root_pp.astype(rdt), precision=_hi
-        )
-        return dp, dleaf, dfreqs
+        return ll, pullback
+
+    def bwd(pullback, ct):
+        return pullback(ct)
 
     site_cat_ll.defvjp(fwd, bwd)
     return site_cat_ll

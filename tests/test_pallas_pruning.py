@@ -157,10 +157,11 @@ def test_vmem_fallback_big_tree(recwarn):
         pp.VMEM_BUDGET = old
 
 
-def test_backward_only_fallback():
-    """When the forward fits but the saveall/backward working set doesn't,
-    the engine keeps the Pallas forward and routes gradients through the
-    XLA VJP (prune path), still producing correct grads."""
+def test_segmented_gradients_when_saveall_overflows():
+    """When the whole-tree saveall/backward working set doesn't fit, the
+    engine gets the SEGMENTED fused gradient path (post-order walk split
+    into VMEM-sized chunks chained through boundary tensors) and its
+    value/gradients still match the XLA engine."""
     from phylo_utils_tpu.ops import pallas_pruning as pp
 
     tree = random_tree(10, seed=9)
@@ -173,12 +174,14 @@ def test_backward_only_fallback():
     save_b = pp._working_bytes(pp.LANE, sched.n_nodes, sched.n_leaves,
                                8, "save")
     assert save_b > fwd_b
+    segs = pp._segment_schedules(sched, 8, (fwd_b + save_b) // 2)
+    assert len(segs) > 1                       # genuinely multi-segment
     old = pp.VMEM_BUDGET
     pp.VMEM_BUDGET = (fwd_b + save_b) // 2
     try:
         eng = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
                                dtype="float32", pruner="pallas")
-        assert eng._pallas_ll is None          # fused path disabled
+        assert eng._pallas_ll is not None      # segmented path engaged
         ref = LikelihoodEngine(tree, aln, models.GTR, ncat=2,
                                dtype="float32")
         lx, gx = ref.value_and_grad()
@@ -187,6 +190,49 @@ def test_backward_only_fallback():
         np.testing.assert_allclose(
             np.asarray(gp["branch_lengths"]),
             np.asarray(gx["branch_lengths"]), rtol=5e-3, atol=1e-3,
+        )
+        for key in ("rates", "freqs"):
+            np.testing.assert_allclose(
+                np.asarray(gp["model"][key]),
+                np.asarray(gx["model"][key]), rtol=5e-3, atol=1e-3,
+            )
+    finally:
+        pp.VMEM_BUDGET = old
+
+
+def test_segmented_gradients_many_segments():
+    """Deeper tree forced into many segments: the chained boundary
+    cotangents (partials AND logscale routing) must reproduce XLA grads."""
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    tree = random_tree(40, seed=11)
+    rng = np.random.default_rng(11)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=70))
+           for n in tree.leaf_names}
+    sched = compile_schedule(tree)
+    budget = pp._working_bytes(pp.LANE, 14, 8, 8, "save") + 4096
+    segs = pp._segment_schedules(sched, 8, budget)
+    assert len(segs) >= 5
+    # every internal node appears in exactly one segment
+    allints = np.concatenate([s.int_nodes for s in segs])
+    assert sorted(allints.tolist()) == sorted(
+        range(sched.n_leaves, sched.n_nodes))
+    old = pp.VMEM_BUDGET
+    pp.VMEM_BUDGET = budget
+    try:
+        eng = LikelihoodEngine(tree, aln, models.HKY85, ncat=3,
+                               dtype="float32", pruner="pallas")
+        ref = LikelihoodEngine(tree, aln, models.HKY85, ncat=3,
+                               dtype="float32")
+        lx, gx = ref.value_and_grad()
+        lp, gp = eng.value_and_grad()
+        assert abs(float(lx) - float(lp)) < 1e-4 * abs(float(lx))
+        np.testing.assert_allclose(
+            np.asarray(gp["branch_lengths"]),
+            np.asarray(gx["branch_lengths"]), rtol=5e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            float(gp["alpha"]), float(gx["alpha"]), rtol=5e-3, atol=1e-4,
         )
     finally:
         pp.VMEM_BUDGET = old
