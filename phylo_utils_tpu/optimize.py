@@ -168,27 +168,33 @@ def fit(
     if "model" not in free_set and hasattr(engine, "model_eigen"):
         eig = engine.model_eigen(base)
 
-    def loss_fn(raw):
-        params = dict(frozen)
-        params.update(untransform_params(raw))
-        if eig is not None:
-            total, _ = engine._loglik_fn(
-                params, engine._leaf_partials, engine._weights, eig=eig
-            )
-        else:
-            total, _ = engine._loglik_fn(
-                params, engine._leaf_partials, engine._weights
-            )
-        return -total
+    # Data arrays are threaded through the jitted steps as ARGUMENTS, not
+    # closure constants: globally-sharded (multi-host) leaf partials span
+    # non-addressable devices and may not be closed over; passing them also
+    # keeps one compiled step program valid across weight-resampled data
+    # (bootstrap) of the same shape.
+    data_lp, data_w = engine._leaf_partials, engine._weights
+
+    def make_loss(lp, w):
+        def loss_fn(raw):
+            params = dict(frozen)
+            params.update(untransform_params(raw))
+            if eig is not None:
+                total, _ = engine._loglik_fn(params, lp, w, eig=eig)
+            else:
+                total, _ = engine._loglik_fn(params, lp, w)
+            return -total
+        return loss_fn
 
     raw0 = transform_params(start)
 
     if optimizer is None:
         optimizer = optax.lbfgs()
-        vag = optax.value_and_grad_from_state(loss_fn)
 
         @jax.jit
-        def step(raw, opt_state):
+        def step(raw, opt_state, lp, w):
+            loss_fn = make_loss(lp, w)
+            vag = optax.value_and_grad_from_state(loss_fn)
             loss, grads = vag(raw, state=opt_state)
             updates, opt_state = optimizer.update(
                 grads, opt_state, raw, value=loss, grad=grads,
@@ -200,8 +206,8 @@ def fit(
     else:
 
         @jax.jit
-        def step(raw, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(raw)
+        def step(raw, opt_state, lp, w):
+            loss, grads = jax.value_and_grad(make_loss(lp, w))(raw)
             updates, opt_state = optimizer.update(grads, opt_state, raw)
             raw = optax.apply_updates(raw, updates)
             return raw, opt_state, loss
@@ -212,17 +218,17 @@ def fit(
         inner = step
 
         @jax.jit
-        def chunk(raw, opt_state):
+        def chunk(raw, opt_state, lp, w):
             def body(carry, _):
                 raw, opt_state = carry
-                raw, opt_state, loss = inner(raw, opt_state)
+                raw, opt_state, loss = inner(raw, opt_state, lp, w)
                 return (raw, opt_state), loss
 
             (raw, opt_state), losses = lax.scan(
                 body, (raw, opt_state), None, length=steps_per_call
             )
             # one extra forward so the END-of-chunk raw has a known loss
-            return raw, opt_state, losses, loss_fn(raw)
+            return raw, opt_state, losses, make_loss(lp, w)(raw)
 
     # Bookkeeping invariant: step() returns the loss of the raw it was
     # GIVEN, so each recorded (ll, raw) pair must use the pre-step raw.
@@ -261,13 +267,15 @@ def fit(
     while n < max_steps:
         if steps_per_call > 1:
             raw_start = raw
-            raw, opt_state, losses, end_loss = chunk(raw, opt_state)
+            raw, opt_state, losses, end_loss = chunk(
+                raw, opt_state, data_lp, data_w
+            )
             lls = [-float(x) for x in np.asarray(losses)]
             candidates = {0: raw_start}
             end_ll = -float(end_loss)
         else:
             raw_start = raw
-            raw, opt_state, loss = step(raw, opt_state)
+            raw, opt_state, loss = step(raw, opt_state, data_lp, data_w)
             lls = [-float(loss)]
             candidates = {0: raw_start}
             end_ll = None
