@@ -295,3 +295,87 @@ def gy94(kappa: float, omega: float, freqs=None) -> OracleModel:
             q[i, j] = rate * freqs[j]
     np.fill_diagonal(q, -q.sum(axis=1))
     return OracleModel("GY94", _normalize_q(q, freqs), freqs)
+
+
+def loglikelihood_branch_models(
+    tree: Tree,
+    alignment: Dict[str, str],
+    node_models: Sequence[OracleModel],
+    alphabet: str = "dna",
+    rates: Optional[np.ndarray] = None,
+    rate_weights: Optional[np.ndarray] = None,
+    pattern_weights: Optional[np.ndarray] = None,
+    root_freqs: Optional[np.ndarray] = None,
+    leaf_partials: Optional[np.ndarray] = None,
+    return_sitewise: bool = False,
+):
+    """Serial pruning with a DIFFERENT model on each edge (branch models).
+
+    ``node_models[i]`` governs the edge above node ``i`` (the root entry is
+    unused except as the default source of ``root_freqs``). Same serial
+    float64 numerics as ``loglikelihood`` — the independent golden source
+    for BranchModelEngine / branch-site engines.
+    """
+    n_states = node_models[0].q.shape[0]
+    if rates is None:
+        rates = np.array([1.0])
+    rates = np.asarray(rates, dtype=np.float64)
+    if leaf_partials is None:
+        leaf_idx = tree.leaf_index()
+        leaves = {
+            name: seq_to_partials(seq, alphabet)
+            for name, seq in alignment.items()
+        }
+        n_sites = next(iter(leaves.values())).shape[0]
+        leaf_arr = np.zeros((tree.n_leaves, n_sites, n_states))
+        for name, arr in leaves.items():
+            leaf_arr[leaf_idx[name]] = arr
+    else:
+        leaf_arr = np.asarray(leaf_partials, dtype=np.float64)
+        n_sites = leaf_arr.shape[1]
+    if pattern_weights is None:
+        pattern_weights = np.ones(n_sites)
+    if root_freqs is None:
+        root_freqs = node_models[tree.root].freqs
+
+    def prune_category(rate: float):
+        partials = {}
+        logscale = {}
+        for node in tree.postorder():
+            kids = tree.children[node]
+            if not kids:
+                partials[node] = leaf_arr[node]
+                logscale[node] = np.zeros(n_sites)
+                continue
+            acc = np.ones((n_sites, n_states))
+            sc = np.zeros(n_sites)
+            for c in kids:
+                p = pmat(node_models[c], tree.lengths[c] * rate)
+                acc = acc * (partials[c] @ p.T)
+                sc = sc + logscale[c]
+            m = np.maximum(acc.max(axis=1), np.finfo(np.float64).tiny)
+            partials[node] = acc / m[:, None]
+            logscale[node] = sc + np.log(m)
+        root = tree.root
+        site_lik = partials[root] @ root_freqs
+        return site_lik, logscale[root]
+
+    liks, scales = [], []
+    for r in rates:
+        sl, sc = prune_category(float(r))
+        liks.append(sl)
+        scales.append(sc)
+    liks = np.stack(liks)
+    scales = np.stack(scales)
+    m = scales.max(axis=0)
+    if rate_weights is None:
+        rate_weights = np.full(len(rates), 1.0 / len(rates))
+    rate_weights = np.asarray(rate_weights, dtype=np.float64)
+    mixed = np.sum(
+        rate_weights[:, None] * liks * np.exp(scales - m[None, :]), axis=0
+    )
+    sitewise = np.log(mixed) + m
+    total = float((pattern_weights * sitewise).sum())
+    if return_sitewise:
+        return total, sitewise
+    return total

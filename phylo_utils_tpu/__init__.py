@@ -56,6 +56,14 @@ from phylo_utils_tpu.batched import (  # noqa: F401
     nni_hill_climb,
     optimize_branch_lengths,
 )
+from phylo_utils_tpu.branch_models import (  # noqa: F401
+    BranchModelEngine,
+    BranchSiteAEngine,
+    branch_site_test,
+    free_ratio_classes,
+    mark_branches,
+    mark_clade,
+)
 from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F401
 from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
 from phylo_utils_tpu.partition import Partition, PartitionedEngine  # noqa: F401

@@ -125,36 +125,14 @@ def ancestral_posteriors(
     (``engine.tree`` ids ``n_leaves..n_nodes-1``; the last row is the root),
     expanded to per-site (not per-pattern) positions, normalized over states.
     """
-    import phylo_utils_tpu.ops.pmatrix as pm_ops
-    from phylo_utils_tpu.ops.gamma import discrete_gamma
-
     schedule = engine.schedule
     full = engine._full_params(params)
     dtype = engine.dtype
 
     def compute(full, leaf_partials, weights):
-        if engine.ncat > 1 and getattr(engine, "rate_model", "gamma") == "free":
-            cat_weights = full["cat_weights"].astype(dtype)
-            cat_weights = cat_weights / jnp.sum(cat_weights)
-            rates = full["rates"].astype(dtype)
-            rates = rates / jnp.sum(cat_weights * rates)
-        elif engine.ncat > 1:
-            rates = discrete_gamma(full["alpha"], engine.ncat, engine.median)
-            rates = rates.astype(dtype)
-            cat_weights = jnp.full((engine.ncat,), 1.0 / engine.ncat, dtype)
-        else:
-            rates = jnp.ones((1,), dtype)
-            cat_weights = jnp.ones((1,), dtype)
-        t = full["branch_lengths"].astype(dtype)
-        ts = t[:, None] * rates[None, :]
-        if engine.model.reversible:
-            sym, freqs = engine.model.build_parts(full["model"], dtype=dtype)
-            p = pm_ops.p_matrices_reversible(sym, freqs, ts)
-        else:
-            eig = engine.model.eigen(full["model"], dtype=dtype)
-            freqs = eig.freqs
-            p = pm_ops.transition_matrices(eig, ts)
-        p = pm_ops.extend_p_identity(p, schedule.n_nodes)
+        # engine hook: per-edge-per-category P and the mixture weights —
+        # branch-model engines (per-edge omega classes) plug in here too
+        _, cat_weights, p, freqs = engine._mixture_tensors(full, dtype)
         down, logscale = _down_pass(schedule, p, leaf_partials)
         out = _up_pass(schedule, p, down, freqs)
         # binarization pseudo-nodes (ids >= n_real_nodes) are not tree
@@ -191,13 +169,11 @@ def site_rate_posteriors(
     engine, params: Optional[Mapping] = None
 ) -> np.ndarray:
     """Posterior probability of each rate category per site: (n_sites, K)."""
-    from phylo_utils_tpu.likelihood import mixture_rates_and_p
-
     full = engine._full_params(params)
     dtype = engine.dtype
 
     def compute(full, leaf_partials, weights):
-        _, cat_weights, p, freqs = mixture_rates_and_p(engine, full, dtype)
+        _, cat_weights, p, freqs = engine._mixture_tensors(full, dtype)
         root_partials, root_logscale = engine._prune(p, leaf_partials)
         lik = jnp.einsum(
             "ksi,i->ks", root_partials, freqs.astype(dtype), precision=_HI

@@ -47,25 +47,10 @@ def _canonical_dtype(dtype):
     return jnp.dtype(jnp.result_type(float))  # honors jax_enable_x64
 
 
-def mixture_rates_and_p(engine, params, dtype, eig=None):
-    """Shared mixture construction: (rates, cat_weights, p, freqs).
-
-    Single source of truth for the rate-category vector (gamma or FreeRate),
-    category weights, and the batched P(t) tensor — consumed by the engine's
-    ``_loglik_fn`` and by ancestral.py's posterior passes so a rate-model
-    change lands in one place.
-
-    ``eig``: a precomputed ``Eigen`` for the CURRENT model parameters. When
-    given, P(t) is reconstructed from it (V e^{lambda t} V^-1 — exactly the
-    reference's TransitionMatrix semantics, where the eigendecomposition
-    lives with the model and only P(t) is per-branch) instead of
-    re-decomposing Q on every evaluation. This is the fast path for
-    model-fixed workloads (branch-length optimization, distances, tree
-    search, bootstrap): the eigh is the single most expensive op in an
-    evaluation on TPU. Differentiable in branch lengths (d e^{lambda t}/dt
-    needs no eigh JVP); model-parameter gradients must use the eig=None
-    path (Daleckii-Krein custom JVP).
-    """
+def rate_categories(engine, params, dtype):
+    """(rates, cat_weights) for the engine's RATE mixture (gamma/FreeRate/
+    none). Shared by ``mixture_rates_and_p`` and engines whose P(t) varies
+    per edge (branch models) but still carry gamma rate heterogeneity."""
     ncat = engine.ncat
     if ncat > 1 and getattr(engine, "rate_model", "gamma") == "free":
         cat_weights = params["cat_weights"].astype(dtype)
@@ -85,6 +70,29 @@ def mixture_rates_and_p(engine, params, dtype, eig=None):
     else:
         rates = jnp.ones((1,), dtype)
         cat_weights = jnp.full((1,), 1.0, dtype)
+    return rates, cat_weights
+
+
+def mixture_rates_and_p(engine, params, dtype, eig=None):
+    """Shared mixture construction: (rates, cat_weights, p, freqs).
+
+    Single source of truth for the rate-category vector (gamma or FreeRate),
+    category weights, and the batched P(t) tensor — consumed by the engine's
+    ``_loglik_fn`` and by ancestral.py's posterior passes so a rate-model
+    change lands in one place.
+
+    ``eig``: a precomputed ``Eigen`` for the CURRENT model parameters. When
+    given, P(t) is reconstructed from it (V e^{lambda t} V^-1 — exactly the
+    reference's TransitionMatrix semantics, where the eigendecomposition
+    lives with the model and only P(t) is per-branch) instead of
+    re-decomposing Q on every evaluation. This is the fast path for
+    model-fixed workloads (branch-length optimization, distances, tree
+    search, bootstrap): the eigh is the single most expensive op in an
+    evaluation on TPU. Differentiable in branch lengths (d e^{lambda t}/dt
+    needs no eigh JVP); model-parameter gradients must use the eig=None
+    path (Daleckii-Krein custom JVP).
+    """
+    rates, cat_weights = rate_categories(engine, params, dtype)
     t = params["branch_lengths"].astype(dtype)
     ts = t[:, None] * rates[None, :]                       # (n_nodes, K)
     if eig is not None:
@@ -347,13 +355,23 @@ class LikelihoodEngine:
 
     # -- core computation ----------------------------------------------------
 
+    def _mixture_tensors(self, params, dtype, eig=None):
+        """Hook: (rates, cat_weights, p, freqs) for this engine's mixture.
+
+        ``p`` is the (n_nodes, K, S, S) batch of per-edge-per-category
+        transition matrices. Subclasses whose P(t) varies per EDGE as well
+        as per category (branch models: per-edge omega classes) override
+        only this — pruning, scaling, mixing, gradients, sharding,
+        ancestral posteriors all flow through it unchanged."""
+        return mixture_rates_and_p(self, params, dtype, eig=eig)
+
     def _loglik_fn(self, params, leaf_partials, weights, eig=None):
         dtype = self.dtype
         rdt = getattr(self, "_reduce_dtype", dtype)
         # P(t), rates, weights, freqs built in the high-precision dtype;
         # only the pruning pass itself runs in `dtype`.
-        _, cat_weights, p, freqs = mixture_rates_and_p(self, params, rdt,
-                                                       eig=eig)
+        _, cat_weights, p, freqs = self._mixture_tensors(params, rdt,
+                                                         eig=eig)
         pinv = params.get("pinv") if self.invariant_sites else None
         inv = (
             invariant_site_likelihood(leaf_partials.astype(rdt), freqs)

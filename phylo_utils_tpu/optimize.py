@@ -50,8 +50,8 @@ _HI = lax.Precision.HIGHEST
 # Reparameterization: constrained model space <-> unconstrained optimizer space
 # ---------------------------------------------------------------------------
 
-_SIMPLEX_KEYS = {"freqs", "cat_weights"}  # softmax-parameterized (sum to 1)
-_UNIT_KEYS = {"pinv", "p0"}        # sigmoid-parameterized (0, 1)
+_SIMPLEX_KEYS = {"freqs", "cat_weights", "proportions"}  # softmax (sum to 1)
+_UNIT_KEYS = {"pinv", "p0", "omega0"}      # sigmoid-parameterized (0, 1)
 # everything else positive-valued: softplus-parameterized
 
 
