@@ -77,9 +77,12 @@ from phylo_utils_tpu.optimize import (  # noqa: F401
 )
 from phylo_utils_tpu.simulate import SequenceSimulator, simulate_alignment  # noqa: F401
 from phylo_utils_tpu.mixtures import (  # noqa: F401
+    M1aEngine,
+    M2aEngine,
     M7Engine,
     M8Engine,
     ModelMixtureEngine,
+    m1a_m2a_test,
     omega_posteriors,
     positive_selection_test,
 )

@@ -364,6 +364,92 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_site_test(args) -> int:
+    """codeml-style site-model positive-selection LRTs (M1a/M2a, M7/M8)."""
+    import jax
+
+    from phylo_utils_tpu.io import encode_codon_alignment
+    from phylo_utils_tpu.mixtures import (
+        M1aEngine,
+        M2aEngine,
+        M7Engine,
+        M8Engine,
+        m1a_m2a_test,
+        omega_posteriors,
+        positive_selection_test,
+    )
+    from phylo_utils_tpu.optimize import fit
+
+    tree = _read_tree(args.tree)
+    ca = encode_codon_alignment(_read_aln(args.alignment))
+    kw = {"dtype": args.dtype, "pruner": args.pruner}
+    base_free = ("branch_lengths", "shared")
+    if args.test == "m1a-m2a":
+        null = M1aEngine(tree, ca, **kw)
+        free = base_free + ("proportions", "omega0")
+        res_null = fit(null, free=free, max_steps=args.max_steps)
+        alt = M2aEngine(tree, ca, **kw)
+        res_alt = fit(alt, free=free + ("omega2_delta",),
+                      max_steps=args.max_steps)
+        lrt = m1a_m2a_test(res_null.loglik, res_alt.loglik)
+    else:  # m7-m8
+        null = M7Engine(tree, ca, ncat=args.ncat, **kw)
+        free = base_free + ("beta_p", "beta_q")
+        res_null = fit(null, free=free, max_steps=args.max_steps)
+        alt = M8Engine(tree, ca, ncat=args.ncat, **kw)
+        res_alt = fit(alt, free=free + ("p0", "omega_delta"),
+                      max_steps=args.max_steps)
+        lrt = positive_selection_test(res_null.loglik, res_alt.loglik)
+    mean_omega, gam = omega_posteriors(alt, res_alt.params)
+    out = {
+        "test": args.test,
+        "loglik_null": res_null.loglik,
+        "loglik_alt": res_alt.loglik,
+        "lrt": lrt,
+        "alt_params": jax.tree.map(
+            lambda x: np.asarray(x).tolist(), res_alt.params
+        ),
+    }
+    if args.sites:
+        # NEB site scan: the last class is the omega>1 class in both tests
+        out["site_mean_omega"] = np.asarray(mean_omega).tolist()
+        out["site_positive_posterior"] = np.asarray(gam[:, -1]).tolist()
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_branch_site_test(args) -> int:
+    """Branch-site Model A positive-selection LRT on a foreground clade."""
+    import jax
+
+    from phylo_utils_tpu.branch_models import (
+        branch_site_test,
+        mark_branches,
+        mark_clade,
+    )
+    from phylo_utils_tpu.io import encode_codon_alignment
+
+    tree = _read_tree(args.tree)
+    ca = encode_codon_alignment(_read_aln(args.alignment))
+    names = args.foreground.split(",")
+    fg = (mark_clade(tree, names) if args.clade and len(names) > 1
+          else mark_branches(tree, names))
+    res = branch_site_test(
+        tree, ca, fg,
+        engine_kwargs={"dtype": args.dtype, "pruner": args.pruner},
+        max_steps=args.max_steps,
+    )
+    print(json.dumps({
+        "loglik_null": res["null"].loglik,
+        "loglik_alt": res["alt"].loglik,
+        "lrt": res["lrt"],
+        "alt_params": jax.tree.map(
+            lambda x: np.asarray(x).tolist(), res["alt"].params
+        ),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="phylo_utils_tpu",
@@ -478,6 +564,41 @@ def main(argv=None) -> int:
                    choices=["aic", "aicc", "bic"])
     p.add_argument("--max-steps", type=int, default=200)
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser(
+        "site-test",
+        help="positive-selection LRT over sites (codeml M1a/M2a, M7/M8)",
+    )
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alignment", required=True,
+                   help="in-frame codon alignment (FASTA/PHYLIP)")
+    p.add_argument("--test", default="m1a-m2a",
+                   choices=["m1a-m2a", "m7-m8"])
+    p.add_argument("--ncat", type=int, default=10,
+                   help="beta discretization classes (m7-m8)")
+    p.add_argument("--max-steps", type=int, default=200)
+    p.add_argument("--sites", action="store_true",
+                   help="emit the per-site NEB positive-selection scan")
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
+    p.set_defaults(fn=cmd_site_test)
+
+    p = sub.add_parser(
+        "branch-site-test",
+        help="branch-site Model A LRT (foreground lineage selection)",
+    )
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alignment", required=True,
+                   help="in-frame codon alignment (FASTA/PHYLIP)")
+    p.add_argument("--foreground", required=True,
+                   help="comma-separated node names marking foreground edges")
+    p.add_argument("--clade", action="store_true",
+                   help="treat --foreground names as a clade (mark the whole "
+                        "subtree under their MRCA)")
+    p.add_argument("--max-steps", type=int, default=200)
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
+    p.set_defaults(fn=cmd_branch_site_test)
 
     args = ap.parse_args(argv)
     return args.fn(args)

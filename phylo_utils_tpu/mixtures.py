@@ -29,8 +29,10 @@ from phylo_utils_tpu.ops.pruning import (
     mixture_loglik,
 )
 
-__all__ = ["ModelMixtureEngine", "M7Engine", "M8Engine",
-           "omega_posteriors", "positive_selection_test"]
+__all__ = ["ModelMixtureEngine", "M1aEngine", "M2aEngine",
+           "M7Engine", "M8Engine",
+           "omega_posteriors", "positive_selection_test",
+           "m1a_m2a_test"]
 
 
 def _stack_params(param_dicts: Sequence[Mapping], dtype) -> Dict:
@@ -176,28 +178,34 @@ class ModelMixtureEngine(LikelihoodEngine):
         return gam[self._compressed.site_to_pattern]
 
 
-class M7Engine(ModelMixtureEngine):
-    """Yang et al. (2000) M7: site omega ~ Beta(p, q), discretized.
+class SharedOmegaMixtureEngine(ModelMixtureEngine):
+    """Omega-class site mixtures whose non-omega parameters are SHARED.
 
-    ``ncat`` equal-weight classes whose omega is the within-bin Beta mean
-    (PAML codeml's discretization; ``ops.beta.discrete_beta``), with the
-    GY94 kappa and codon frequencies shared across classes. Free
-    parameters: ``beta_p``, ``beta_q`` (positive), ``shared`` (kappa,
-    freqs), branch lengths — all differentiable end-to-end, so ``fit``
-    optimizes the beta shape directly. The null model of the M7-vs-M8
-    positive-selection test (``positive_selection_test``).
+    The codeml site-model family (M1a/M2a/M7/M8): K site classes that
+    differ ONLY in omega, derived from a few free hyperparameters, while
+    kappa and codon frequencies (``shared``) are common to all classes.
+    Subclass hooks: ``_n_classes()`` (static class count),
+    ``_hyper_defaults()`` (the omega hyperparameters), and
+    ``_class_omegas_weights(params) -> (omegas, weights)``.
     """
 
-    _EXTRA_KEYS: tuple = ()
-
-    def __init__(self, tree, alignment, model=None, ncat: int = 10,
-                 **kwargs):
+    def __init__(self, tree, alignment, model=None, **kwargs):
         if model is None:
             from phylo_utils_tpu.models import GY94 as model
-        self.n_beta = int(ncat)
-        n_classes = self.n_beta + (1 if self._EXTRA_KEYS else 0)
-        mixture = [dict(model.param_defaults) for _ in range(n_classes)]
+        if "omega" not in model.param_defaults:
+            raise ValueError(
+                "omega site mixtures need a model with an 'omega' parameter"
+            )
+        mixture = [
+            dict(model.param_defaults) for _ in range(self._n_classes())
+        ]
         super().__init__(tree, alignment, model, mixture, **kwargs)
+
+    def _n_classes(self) -> int:
+        raise NotImplementedError
+
+    def _hyper_defaults(self) -> Dict:
+        raise NotImplementedError
 
     def default_params(self) -> Dict:
         shared0 = {
@@ -209,17 +217,12 @@ class M7Engine(ModelMixtureEngine):
             "shared": {
                 k: jnp.asarray(v, self.dtype) for k, v in shared0.items()
             },
-            "beta_p": jnp.asarray(1.0, self.dtype),
-            "beta_q": jnp.asarray(1.0, self.dtype),
         }
-        for k, v in self._extra_defaults().items():
+        for k, v in self._hyper_defaults().items():
             params[k] = jnp.asarray(v, self.dtype)
         if self.invariant_sites:
             params["pinv"] = jnp.asarray(0.2, self.dtype)
         return params
-
-    def _extra_defaults(self) -> Dict:
-        return {}
 
     def _full_params(self, params: Optional[Mapping]) -> Dict:
         full = self.default_params()
@@ -235,13 +238,7 @@ class M7Engine(ModelMixtureEngine):
         return full
 
     def _class_omegas_weights(self, params):
-        from phylo_utils_tpu.ops.beta import discrete_beta
-
-        om = discrete_beta(
-            params["beta_p"], params["beta_q"], self.n_beta
-        ).astype(self.dtype)
-        w = jnp.full((self.n_beta,), 1.0 / self.n_beta, self.dtype)
-        return om, w
+        raise NotImplementedError
 
     def _category_model_params(self, params):
         om, w = self._class_omegas_weights(params)
@@ -252,6 +249,103 @@ class M7Engine(ModelMixtureEngine):
         }
         mixture = {**mixture, "omega": om}
         return mixture, w
+
+
+class M1aEngine(SharedOmegaMixtureEngine):
+    """codeml M1a "nearly neutral" (Nielsen & Yang 1998; Wong et al. 2004).
+
+    Two site classes: purifying ``0 < omega0 < 1`` (weight p0) and
+    neutral ``omega = 1`` (weight 1 - p0). Free parameters:
+    ``proportions`` (2-simplex), ``omega0`` (unit interval — sigmoid
+    under ``fit``), ``shared`` (kappa, codon freqs), branch lengths.
+    The null model of the M1a-vs-M2a positive-selection LRT
+    (``m1a_m2a_test``).
+    """
+
+    def _n_classes(self) -> int:
+        return 2
+
+    def _hyper_defaults(self) -> Dict:
+        return {"proportions": [0.7, 0.3], "omega0": 0.2}
+
+    def _class_omegas_weights(self, params):
+        dtype = self.dtype
+        om0 = jnp.clip(
+            jnp.asarray(params["omega0"], dtype), 1e-8, 1.0 - 1e-8
+        )
+        om = jnp.stack([om0, jnp.ones((), dtype)])
+        w = params["proportions"].astype(dtype)
+        return om, w / jnp.sum(w)
+
+
+class M2aEngine(M1aEngine):
+    """codeml M2a "positive selection" (Wong et al. 2004; Yang et al. 2005).
+
+    M1a plus a third class ``omega2 = 1 + omega2_delta > 1`` (weight p2;
+    ``omega2_delta`` softplus-positive under ``fit``). The per-site
+    posterior weight on the last class (``omega_posteriors``) is the
+    NEB positively-selected-site scan. Alternative model of
+    ``m1a_m2a_test`` (df = 2).
+    """
+
+    def _n_classes(self) -> int:
+        return 3
+
+    def _hyper_defaults(self) -> Dict:
+        return {
+            "proportions": [0.6, 0.3, 0.1],
+            "omega0": 0.2,
+            "omega2_delta": 1.0,
+        }
+
+    def _class_omegas_weights(self, params):
+        dtype = self.dtype
+        om, _ = super()._class_omegas_weights(params)
+        om2 = 1.0 + jnp.asarray(params["omega2_delta"], dtype)
+        w = params["proportions"].astype(dtype)
+        return jnp.concatenate([om, om2[None]]), w / jnp.sum(w)
+
+
+class M7Engine(SharedOmegaMixtureEngine):
+    """Yang et al. (2000) M7: site omega ~ Beta(p, q), discretized.
+
+    ``ncat`` equal-weight classes whose omega is the within-bin Beta mean
+    (PAML codeml's discretization; ``ops.beta.discrete_beta``), with the
+    GY94 kappa and codon frequencies shared across classes. Free
+    parameters: ``beta_p``, ``beta_q`` (positive), ``shared`` (kappa,
+    freqs), branch lengths — all differentiable end-to-end, so ``fit``
+    optimizes the beta shape directly. The null model of the M7-vs-M8
+    positive-selection test (``positive_selection_test``).
+    """
+
+    _EXTRA_KEYS: tuple = ()
+
+    def __init__(self, tree, alignment, model=None, ncat: int = 10,
+                 **kwargs):
+        self.n_beta = int(ncat)
+        super().__init__(tree, alignment, model=model, **kwargs)
+
+    def _n_classes(self) -> int:
+        return self.n_beta + (1 if self._EXTRA_KEYS else 0)
+
+    def _hyper_defaults(self) -> Dict:
+        return {
+            "beta_p": 1.0,
+            "beta_q": 1.0,
+            **self._extra_defaults(),
+        }
+
+    def _extra_defaults(self) -> Dict:
+        return {}
+
+    def _class_omegas_weights(self, params):
+        from phylo_utils_tpu.ops.beta import discrete_beta
+
+        om = discrete_beta(
+            params["beta_p"], params["beta_q"], self.n_beta
+        ).astype(self.dtype)
+        w = jnp.full((self.n_beta,), 1.0 / self.n_beta, self.dtype)
+        return om, w
 
 
 class M8Engine(M7Engine):
@@ -288,6 +382,13 @@ def positive_selection_test(ll_m7: float, ll_m8: float) -> Dict:
     from phylo_utils_tpu.model_selection import likelihood_ratio_test
 
     return likelihood_ratio_test(ll_m7, ll_m8, df=2)
+
+
+def m1a_m2a_test(ll_m1a: float, ll_m2a: float) -> Dict:
+    """M1a-vs-M2a LRT for positive selection (p2, omega2 extra -> df=2)."""
+    from phylo_utils_tpu.model_selection import likelihood_ratio_test
+
+    return likelihood_ratio_test(ll_m1a, ll_m2a, df=2)
 
 
 def omega_posteriors(

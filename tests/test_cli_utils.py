@@ -258,3 +258,49 @@ def test_read_phylip_wrapped_sequential():
     inter = "2 12\nalpha ACGTAC\nbeta  TTTTTT\nGTACGT\nCCCCCC\n"
     out2 = read_phylip(inter)
     assert out2 == {"alpha": "ACGTACGTACGT", "beta": "TTTTTTCCCCCC"}
+
+
+@pytest.fixture
+def codon_inputs(tmp_path):
+    from phylo_utils_tpu import models
+    from phylo_utils_tpu.io import write_fasta
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(5, seed=7, mean_brlen=0.2)
+    aln = simulate_alignment(jax.random.key(3), tree, models.GY94, 40,
+                             params={"omega": 0.5, "kappa": 2.0})
+    fasta = tmp_path / "codon.fa"
+    write_fasta(aln, path=str(fasta))
+    from phylo_utils_tpu.io import write_newick
+
+    return write_newick(tree), str(fasta)
+
+
+def test_cli_site_test(codon_inputs, capsys):
+    tree, fasta = codon_inputs
+    rc = main([
+        "site-test", "--tree", tree, "--alignment", fasta,
+        "--test", "m1a-m2a", "--max-steps", "15", "--sites",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    # 15 steps is a smoke test, not convergence: allow slack on nesting
+    assert out["loglik_alt"] >= out["loglik_null"] - 0.5
+    assert 0.0 <= out["lrt"]["pvalue"] <= 1.0
+    assert len(out["site_positive_posterior"]) == 40  # one per codon site
+
+
+def test_cli_branch_site_test(codon_inputs, capsys):
+    tree, fasta = codon_inputs
+    from phylo_utils_tpu.io import parse_newick
+
+    fg = parse_newick(tree).leaf_names[0]
+    rc = main([
+        "branch-site-test", "--tree", tree, "--alignment", fasta,
+        "--foreground", fg, "--max-steps", "15",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["loglik_alt"] >= out["loglik_null"] - 0.5
+    assert 0.0 <= out["lrt"]["pvalue"] <= 1.0

@@ -146,3 +146,56 @@ def test_m8_positive_selection_recovery():
     mean_omega, gam = omega_posteriors(m8, res8.params)
     assert gam.shape == (300, 5)
     assert gam[150:, -1].mean() > gam[:150, -1].mean() + 0.2
+
+
+def test_m1a_matches_explicit_mixture():
+    """M1a logL must equal a ModelMixtureEngine with the same two omega
+    classes and weights (same math, hyperparameterized)."""
+    from phylo_utils_tpu.mixtures import M1aEngine
+
+    tree = random_tree(5, seed=4, mean_brlen=0.15)
+    aln = simulate_alignment(jax.random.key(5), tree, models.GY94, 60,
+                             params={"omega": 0.4, "kappa": 2.0})
+    ca = encode_codon_alignment(aln)
+    m1a = M1aEngine(tree, ca)
+    ll = m1a.loglikelihood({"proportions": [0.8, 0.2], "omega0": 0.15})
+    explicit = ModelMixtureEngine(
+        tree, ca, models.GY94,
+        mixture=[{"omega": 0.15}, {"omega": 1.0}],
+    )
+    lle = explicit.loglikelihood({"cat_weights": [0.8, 0.2]})
+    assert ll == pytest.approx(lle, abs=1e-8)
+    # gradients flow into the hyperparameters
+    g = m1a.gradient({"proportions": [0.8, 0.2], "omega0": 0.15})
+    assert abs(float(g["omega0"])) > 0
+    assert np.any(np.abs(np.asarray(g["proportions"])) > 0)
+
+
+def test_m2a_positive_selection_recovery():
+    """M2a on half-purifying / half-positive data: the omega>1 class is
+    recovered, the M1a-vs-M2a LRT rejects, and the NEB site scan
+    separates the halves."""
+    from phylo_utils_tpu.mixtures import M1aEngine, M2aEngine, m1a_m2a_test
+
+    tree = random_tree(6, seed=1, mean_brlen=0.2)
+    aln_pur = simulate_alignment(jax.random.key(0), tree, models.GY94, 150,
+                                 params={"omega": 0.1, "kappa": 2.0})
+    aln_pos = simulate_alignment(jax.random.key(1), tree, models.GY94, 150,
+                                 params={"omega": 4.0, "kappa": 2.0})
+    aln = {n: aln_pur[n] + aln_pos[n] for n in aln_pur}
+    ca = encode_codon_alignment(aln)
+    free = ("branch_lengths", "shared", "proportions", "omega0")
+    m1a = M1aEngine(tree, ca)
+    res1 = fit(m1a, free=free, max_steps=60, patience=12)
+    m2a = M2aEngine(tree, ca)
+    res2 = fit(m2a, free=free + ("omega2_delta",),
+               max_steps=80, patience=15)
+    assert res2.loglik > res1.loglik - 1e-6
+    lrt = m1a_m2a_test(res1.loglik, res2.loglik)
+    assert lrt["pvalue"] < 0.01
+    omega2 = 1.0 + float(np.asarray(res2.params["omega2_delta"]))
+    assert omega2 > 1.5
+    # NEB positively-selected-site scan: positive half ranks higher
+    mean_omega, gam = omega_posteriors(m2a, res2.params)
+    assert gam.shape == (300, 3)
+    assert gam[150:, -1].mean() > gam[:150, -1].mean() + 0.2
