@@ -364,6 +364,21 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def _codon_freq_setup(aln, method):
+    """(params0, base_free) for codon engines: empirical codon frequencies
+    held FIXED (codeml's CodonFreq convention) with kappa free, or the
+    uniform default with the whole shared block free."""
+    if method == "uniform":
+        return None, ("branch_lengths", "shared")
+    from phylo_utils_tpu.models.codon import empirical_codon_frequencies
+
+    f = empirical_codon_frequencies(aln, method)
+    return (
+        {"shared": {"freqs": f.tolist()}},
+        ("branch_lengths", "shared.kappa"),
+    )
+
+
 def cmd_site_test(args) -> int:
     """codeml-style site-model positive-selection LRTs (M1a/M2a, M7/M8)."""
     import jax
@@ -381,23 +396,28 @@ def cmd_site_test(args) -> int:
     from phylo_utils_tpu.optimize import fit
 
     tree = _read_tree(args.tree)
-    ca = encode_codon_alignment(_read_aln(args.alignment))
+    aln = _read_aln(args.alignment)
+    ca = encode_codon_alignment(aln)
     kw = {"dtype": args.dtype, "pruner": args.pruner}
-    base_free = ("branch_lengths", "shared")
+    # codeml convention: codon frequencies FIXED at their empirical
+    # estimate (CodonFreq); kappa free via the dotted parameter name
+    params0, base_free = _codon_freq_setup(aln, args.codon_freqs)
     if args.test == "m1a-m2a":
         null = M1aEngine(tree, ca, **kw)
         free = base_free + ("proportions", "omega0")
-        res_null = fit(null, free=free, max_steps=args.max_steps)
+        res_null = fit(null, params0=params0, free=free,
+                       max_steps=args.max_steps)
         alt = M2aEngine(tree, ca, **kw)
-        res_alt = fit(alt, free=free + ("omega2_delta",),
+        res_alt = fit(alt, params0=params0, free=free + ("omega2_delta",),
                       max_steps=args.max_steps)
         lrt = m1a_m2a_test(res_null.loglik, res_alt.loglik)
     else:  # m7-m8
         null = M7Engine(tree, ca, ncat=args.ncat, **kw)
         free = base_free + ("beta_p", "beta_q")
-        res_null = fit(null, free=free, max_steps=args.max_steps)
+        res_null = fit(null, params0=params0, free=free,
+                       max_steps=args.max_steps)
         alt = M8Engine(tree, ca, ncat=args.ncat, **kw)
-        res_alt = fit(alt, free=free + ("p0", "omega_delta"),
+        res_alt = fit(alt, params0=params0, free=free + ("p0", "omega_delta"),
                       max_steps=args.max_steps)
         lrt = positive_selection_test(res_null.loglik, res_alt.loglik)
     mean_omega, gam = omega_posteriors(alt, res_alt.params)
@@ -430,12 +450,15 @@ def cmd_branch_site_test(args) -> int:
     from phylo_utils_tpu.io import encode_codon_alignment
 
     tree = _read_tree(args.tree)
-    ca = encode_codon_alignment(_read_aln(args.alignment))
+    aln = _read_aln(args.alignment)
+    ca = encode_codon_alignment(aln)
     names = args.foreground.split(",")
     fg = (mark_clade(tree, names) if args.clade and len(names) > 1
           else mark_branches(tree, names))
+    params0, _ = _codon_freq_setup(aln, args.codon_freqs)
     res = branch_site_test(
         tree, ca, fg,
+        params0=params0,
         engine_kwargs={"dtype": args.dtype, "pruner": args.pruner},
         max_steps=args.max_steps,
     )
@@ -579,6 +602,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-steps", type=int, default=200)
     p.add_argument("--sites", action="store_true",
                    help="emit the per-site NEB positive-selection scan")
+    p.add_argument("--codon-freqs", default="f3x4",
+                   choices=["f3x4", "f1x4", "f61", "uniform"],
+                   help="empirical codon frequencies, held fixed "
+                        "(codeml CodonFreq; 'uniform' frees the whole "
+                        "shared block instead)")
     p.add_argument("--dtype", default=None)
     p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
     p.set_defaults(fn=cmd_site_test)
@@ -595,6 +623,11 @@ def main(argv=None) -> int:
     p.add_argument("--clade", action="store_true",
                    help="treat --foreground names as a clade (mark the whole "
                         "subtree under their MRCA)")
+    p.add_argument("--codon-freqs", default="f3x4",
+                   choices=["f3x4", "f1x4", "f61", "uniform"],
+                   help="empirical codon frequencies, held fixed "
+                        "(codeml CodonFreq; 'uniform' frees the whole "
+                        "shared block instead)")
     p.add_argument("--max-steps", type=int, default=200)
     p.add_argument("--dtype", default=None)
     p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])

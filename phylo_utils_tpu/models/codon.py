@@ -23,6 +23,7 @@ __all__ = [
     "CODON_TO_AA",
     "GY94",
     "codon_index",
+    "empirical_codon_frequencies",
     "f3x4_frequencies",
 ]
 
@@ -94,6 +95,69 @@ def f3x4_frequencies(nuc_freqs_by_position) -> np.ndarray:
         for c in CODONS
     ])
     return out / out.sum()
+
+
+def empirical_codon_frequencies(
+    sequences: Dict[str, str], method: str = "f3x4"
+) -> np.ndarray:
+    """Observed codon frequencies from an in-frame nucleotide alignment.
+
+    codeml's ``CodonFreq`` estimators: ``f1x4`` (one shared nucleotide
+    distribution), ``f3x4`` (per-codon-position nucleotide distributions,
+    codeml's default), or ``f61`` (observed codon proportions, stops
+    excluded). Gaps and ambiguity codes are ignored in the counts; ``f61``
+    adds a pseudocount so unobserved sense codons keep nonzero frequency
+    (a zero equilibrium frequency would make Q reducible). Returns a
+    (61,) simplex in the model's codon order — pass as
+    ``{"freqs": ...}`` / ``{"shared": {"freqs": ...}}``.
+    """
+    seqs = list(sequences.values())
+    if not seqs:
+        raise ValueError("empty alignment")
+    chars = np.concatenate([
+        np.frombuffer(
+            s.upper().replace("U", "T").encode("ascii"), dtype=np.uint8
+        )
+        for s in seqs
+    ])
+    if chars.size % 3:
+        raise ValueError("sequence lengths must be divisible by 3")
+    # nucleotide code: A,C,G,T -> 0..3, everything else -> 4 (ignored)
+    code = np.full(256, 4, np.int8)
+    for i, b in enumerate(b"ACGT"):
+        code[b] = i
+    nuc = code[chars].reshape(-1, 3)                  # (total_codons, 3)
+    if method == "f1x4":
+        counts = np.bincount(nuc[nuc < 4], minlength=4).astype(np.float64)
+        if counts.sum() == 0:
+            raise ValueError("no unambiguous nucleotides in alignment")
+        by_pos = np.tile(counts / counts.sum(), (3, 1))
+        return f3x4_frequencies(by_pos)
+    if method == "f3x4":
+        by_pos = np.zeros((3, 4))
+        for p in range(3):
+            col = nuc[:, p]
+            by_pos[p] = np.bincount(col[col < 4], minlength=4)
+            if by_pos[p].sum() == 0:
+                raise ValueError(
+                    f"no unambiguous nucleotides at codon position {p + 1}"
+                )
+            by_pos[p] /= by_pos[p].sum()
+        return f3x4_frequencies(by_pos)
+    if method == "f61":
+        valid = (nuc < 4).all(axis=1)
+        # base-4 codon key over TCAG order to match CODONS indexing
+        tcag = np.array([2, 1, 3, 0])  # A,C,G,T code -> TCAG rank
+        key = (
+            tcag[nuc[valid, 0]] * 16
+            + tcag[nuc[valid, 1]] * 4
+            + tcag[nuc[valid, 2]]
+        )
+        all64 = np.bincount(key, minlength=64).astype(np.float64)
+        sense = np.array([_ALL.index(c) for c in CODONS])
+        counts = all64[sense] + 0.5   # pseudocount: keep Q irreducible
+        return counts / counts.sum()
+    raise ValueError(f"unknown method {method!r}; use f1x4|f3x4|f61")
 
 
 def _gy94_build(kappa, omega, freqs):

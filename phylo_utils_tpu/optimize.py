@@ -104,6 +104,61 @@ def transform_params(params: Mapping) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def _split_free(base: Mapping, free) -> tuple:
+    """Split params into (frozen, start) by the ``free`` name list.
+
+    Plain names claim a whole top-level entry; dotted names
+    ('shared.kappa') claim one entry of a nested dict, leaving its
+    siblings frozen. Unknown names raise (catches typos that would
+    otherwise silently freeze a parameter)."""
+    top = set()
+    nested: Dict = {}
+    for name in free:
+        if "." in name:
+            head, rest = name.split(".", 1)
+            nested.setdefault(head, []).append(rest)
+        else:
+            top.add(name)
+    unknown = (top | set(nested)) - set(base.keys())
+    if unknown:
+        raise ValueError(
+            f"unknown free parameter(s) {sorted(unknown)}; "
+            f"available: {sorted(base.keys())}"
+        )
+    both = top & set(nested)
+    if both:
+        raise ValueError(
+            f"{sorted(both)} listed both whole ('k') and nested ('k.sub')"
+        )
+    frozen: Dict = {}
+    start: Dict = {}
+    for k, v in base.items():
+        if k in top:
+            start[k] = v
+        elif k in nested:
+            if not isinstance(v, Mapping):
+                raise ValueError(f"'{k}' is not a nested dict; use '{k}'")
+            sub_frozen, sub_start = _split_free(v, nested[k])
+            if sub_frozen:
+                frozen[k] = sub_frozen
+            if sub_start:
+                start[k] = sub_start
+        else:
+            frozen[k] = v
+    return frozen, start
+
+
+def _merge_params(frozen: Mapping, opt: Mapping) -> Dict:
+    """Recombine frozen and optimized params (recursive dict merge)."""
+    out = dict(frozen)
+    for k, v in opt.items():
+        if k in out and isinstance(out[k], Mapping) and isinstance(v, Mapping):
+            out[k] = _merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 class FitResult(NamedTuple):
     params: Dict                 # constrained, best seen
     loglik: float                # best logL
@@ -134,7 +189,12 @@ def fit(
     params0 : starting constrained parameters (default engine defaults)
     free : parameter names to optimize (default: all).  Names address the
         top level of the params dict ('branch_lengths', 'model', 'alpha',
-        'pinv'); non-free parameters are held at their starting value.
+        'pinv'); dotted names address nested entries ('shared.kappa',
+        'model.freqs') so sibling parameters stay frozen — e.g. codeml's
+        standard setup of optimizing kappa with codon frequencies FIXED at
+        their empirical (F3x4) estimates is ``free=(...,'shared.kappa')``.
+        Non-free parameters are held at their starting value; unknown
+        names raise.
     optimizer : optax transform; default L-BFGS with zoom linesearch
         (fast, step-size-free convergence on this smooth small-parameter
         problem; pass e.g. ``optax.adam(1e-2)`` for a stochastic-style fit)
@@ -157,15 +217,14 @@ def fit(
     base = engine._full_params(params0)
     if free is None:
         free = tuple(base.keys())
-    free_set = set(free)
-    frozen = {k: v for k, v in base.items() if k not in free_set}
-    start = {k: v for k, v in base.items() if k in free_set}
+    frozen, start = _split_free(base, free)
+    free_tops = {k.split(".", 1)[0] for k in free}
 
     # model parameters frozen -> the eigendecomposition is a constant of
     # the whole fit: use the engine's cached-eigen fast path (the eigh is
     # the most expensive single op per evaluation on TPU)
     eig = None
-    if "model" not in free_set and hasattr(engine, "model_eigen"):
+    if "model" not in free_tops and hasattr(engine, "model_eigen"):
         eig = engine.model_eigen(base)
 
     # Data arrays are threaded through the jitted steps as ARGUMENTS, not
@@ -177,8 +236,7 @@ def fit(
 
     def make_loss(lp, w):
         def loss_fn(raw):
-            params = dict(frozen)
-            params.update(untransform_params(raw))
+            params = _merge_params(frozen, untransform_params(raw))
             if eig is not None:
                 total, _ = engine._loglik_fn(params, lp, w, eig=eig)
             else:
@@ -301,14 +359,12 @@ def fit(
     # jitting loss_fn anew — per-topology compiles are tens of seconds on
     # this platform's remote compiler.
     if steps_per_call == 1:
-        cand = dict(frozen)
-        cand.update(untransform_params(raw))
+        cand = _merge_params(frozen, untransform_params(raw))
         final_candidate_ll = engine.loglikelihood(cand)
         if final_candidate_ll > best:
             best, best_raw = final_candidate_ll, raw
     converged = since_best >= patience
-    params = dict(frozen)
-    params.update(untransform_params(best_raw))
+    params = _merge_params(frozen, untransform_params(best_raw))
     # Report the logL OF THE RETURNED PARAMS (re-evaluated), never a value
     # from a different parameter vector.
     final_ll = engine.loglikelihood(params)

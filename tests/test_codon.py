@@ -127,3 +127,32 @@ def test_codon_gamma_mixture_f32_no_nan():
     ll32, ll64 = e32.loglikelihood(), e64.loglikelihood()
     assert np.isfinite(ll32)
     assert ll32 == pytest.approx(ll64, rel=2e-5)
+
+
+def test_empirical_codon_frequencies():
+    """F61/F3x4/F1x4 counting vs hand-computed values; gaps ignored."""
+    import numpy as np
+
+    from phylo_utils_tpu.models.codon import (
+        codon_index,
+        empirical_codon_frequencies,
+        f3x4_frequencies,
+    )
+
+    aln = {"a": "TTTTCA", "b": "TCATTT"}
+    f61 = empirical_codon_frequencies(aln, "f61")
+    assert abs(f61.sum() - 1) < 1e-12
+    assert f61[codon_index("TTT")] == f61[codon_index("TCA")]
+    assert f61[codon_index("TTT")] > f61[codon_index("AAA")]
+    # f3x4 equals the closed-form product of per-position distributions
+    f3 = empirical_codon_frequencies(aln, "f3x4")
+    by_pos = np.array([[0, 0, 0, 1], [0, .5, 0, .5], [.5, 0, 0, .5]])
+    np.testing.assert_allclose(f3, f3x4_frequencies(by_pos), atol=1e-12)
+    assert abs(empirical_codon_frequencies(aln, "f1x4").sum() - 1) < 1e-12
+    # gap/ambiguity columns contribute nothing
+    aln2 = dict(aln, c="---NNN")
+    np.testing.assert_allclose(
+        empirical_codon_frequencies(aln2, "f3x4"), f3, atol=1e-12
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        empirical_codon_frequencies(aln, "f99")

@@ -217,3 +217,33 @@ def test_fit_checkpoint_resume_bitexact(tmp_path):
         assert set(za.files) == set(zb.files)
         for key in za.files:
             assert np.array_equal(za[key], zb[key]), key
+
+
+def test_fit_dotted_free_keys():
+    """'shared.kappa' frees kappa while freezing sibling freqs (codeml's
+    fixed-empirical-frequency convention)."""
+    import jax
+
+    from phylo_utils_tpu.io import encode_codon_alignment
+    from phylo_utils_tpu.mixtures import M1aEngine
+    from phylo_utils_tpu.models.codon import empirical_codon_frequencies
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    tree = random_tree(5, seed=11, mean_brlen=0.2)
+    aln = simulate_alignment(jax.random.key(9), tree, models.GY94, 30,
+                             params={"omega": 0.4, "kappa": 3.0})
+    ca = encode_codon_alignment(aln)
+    f3 = empirical_codon_frequencies(aln, "f3x4")
+    eng = M1aEngine(tree, ca)
+    res = fit(eng, params0={"shared": {"freqs": f3}},
+              free=("branch_lengths", "shared.kappa", "proportions",
+                    "omega0"),
+              max_steps=25)
+    np.testing.assert_allclose(
+        np.asarray(res.params["shared"]["freqs"]), f3, atol=1e-12
+    )
+    assert float(res.params["shared"]["kappa"]) != pytest.approx(2.0)
+    with pytest.raises(ValueError, match="unknown free"):
+        fit(eng, free=("kapa",), max_steps=1)
+    with pytest.raises(ValueError, match="both whole"):
+        fit(eng, free=("shared", "shared.kappa"), max_steps=1)
