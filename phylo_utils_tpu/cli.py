@@ -473,6 +473,33 @@ def cmd_branch_site_test(args) -> int:
     return 0
 
 
+def cmd_clock_test(args) -> int:
+    """Molecular-clock LRT: strict clock vs unconstrained branch lengths."""
+    import jax
+
+    from phylo_utils_tpu.clock import clock_test
+
+    out = clock_test(
+        _read_tree(args.tree),
+        _read_aln(args.alignment),
+        _get_model(args.model),
+        ncat=args.ncat,
+        max_steps=args.max_steps,
+    )
+    from phylo_utils_tpu.io import write_newick
+
+    print(json.dumps({
+        "loglik_clock": out["null"].loglik,
+        "loglik_unconstrained": out["alt"].loglik,
+        "df": out["df"],
+        "lrt": out["lrt"],
+        "chronogram": write_newick(
+            out["null_engine"].chronogram(out["null"].params)
+        ),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="phylo_utils_tpu",
@@ -632,6 +659,17 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default=None)
     p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
     p.set_defaults(fn=cmd_branch_site_test)
+
+    p = sub.add_parser(
+        "clock-test",
+        help="molecular-clock LRT (strict clock vs free branch lengths)",
+    )
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="GTR")
+    p.add_argument("--ncat", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=200)
+    p.set_defaults(fn=cmd_clock_test)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,276 @@
+"""Molecular clock models: branch lengths derived from node HEIGHTS.
+
+The reference (kgori/phylo_utils) optimizes branch lengths freely; it has
+no clock machinery (SURVEY.md §2). This module adds the PAML-style clock
+family:
+
+- ``ClockEngine`` — strict clock (codeml clock=1): every lineage evolves
+  at the same rate, so the tree is ULTRAMETRIC (all leaves equidistant
+  from the root). Branch lengths are derived from free node heights;
+  optionally per-edge-class rate multipliers give LOCAL clocks (codeml
+  clock=2: a few lineages evolve at their own rate but the tree stays
+  height-parameterized).
+- ``clock_test`` — the classic molecular-clock LRT (Felsenstein 1981):
+  strict clock (null) vs. unconstrained branch lengths (alternative),
+  df = (identifiable branch lengths) - (clock parameters).
+
+TPU-first design: heights are a PURE REPARAMETERIZATION of branch
+lengths, materialized inside the jitted likelihood. Each non-root
+internal node carries a free fraction f in (0,1) of its parent's height
+(sigmoid-constrained under ``fit``), the root carries a free positive
+height, so ultrametricity and branch-length positivity hold by
+CONSTRUCTION — no constrained optimizer needed, and ``jax.grad`` flows
+through the height map into the same pruning pass. The map itself is one
+(static 0/1 ancestor-matrix) @ log-fractions matmul — no tree recursion
+in the traced program.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from phylo_utils_tpu.likelihood import LikelihoodEngine, mixture_rates_and_p
+from phylo_utils_tpu.trees import Tree
+
+__all__ = ["ClockEngine", "clock_test"]
+
+
+def _clock_structure(tree: Tree):
+    """Static index arrays for the height->branch-length map.
+
+    Returns (internal_ids, anc, parent_slot, child_is_leaf) where
+    ``internal_ids[k]`` is the node id of internal slot k (root = slot
+    n_int-1), ``anc[k, j] = 1`` iff non-root internal slot j is on the
+    root->slot-k path (inclusive of k), and for every node i,
+    ``parent_slot[i]`` is the internal slot of i's parent.
+    """
+    internal_ids = np.array(
+        [i for i in range(tree.n_nodes) if tree.children[i]], np.int32
+    )
+    slot = {int(n): k for k, n in enumerate(internal_ids)}
+    n_int = len(internal_ids)
+    root_slot = slot[tree.root]
+    # non-root internal slots, in the fractions vector's order
+    frac_slots = [k for k in range(n_int) if k != root_slot]
+    frac_pos = {k: p for p, k in enumerate(frac_slots)}
+    anc = np.zeros((n_int, len(frac_slots)), np.float64)
+    for k, nid in enumerate(internal_ids):
+        node = int(nid)
+        while node != -1:
+            if tree.children[node] and node != tree.root:
+                anc[k, frac_pos[slot[node]]] = 1.0
+            node = int(tree.parent[node])
+    parent_slot = np.array(
+        [slot[int(tree.parent[i])] if tree.parent[i] != -1 else -1
+         for i in range(tree.n_nodes)],
+        np.int32,
+    )
+    is_internal = np.array(
+        [1.0 if tree.children[i] else 0.0 for i in range(tree.n_nodes)]
+    )
+    node_slot = np.array(
+        [slot.get(i, 0) for i in range(tree.n_nodes)], np.int32
+    )
+    return internal_ids, anc, parent_slot, is_internal, node_slot, root_slot
+
+
+def _initial_heights(tree: Tree) -> np.ndarray:
+    """Per-node initial height: mean root-to-leaf distance below the node
+    (a least-squares-flavored ultrametricization of the input lengths)."""
+    h = np.zeros(tree.n_nodes)
+    counts = np.zeros(tree.n_nodes)
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            counts[node] = 1.0
+            continue
+        tot, n = 0.0, 0.0
+        for c in kids:
+            tot += (h[c] + tree.lengths[c]) * counts[c]
+            n += counts[c]
+        h[node] = tot / n
+        counts[node] = n
+    return h
+
+
+class ClockEngine(LikelihoodEngine):
+    """Likelihood engine under a strict (or local) molecular clock.
+
+    Free parameters replace ``branch_lengths``:
+
+    - ``root_height`` — positive root age (in expected substitutions per
+      site at rate 1).
+    - ``height_fractions`` — (n_internal - 1,) values in (0, 1); each
+      non-root internal node's height is this fraction of its parent's.
+    - ``rate_multipliers`` — only with ``branch_classes`` (LOCAL clocks):
+      one positive rate per class, class 0 pinned to 1 for
+      identifiability; edge lengths in class c are scaled by
+      ``multipliers[c]``.
+
+    Everything else (model params, +G/+I, pruner choice, sharding,
+    gradients, posteriors) behaves exactly as in ``LikelihoodEngine``;
+    ``node_heights``/``chronogram`` expose the fitted ultrametric tree.
+    """
+
+    def __init__(self, tree, alignment, model,
+                 branch_classes: Optional[Sequence[int]] = None, **kwargs):
+        super().__init__(tree, alignment, model, **kwargs)
+        (self._internal_ids, anc, parent_slot, is_internal, node_slot,
+         self._root_slot) = _clock_structure(self.tree)
+        self._anc = jnp.asarray(anc, self.dtype)
+        self._parent_slot = jnp.asarray(parent_slot)
+        self._is_internal = jnp.asarray(is_internal, self.dtype)
+        self._node_slot = jnp.asarray(node_slot)
+        self.n_internal = len(self._internal_ids)
+        self._h0 = _initial_heights(self.tree)
+        if branch_classes is not None:
+            from phylo_utils_tpu.branch_models import _classes_from_mapping
+
+            if isinstance(branch_classes, Mapping):
+                cls = _classes_from_mapping(self.tree, branch_classes)
+            else:
+                cls = np.asarray(branch_classes, np.int32)
+            if cls.shape != (self.tree.n_nodes,):
+                raise ValueError(
+                    f"branch_classes must have one entry per node "
+                    f"({self.tree.n_nodes}), got {cls.shape}"
+                )
+            self.n_rate_classes = int(cls.max()) + 1
+            self._cls = jnp.asarray(cls)
+        else:
+            self.n_rate_classes = 1
+            self._cls = None
+
+    # -- parameters -----------------------------------------------------
+
+    def default_params(self) -> Dict:
+        params = super().default_params()
+        del params["branch_lengths"]
+        h0 = self._h0
+        ids = self._internal_ids
+        root_h = max(float(h0[self.tree.root]), 1e-3)
+        fracs = []
+        for k, nid in enumerate(ids):
+            if k == self._root_slot:
+                continue
+            ph = max(float(h0[int(self.tree.parent[nid])]), 1e-9)
+            fracs.append(min(max(float(h0[nid]) / ph, 0.05), 0.95))
+        params["root_height"] = jnp.asarray(root_h, self.dtype)
+        params["height_fractions"] = jnp.asarray(fracs, self.dtype)
+        if self.n_rate_classes > 1:
+            params["rate_multipliers"] = jnp.ones(
+                (self.n_rate_classes - 1,), self.dtype
+            )
+        return params
+
+    # -- height -> branch-length map (traced) -----------------------------
+
+    def _heights(self, params, dtype):
+        """(n_internal,) node heights from root_height + fractions."""
+        h = jnp.asarray(params["root_height"], dtype)
+        if self.n_internal > 1:
+            f = jnp.clip(
+                params["height_fractions"].astype(dtype), 1e-6, 1.0 - 1e-6
+            )
+            # log h_k = log H + sum of log f over root->k internal path
+            h = h * jnp.exp(self._anc.astype(dtype) @ jnp.log(f))
+        else:
+            h = h[None] if h.ndim == 0 else h
+        return jnp.broadcast_to(
+            jnp.atleast_1d(h), (self.n_internal,)
+        )
+
+    def _branch_lengths(self, params, dtype):
+        heights = self._heights(params, dtype)             # (n_int,)
+        node_h = self._is_internal * heights[self._node_slot]
+        parent_h = heights[jnp.clip(self._parent_slot, 0, None)]
+        bl = parent_h - node_h                              # >= 0 by constr.
+        if self._cls is not None:
+            mult = jnp.concatenate([
+                jnp.ones((1,), dtype),
+                params["rate_multipliers"].astype(dtype),
+            ])
+            bl = bl * mult[self._cls]
+        # root's own entry is unused by the likelihood; zero it for clarity
+        root = self.tree.root
+        return bl.at[root].set(0.0)
+
+    def _mixture_tensors(self, params, dtype, eig=None):
+        p2 = dict(params)
+        p2["branch_lengths"] = self._branch_lengths(params, dtype)
+        return mixture_rates_and_p(self, p2, dtype, eig=eig)
+
+    # -- results ----------------------------------------------------------
+
+    def node_heights(self, params: Optional[Mapping] = None) -> Dict[int, float]:
+        """Fitted height of every node (leaves are 0), keyed by node id."""
+        full = self._full_params(params)
+        h = np.asarray(self._heights(full, self._reduce_dtype))
+        out = {int(i): 0.0 for i in range(self.tree.n_leaves)}
+        for k, nid in enumerate(self._internal_ids):
+            out[int(nid)] = float(h[k])
+        return out
+
+    def chronogram(self, params: Optional[Mapping] = None) -> Tree:
+        """The fitted ultrametric tree (lengths in height units,
+        WITHOUT local-clock rate multipliers — a time tree)."""
+        full = self._full_params(params)
+        heights = self.node_heights(full)
+        lengths = np.zeros(self.tree.n_nodes)
+        for i in range(self.tree.n_nodes):
+            p = int(self.tree.parent[i])
+            if p != -1:
+                lengths[i] = heights[p] - heights[i]
+        return self.tree.with_lengths(lengths)
+
+    def _full_params(self, params: Optional[Mapping]) -> Dict:
+        full = self.default_params()
+        if params:
+            for k, v in params.items():
+                if k == "model":
+                    full["model"] = {**full["model"], **{
+                        kk: jnp.asarray(vv, self.dtype)
+                        for kk, vv in v.items()
+                    }}
+                elif k == "branch_lengths":
+                    raise ValueError(
+                        "ClockEngine derives branch lengths from heights; "
+                        "set root_height / height_fractions instead"
+                    )
+                else:
+                    full[k] = jnp.asarray(v, self.dtype)
+        return full
+
+
+def clock_test(tree, alignment, model, ncat: int = 1,
+               params0: Optional[Mapping] = None,
+               engine_kwargs: Optional[Mapping] = None,
+               **fit_kwargs) -> Dict:
+    """Molecular-clock LRT (Felsenstein 1981): strict clock (null) vs.
+    unconstrained branch lengths (alternative).
+
+    df = identifiable branch lengths - clock height parameters. For a
+    rooted binary tree of n extant taxa that is (2n-3) - (n-1) = n-2
+    (the two root edges are confounded without a clock).
+    """
+    from phylo_utils_tpu.model_selection import likelihood_ratio_test
+    from phylo_utils_tpu.optimize import fit
+
+    engine_kwargs = dict(engine_kwargs or {})
+    null = ClockEngine(tree, alignment, model, ncat=ncat, **engine_kwargs)
+    alt = LikelihoodEngine(tree, alignment, model, ncat=ncat,
+                           **engine_kwargs)
+    null_fit = fit(null, params0=params0, **fit_kwargs)
+    alt_fit = fit(alt, **fit_kwargs)
+    n_edges = tree.n_nodes - 1
+    root_children = len(tree.children[tree.root])
+    n_bl = n_edges - (1 if root_children == 2 else 0)
+    n_clock = null.n_internal + (null.n_rate_classes - 1)
+    df = max(n_bl - n_clock, 1)
+    lrt = likelihood_ratio_test(null_fit.loglik, alt_fit.loglik, df=df)
+    return {
+        "null": null_fit, "alt": alt_fit, "lrt": lrt, "df": df,
+        "null_engine": null, "alt_engine": alt,
+    }

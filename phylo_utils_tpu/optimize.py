@@ -51,7 +51,7 @@ _HI = lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 _SIMPLEX_KEYS = {"freqs", "cat_weights", "proportions"}  # softmax (sum to 1)
-_UNIT_KEYS = {"pinv", "p0", "omega0"}      # sigmoid-parameterized (0, 1)
+_UNIT_KEYS = {"pinv", "p0", "omega0", "height_fractions"}  # sigmoid (0, 1)
 # everything else positive-valued: softplus-parameterized
 
 

@@ -1,0 +1,120 @@
+"""Molecular clock engine: height reparameterization, LRT, local clocks."""
+import jax
+import numpy as np
+import pytest
+
+from phylo_utils_tpu import models
+from phylo_utils_tpu.branch_models import mark_clade
+from phylo_utils_tpu.clock import ClockEngine, clock_test
+from phylo_utils_tpu.io import parse_newick
+from phylo_utils_tpu.likelihood import LikelihoodEngine
+from phylo_utils_tpu.optimize import fit
+from phylo_utils_tpu.simulate import simulate_alignment
+
+
+def _depth(tree, i):
+    d = 0.0
+    while tree.parent[i] != -1:
+        d += tree.lengths[i]
+        i = int(tree.parent[i])
+    return d
+
+
+@pytest.fixture
+def small():
+    tree = parse_newick("((a:0.1,b:0.1):0.05,(c:0.15,d:0.15):0.0);")
+    aln = {"a": "ACGTACGTGG", "b": "ACGTTGCAGG",
+           "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
+    return tree, aln
+
+
+def test_clock_equals_plain_engine_at_same_lengths(small):
+    """ClockEngine logL == LikelihoodEngine at the implied branch lengths
+    (the height map is a pure reparameterization)."""
+    tree, aln = small
+    ce = ClockEngine(tree, aln, models.HKY85, ncat=2)
+    full = ce._full_params(None)
+    bl = np.asarray(ce._branch_lengths(full, np.float64))
+    pe = LikelihoodEngine(tree, aln, models.HKY85, ncat=2)
+    ll_c = ce.loglikelihood(full)
+    ll_p = pe.loglikelihood({"branch_lengths": bl, "alpha": full["alpha"]})
+    assert ll_c == pytest.approx(ll_p, abs=1e-9)
+    # heights monotone root->leaf, leaves at 0
+    h = ce.node_heights(full)
+    for i in range(tree.n_nodes):
+        p = int(tree.parent[i])
+        if p != -1:
+            assert h[p] >= h[i] - 1e-12
+    assert all(h[i] == 0.0 for i in range(tree.n_leaves))
+
+
+def test_clock_fit_is_ultrametric_and_nested(small):
+    tree, aln = small
+    ce = ClockEngine(tree, aln, models.HKY85)
+    res = fit(ce, max_steps=60, patience=10)
+    chron = ce.chronogram(res.params)
+    depths = [_depth(chron, i) for i in range(tree.n_leaves)]
+    assert max(depths) - min(depths) < 1e-9
+    # clock is nested in unconstrained: logL must not exceed it
+    pe = LikelihoodEngine(tree, aln, models.HKY85)
+    res_u = fit(pe, max_steps=60, patience=10)
+    assert res.loglik <= res_u.loglik + 1e-6
+    # branch_lengths is not a settable parameter on a clock engine
+    with pytest.raises(ValueError, match="heights"):
+        ce.loglikelihood({"branch_lengths": np.ones(tree.n_nodes)})
+
+
+def test_clock_lrt_power_and_size():
+    """Clock-simulated data: LRT must NOT reject; data with one clade's
+    rate tripled: LRT must reject."""
+    tree = parse_newick(
+        "(((a:0.1,b:0.1):0.1,(c:0.1,d:0.1):0.1):0.05,"
+        "(e:0.2,f:0.2):0.05);"
+    )  # ultrametric
+    aln = simulate_alignment(jax.random.key(0), tree, models.HKY85, 400,
+                             params={"kappa": 3.0})
+    out = clock_test(tree, aln, models.HKY85, max_steps=80, patience=12)
+    assert out["df"] == 4  # 6 taxa -> n-2
+    assert out["lrt"]["pvalue"] > 0.01
+
+    stretched = np.array(tree.lengths)
+    clade = mark_clade(tree, ["a", "b"]).astype(bool)
+    stretched[clade] *= 3.0
+    tree_fast = tree.with_lengths(stretched)
+    aln2 = simulate_alignment(jax.random.key(1), tree_fast, models.HKY85,
+                              400, params={"kappa": 3.0})
+    out2 = clock_test(tree, aln2, models.HKY85, max_steps=80, patience=12)
+    assert out2["lrt"]["pvalue"] < 0.01
+
+
+def test_local_clock_recovers_rate_multiplier():
+    """Local clock on data whose marked clade evolves 3x faster: the
+    fitted multiplier lands above 2, and local-clock logL beats strict."""
+    base = parse_newick(
+        "(((a:0.1,b:0.1):0.1,(c:0.1,d:0.1):0.1):0.05,(e:0.2,f:0.2):0.05);"
+    )
+    cls = mark_clade(base, ["e", "f"])
+    stretched = np.array(base.lengths)
+    stretched[cls.astype(bool)] *= 3.0
+    aln = simulate_alignment(jax.random.key(2), base.with_lengths(stretched),
+                             models.HKY85, 500, params={"kappa": 3.0})
+    strict = ClockEngine(base, aln, models.HKY85)
+    res_s = fit(strict, max_steps=80, patience=12)
+    local = ClockEngine(base, aln, models.HKY85, branch_classes=cls)
+    res_l = fit(local, max_steps=80, patience=12)
+    assert res_l.loglik >= res_s.loglik - 1e-6
+    mult = float(np.asarray(res_l.params["rate_multipliers"])[0])
+    assert mult > 2.0
+    # chronogram stays ultrametric even with the local clock
+    chron = local.chronogram(res_l.params)
+    depths = [_depth(chron, i) for i in range(base.n_leaves)]
+    assert max(depths) - min(depths) < 1e-9
+
+
+def test_clock_gradients_flow(small):
+    tree, aln = small
+    ce = ClockEngine(tree, aln, models.JC69)
+    g = ce.gradient()
+    assert np.isfinite(float(np.asarray(g["root_height"])))
+    assert np.all(np.isfinite(np.asarray(g["height_fractions"])))
+    assert np.asarray(g["height_fractions"]).shape == (ce.n_internal - 1,)
