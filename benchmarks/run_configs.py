@@ -20,17 +20,34 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _throughput(engine, params, iters=20):
+def _throughput(engine, params, iters=64):
+    """Honest per-eval time: ``iters`` evals with UNIQUE branch lengths
+    batched into one dispatch (vmap) — the relay memoizes identical
+    dispatches and charges a fixed ~25 ms per fresh dispatch, so both
+    same-buffer replay and tiny dispatches mis-measure (PARITY.md)."""
     import jax
+    import jax.numpy as jnp
 
-    fn = engine._jit_fn
-    args = (engine._full_params(params), engine._leaf_partials, engine._weights)
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    full = engine._full_params(params)
+    lp, w = engine._leaf_partials, engine._weights
+
+    def one(scale):
+        p2 = dict(full)
+        p2["branch_lengths"] = full["branch_lengths"] * scale
+        return engine._loglik_fn(p2, lp, w)[0]
+
+    @jax.jit
+    def run(seed):
+        scales = 1.0 + 1e-7 * (seed + jnp.arange(iters, dtype=jnp.float32))
+        return jnp.sum(jax.vmap(one)(scales))
+
+    jax.block_until_ready(run(jnp.float32(0.0)))
+    best = float("inf")
+    for s in range(1, 4):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.float32(1000.0 * s)))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     return int(engine._weights.shape[0]) / dt, dt
 
 

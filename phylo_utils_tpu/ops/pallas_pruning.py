@@ -164,15 +164,22 @@ def _pick_fold(k: int, s_pad: int) -> int:
     return max(f, 1)
 
 
-def _vpu_matmul(p, x, s_pad: int):
-    """(S,S) @ (S,T) as outer-product accumulation on the VPU."""
+def _vpu_matmul(p, x, s_pad: int, n_real: int = None):
+    """(S,S) @ (S,T) as outer-product accumulation on the VPU.
+
+    ``n_real``: real (unpadded) state count — P's columns j >= n_real are
+    structural zeros (see _pad_inputs), so their outer-product terms are
+    skipped entirely. Exact: adding zero is the identity. For DNA
+    (4 real states padded to 8) this halves the contraction's VPU ops.
+    """
+    n = n_real if n_real else s_pad
     acc = p[:, 0:1] * x[0:1, :]
-    for j in range(1, s_pad):
+    for j in range(1, n):
         acc += p[:, j : j + 1] * x[j : j + 1, :]
     return acc
 
 
-def _contract(p, x, s_pad: int):
+def _contract(p, x, s_pad: int, n_real: int = None):
     """Child contraction y = P @ x with a width-dependent unit choice."""
     if s_pad >= MXU_MIN_SPAD:
         # HIGHEST precision: the default MXU path accumulates in bf16
@@ -184,10 +191,10 @@ def _contract(p, x, s_pad: int):
             p, x, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    return _vpu_matmul(p, x, s_pad)
+    return _vpu_matmul(p, x, s_pad, n_real)
 
 
-def _combine_children(child_data, s_pad, tiny):
+def _combine_children(child_data, s_pad, tiny, n_real=None):
     """Product over children of P_c @ x_c, summed scales, fused rescale.
 
     child_data: list of (p (S,S), x (S,T), sc (1,T)) per child.
@@ -196,7 +203,7 @@ def _combine_children(child_data, s_pad, tiny):
     acc = None
     sc = None
     for p, x, csc in child_data:
-        y = _contract(p, x, s_pad)
+        y = _contract(p, x, s_pad, n_real)
         acc = y if acc is None else acc * y
         sc = csc if sc is None else sc + csc
     m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)  # (1, T)
@@ -214,6 +221,7 @@ def _static_kernel(
     order, children, counts,      # numpy constants
     n_leaves: int,
     s_pad: int,
+    n_real: int = None,
 ):
     buf[0:n_leaves] = leaf_ref[:]
     logscale[:] = jnp.zeros_like(logscale)
@@ -222,7 +230,8 @@ def _static_kernel(
         node = int(order[i])
         kids = [int(children[i, c]) for c in range(int(counts[i]))]
         part, sc = _combine_children(
-            [(p_ref[0, c], buf[c], logscale[c]) for c in kids], s_pad, tiny
+            [(p_ref[0, c], buf[c], logscale[c]) for c in kids], s_pad, tiny,
+            n_real,
         )
         buf[node] = part
         logscale[node] = sc
@@ -282,6 +291,7 @@ def _block_rescale(acc, s_pad: int, n_blocks: int, tiny):
 def _walk_tree(
     order_ref, child_ref, count_ref, p_ref, buf, logscale,
     *, n_internal: int, cmax: int, s_pad: int, n_blocks: int = 1,
+    n_real: int = None,
 ):
     """Post-order combine+rescale over the whole tree (shared kernel body).
 
@@ -291,6 +301,7 @@ def _walk_tree(
     once but the rescale stays per block."""
     tiny = jnp.float32(np.finfo(np.float32).tiny)
     s_tot = n_blocks * s_pad
+    nr = n_real if n_blocks == 1 else None  # fold: block-diag P, no trim
 
     def node_step(i, _):
         node = order_ref[i]
@@ -300,7 +311,7 @@ def _walk_tree(
         for c in range(cmax):
             cid = child_ref[c, i]
             valid = c < count
-            y = _contract(p_ref[0, cid], buf[cid], s_tot)
+            y = _contract(p_ref[0, cid], buf[cid], s_tot, nr)
             csc = logscale[cid]            # (n_blocks, T)
             if acc is None:
                 acc, sc = y, csc           # c == 0 always valid
@@ -333,6 +344,7 @@ def _dynamic_kernel(
     cmax: int,
     s_pad: int,
     n_blocks: int = 1,
+    n_real: int = None,
 ):
     if n_blocks == 1:
         buf[0:n_leaves] = leaf_ref[:]
@@ -347,6 +359,7 @@ def _dynamic_kernel(
         order_ref, child_ref, count_ref, p_ref,
         _NodeView(buf), _NodeView(logscale),
         n_internal=n_internal, cmax=cmax, s_pad=s_pad, n_blocks=n_blocks,
+        n_real=n_real,
     )
     root = order_ref[n_internal - 1]
     root_ref[0] = buf[root]
@@ -442,6 +455,7 @@ def _dynamic_slot_kernel(
     cmax: int,
     s_pad: int,
     root_slot: int,
+    n_real: int = None,
 ):
     logscale[:] = jnp.zeros_like(logscale)
     tiny = jnp.float32(np.finfo(np.float32).tiny)
@@ -462,7 +476,7 @@ def _dynamic_slot_kernel(
             xl = leaf_ref[jnp.minimum(src, n_leaves - 1)]
             xs = buf[jnp.minimum(src, n_slots - 1)]
             x = jnp.where(isleaf > 0, xl, xs)
-            y = _contract(p_ref[0, cn], x, s_pad)
+            y = _contract(p_ref[0, cn], x, s_pad, n_real)
             csc = jnp.where(
                 isleaf > 0,
                 jnp.zeros_like(logscale[0]),
@@ -513,6 +527,7 @@ def _dynamic_slot_stream_kernel(
     s_pad: int,
     tile: int,
     root_slot: int,
+    n_real: int = None,
 ):
     """Slot kernel with HBM-streamed leaves AND P matrices (big trees).
 
@@ -596,7 +611,7 @@ def _dynamic_slot_stream_kernel(
             xl = lbuf[b, i32(c)]
             xs = buf[jnp.minimum(src, i32(n_slots - 1))]
             x = jnp.where(isleaf > 0, xl, xs)
-            y = _contract(pbuf[b, i32(c)][:, :s_pad], x, s_pad)
+            y = _contract(pbuf[b, i32(c)][:, :s_pad], x, s_pad, n_real)
             csc = jnp.where(
                 isleaf > 0,
                 jnp.zeros_like(logscale[0]),
@@ -634,6 +649,7 @@ def _dynamic_saveall_kernel(
     n_internal: int,
     cmax: int,
     s_pad: int,
+    n_real: int = None,
 ):
     buf_ref[0, 0:n_leaves] = leaf_ref[0]
     logscale_ref[...] = jnp.zeros(logscale_ref.shape, logscale_ref.dtype)
@@ -641,7 +657,7 @@ def _dynamic_saveall_kernel(
     _walk_tree(
         order_ref, child_ref, count_ref, p_ref,
         _NodeView(buf_ref, (0,)), _NodeView(logscale_ref, (0,)),
-        n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+        n_internal=n_internal, cmax=cmax, s_pad=s_pad, n_real=n_real,
     )
 
 
@@ -666,6 +682,7 @@ def _dynamic_bwd_kernel(
     n_internal: int,
     cmax: int,
     s_pad: int,
+    n_real: int = None,
 ):
     """Reverse pass of the pruning walk (pre-order over the same schedule).
 
@@ -700,7 +717,7 @@ def _dynamic_bwd_kernel(
         for c in range(cmax):
             cid = child_ref[c, i]
             valid = c < count
-            y = _contract(p_ref[0, cid], buf_ref[0, cid], s_pad)
+            y = _contract(p_ref[0, cid], buf_ref[0, cid], s_pad, n_real)
             y = jnp.where(valid, y, jnp.ones_like(y))
             ys.append((cid, valid, y))
             # padding child ids are 0 (a leaf, logscale 0) so the masked
@@ -723,7 +740,7 @@ def _dynamic_bwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            g[cid] += _contract(pt_ref[0, cid], gy, s_pad)
+            g[cid] += _contract(pt_ref[0, cid], gy, s_pad, n_real)
         return 0
 
     jax.lax.fori_loop(0, n_internal, node_step, 0)
@@ -986,7 +1003,7 @@ def _pallas_forward(
                 _dynamic_slot_stream_kernel,
                 n_leaves=n_leaves, n_slots=n_slots,
                 n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-                tile=tile, root_slot=root_slot,
+                tile=tile, root_slot=root_slot, n_real=s,
             )
             in_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),   # P stays in HBM
@@ -1020,7 +1037,7 @@ def _pallas_forward(
                 _dynamic_slot_kernel,
                 n_leaves=n_leaves, n_slots=n_slots,
                 n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-                root_slot=root_slot,
+                root_slot=root_slot, n_real=s,
             )
             in_specs = tensor_in_specs
             scratch = [
@@ -1070,7 +1087,7 @@ def _pallas_forward(
         kernel = functools.partial(
             _static_kernel,
             order=order, children=children, counts=counts,
-            n_leaves=n_leaves, s_pad=s_pad,
+            n_leaves=n_leaves, s_pad=s_pad, n_real=s,
         )
         grid_spec = pl.GridSpec(
             grid=(n_tiles, k),
@@ -1088,7 +1105,7 @@ def _pallas_forward(
         kernel = functools.partial(
             _dynamic_kernel,
             n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-            n_blocks=fold,
+            n_blocks=fold, n_real=s,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1167,6 +1184,7 @@ def make_pallas_prune_fn(
 def _saveall_call(
     p_pad, lp_k, lsc_k, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
+    n_real=None,
 ):
     """Run the saveall kernel on pre-padded kernel-layout inputs.
 
@@ -1187,6 +1205,7 @@ def _saveall_call(
     kernel = functools.partial(
         _dynamic_saveall_kernel,
         n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+        n_real=n_real,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1237,6 +1256,7 @@ def _saveall_call(
 def _backward_call(
     p_pad, pt_pad, buf_all, ls_all, gseeds, seed_ids, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
+    n_real=None,
 ):
     """Reverse walk seeded at ``seed_ids`` (numpy, static): returns
     ``(dp_pad (K, n_nodes, S_pad, S_pad),
@@ -1256,6 +1276,7 @@ def _backward_call(
         _dynamic_bwd_kernel,
         seed_ids=np.asarray(seed_ids, np.int32),
         n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+        n_real=n_real,
     )
     # grid (k, n_tiles): site tiles iterate FASTEST so the dP output block
     # (one per k, indexed (kk, 0, 0, 0)) is revisited consecutively and
@@ -1562,7 +1583,9 @@ def make_pallas_loglik_fn(
             )
             lp_k = jnp.broadcast_to(lp[None], (k,) + lp.shape)
             lsc_k = jnp.zeros((k, n_leaves, 1, sites_pad), jnp.float32)
-            buf_all, ls_all = _saveall_call(p_pad, lp_k, lsc_k, **common)
+            buf_all, ls_all = _saveall_call(
+                p_pad, lp_k, lsc_k, n_real=s, **common
+            )
             rdt = freqs.dtype
             root_pp = buf_all[:, root, :s, :sites]      # (K, S, sites)
             dot = jnp.einsum(
@@ -1592,7 +1615,8 @@ def make_pallas_loglik_fn(
             )                                            # (K, 1, S_pad, sp)
             pt_pad = jnp.swapaxes(p_pad, -1, -2)
             dp_pad, dleaf_k = _backward_call(
-                p_pad, pt_pad, buf_all, ls_all, gseeds, root_ids, **common
+                p_pad, pt_pad, buf_all, ls_all, gseeds, root_ids,
+                n_real=s, **common
             )
             dp = jnp.transpose(dp_pad[:, :, :s, :s], (1, 0, 2, 3)).astype(
                 p_tok.dtype
@@ -1619,7 +1643,7 @@ def make_pallas_loglik_fn(
         arrays = dict(
             order=seg.order, children=seg.children, counts=seg.counts,
             n_nodes=seg.n_nodes, n_leaves=seg.n_leaves,
-            tile=tile, interpret=interpret,
+            tile=tile, interpret=interpret, n_real=n_states,
         )
         bloc = np.asarray(seg.boundary_local, np.int32)
         anc = np.asarray(seg.vleaf_anc_boundary, np.int32)
