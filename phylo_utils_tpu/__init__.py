@@ -83,6 +83,7 @@ from phylo_utils_tpu.mixtures import (  # noqa: F401
     M7Engine,
     M8Engine,
     ModelMixtureEngine,
+    beb_site_posteriors,
     m1a_m2a_test,
     omega_posteriors,
     positive_selection_test,

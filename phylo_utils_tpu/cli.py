@@ -434,6 +434,14 @@ def cmd_site_test(args) -> int:
         # NEB site scan: the last class is the omega>1 class in both tests
         out["site_mean_omega"] = np.asarray(mean_omega).tolist()
         out["site_positive_posterior"] = np.asarray(gam[:, -1]).tolist()
+    if args.beb:
+        if args.test != "m1a-m2a":
+            raise SystemExit("--beb requires --test m1a-m2a (M2a BEB)")
+        from phylo_utils_tpu.mixtures import beb_site_posteriors
+
+        p_pos, mean_w = beb_site_posteriors(alt, res_alt.params)
+        out["beb_positive_posterior"] = np.asarray(p_pos).tolist()
+        out["beb_mean_omega"] = np.asarray(mean_w).tolist()
     print(json.dumps(out))
     return 0
 
@@ -629,6 +637,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-steps", type=int, default=200)
     p.add_argument("--sites", action="store_true",
                    help="emit the per-site NEB positive-selection scan")
+    p.add_argument("--beb", action="store_true",
+                   help="emit the BEB site scan (Yang-Wong-Nielsen 2005; "
+                        "m1a-m2a only)")
     p.add_argument("--codon-freqs", default="f3x4",
                    choices=["f3x4", "f1x4", "f61", "uniform"],
                    help="empirical codon frequencies, held fixed "

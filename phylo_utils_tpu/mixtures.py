@@ -31,8 +31,8 @@ from phylo_utils_tpu.ops.pruning import (
 
 __all__ = ["ModelMixtureEngine", "M1aEngine", "M2aEngine",
            "M7Engine", "M8Engine",
-           "omega_posteriors", "positive_selection_test",
-           "m1a_m2a_test"]
+           "omega_posteriors", "beb_site_posteriors",
+           "positive_selection_test", "m1a_m2a_test"]
 
 
 def _stack_params(param_dicts: Sequence[Mapping], dtype) -> Dict:
@@ -403,3 +403,127 @@ def omega_posteriors(
     omegas = np.asarray(mixture["omega"], np.float64)
     gam = engine.category_posteriors(params)
     return gam @ omegas, gam
+
+
+# ---------------------------------------------------------------------------
+# Bayes Empirical Bayes (Yang, Wong & Nielsen 2005)
+# ---------------------------------------------------------------------------
+
+
+def _site_class_logliks(engine, params, omegas):
+    """Per-omega sitewise LOG-likelihoods: (len(omegas), n_patterns).
+
+    One pruning pass with the omega grid as the category axis; kappa and
+    codon frequencies come from ``params['shared']`` (the MLEs)."""
+    dtype = engine.dtype
+    full = engine._full_params(params)
+
+    def compute(full, leaf_partials, omegas):
+        t = full["branch_lengths"].astype(dtype)
+        k = omegas.shape[0]
+        stacked = {
+            kk: jnp.broadcast_to(
+                jnp.asarray(vv, dtype)[None, ...],
+                (k,) + jnp.shape(jnp.asarray(vv)),
+            )
+            for kk, vv in full["shared"].items()
+        }
+        stacked = {**stacked, "omega": omegas.astype(dtype)}
+        sym_k, freqs_k = jax.vmap(
+            lambda cp: engine.model.build(**cp)
+        )(stacked)
+        p_k = jax.vmap(
+            lambda s, f: p_matrices_reversible(s, f, t)
+        )(sym_k, freqs_k)
+        p = jnp.swapaxes(p_k, 0, 1)
+        p = extend_p_identity(p, engine.schedule.n_nodes)
+        root_partials, root_logscale = engine._prune(p, leaf_partials)
+        lik = jnp.einsum("ksi,ki->ks", root_partials,
+                         freqs_k.astype(dtype))
+        return jnp.log(lik) + root_logscale
+
+    if not hasattr(engine, "_beb_jit"):
+        engine._beb_jit = jax.jit(compute)
+    return np.asarray(
+        engine._beb_jit(full, engine._leaf_partials,
+                        jnp.asarray(omegas, dtype)),
+        np.float64,
+    )
+
+
+def beb_site_posteriors(engine, params: Optional[Mapping] = None,
+                        d: int = 10):
+    """Bayes Empirical Bayes positive-selection site scan for M2a.
+
+    Yang, Wong & Nielsen (2005): instead of plugging in the MLEs of the
+    mixture proportions and omegas (NEB, ``omega_posteriors``), integrate
+    the site-class posteriors over a uniform prior grid on
+    (p0, p1, omega0, omega2), weighting each grid point by its posterior
+    given the data (branch lengths, kappa and codon frequencies stay at
+    their MLEs, as in codeml). Grid (codeml's discretization): omega0 at
+    d midpoints of (0,1); omega2 at d midpoints of (1,11); (p0,p1) at
+    the d x d square midpoints folded onto the 2-simplex.
+
+    Returns ``(p_positive, mean_omega)`` per site (not per pattern):
+    the BEB posterior probability that the site is in the omega2 class,
+    and the BEB posterior mean omega.
+    """
+    from phylo_utils_tpu.mixtures import M2aEngine
+
+    if not isinstance(engine, M2aEngine):
+        raise TypeError("BEB is implemented for M2aEngine")
+    full = engine._full_params(params)
+    w0 = (np.arange(d) + 0.5) / d                    # (d,)
+    w2 = 1.0 + (np.arange(d) + 0.5) * (10.0 / d)     # (d,)
+    omegas = np.concatenate([w0, [1.0], w2])         # (2d+1,)
+    logf = _site_class_logliks(engine, full, omegas)  # (2d+1, P)
+    weights = np.asarray(engine._weights, np.float64)
+    n_pat = engine._compressed.n_patterns
+    logf = logf[:, :n_pat]
+    weights = weights[:n_pat]
+
+    # proportion grid: square midpoints folded onto the triangle
+    g0, g1 = np.meshgrid((np.arange(d) + 0.5) / d,
+                         (np.arange(d) + 0.5) / d, indexing="ij")
+    p0g, p1g = g0.ravel().copy(), g1.ravel().copy()
+    over = p0g + p1g > 1.0
+    p0g[over], p1g[over] = 1.0 - p0g[over], 1.0 - p1g[over]
+    p2g = 1.0 - p0g - p1g                            # (d^2,)
+
+    # grid = (props x omega0 x omega2); class log-liks per grid point are
+    # gathers from logf rows: class0 -> w0[i], class1 -> row d, class2 ->
+    # w2[j]. Work in (G, P) with G = d^2 * d * d, vectorized per (i, j).
+    m = logf.max(axis=0)                             # (P,)
+    f = np.exp(logf - m[None, :])                    # (2d+1, P) scaled liks
+    f1 = f[d]                                        # omega = 1 row
+    n_prop = p0g.shape[0]
+    log_post = np.empty((d, d, n_prop))              # grid marginal logL
+    # site-class posterior accumulators (expected class-2 prob, mean w)
+    acc_pos = np.zeros(n_pat)
+    acc_w = np.zeros(n_pat)
+    # pass 1: grid posterior weights
+    for i in range(d):
+        for j in range(d):
+            # mixture likelihood per prop point: (n_prop, P)
+            lik = (p0g[:, None] * f[i][None, :]
+                   + p1g[:, None] * f1[None, :]
+                   + p2g[:, None] * f[d + 1 + j][None, :])
+            log_post[i, j] = (weights[None, :]
+                              * np.log(lik)).sum(axis=1)
+    lp = log_post - log_post.max()
+    post_g = np.exp(lp)
+    post_g /= post_g.sum()                           # (d, d, n_prop)
+    # pass 2: accumulate site posteriors under each grid point
+    for i in range(d):
+        for j in range(d):
+            pg = post_g[i, j]                        # (n_prop,)
+            if pg.max() < 1e-12:
+                continue
+            c0 = p0g[:, None] * f[i][None, :]
+            c1 = p1g[:, None] * f1[None, :]
+            c2 = p2g[:, None] * f[d + 1 + j][None, :]
+            tot = c0 + c1 + c2
+            acc_pos += pg @ (c2 / tot)
+            acc_w += pg @ ((w0[i] * c0 + c1 + w2[j] * c2) / tot)
+    s2p = engine._compressed.site_to_pattern
+    return acc_pos[s2p], acc_w[s2p]

@@ -199,3 +199,33 @@ def test_m2a_positive_selection_recovery():
     mean_omega, gam = omega_posteriors(m2a, res2.params)
     assert gam.shape == (300, 3)
     assert gam[150:, -1].mean() > gam[:150, -1].mean() + 0.2
+
+
+def test_beb_m2a_site_scan():
+    """BEB (Yang-Wong-Nielsen 2005) on half-purifying/half-positive data:
+    flags the positive half, agrees directionally with NEB, and collapses
+    to the proper range."""
+    from phylo_utils_tpu.mixtures import M2aEngine, beb_site_posteriors
+
+    tree = random_tree(6, seed=1, mean_brlen=0.2)
+    aln_pur = simulate_alignment(jax.random.key(0), tree, models.GY94, 120,
+                                 params={"omega": 0.1, "kappa": 2.0})
+    aln_pos = simulate_alignment(jax.random.key(1), tree, models.GY94, 120,
+                                 params={"omega": 4.0, "kappa": 2.0})
+    aln = {n: aln_pur[n] + aln_pos[n] for n in aln_pur}
+    ca = encode_codon_alignment(aln)
+    m2a = M2aEngine(tree, ca)
+    res = fit(m2a, free=("branch_lengths", "shared", "proportions",
+                         "omega0", "omega2_delta"),
+              max_steps=60, patience=12)
+    p_pos, mean_w = beb_site_posteriors(m2a, res.params, d=6)
+    assert p_pos.shape == (240,) and mean_w.shape == (240,)
+    assert np.all((p_pos >= 0) & (p_pos <= 1))
+    assert np.all(mean_w > 0)
+    # positive half must rank higher under BEB
+    assert p_pos[120:].mean() > p_pos[:120].mean() + 0.2
+    assert mean_w[120:].mean() > mean_w[:120].mean() + 0.5
+    # BEB and NEB agree directionally on informative data
+    _, gam = omega_posteriors(m2a, res.params)
+    neb_pos = gam[:, -1]
+    assert np.corrcoef(p_pos, neb_pos)[0, 1] > 0.7
