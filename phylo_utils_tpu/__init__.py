@@ -76,7 +76,11 @@ from phylo_utils_tpu.optimize import (  # noqa: F401
     golden_section,
     newton_branch_length,
 )
-from phylo_utils_tpu.simulate import SequenceSimulator, simulate_alignment  # noqa: F401
+from phylo_utils_tpu.simulate import (  # noqa: F401
+    SequenceSimulator,
+    simulate_alignment,
+    simulate_mixture_alignment,
+)
 from phylo_utils_tpu.mixtures import (  # noqa: F401
     M1aEngine,
     M2aEngine,

@@ -27,7 +27,12 @@ from phylo_utils_tpu.models.base import Model
 from phylo_utils_tpu.ops.gamma import discrete_gamma
 from phylo_utils_tpu.ops.pmatrix import p_matrices_reversible, transition_matrices
 
-__all__ = ["simulate_states", "simulate_alignment", "SequenceSimulator"]
+__all__ = [
+    "simulate_states",
+    "simulate_alignment",
+    "simulate_mixture_alignment",
+    "SequenceSimulator",
+]
 
 
 def _preorder_arrays(tree: ptrees.Tree) -> Tuple[np.ndarray, np.ndarray]:
@@ -152,6 +157,62 @@ def simulate_alignment(
         name: "".join(chars[leaf_states[i]])
         for i, name in enumerate(tree.leaf_names)
     }
+
+
+def simulate_mixture_alignment(
+    key: jax.Array,
+    tree: Union[ptrees.Tree, str],
+    model: Model,
+    n_sites: int,
+    mixture,
+    weights=None,
+    shared: Optional[Mapping] = None,
+) -> Tuple[Dict[str, str], np.ndarray]:
+    """Simulate under a MODEL MIXTURE: each site draws its class iid.
+
+    ``mixture``: list of per-class model-parameter dicts (e.g.
+    ``[{"omega": 0.1}, {"omega": 1.0}, {"omega": 4.0}]`` — M2a-style data);
+    ``weights``: class probabilities (uniform default); ``shared``:
+    parameters common to all classes (kappa, freqs). Returns
+    ``(alignment, site_classes)`` so tests/scans know the truth per site.
+    Complements ``ModelMixtureEngine``/``M1aEngine``/... the way
+    ``simulate_alignment`` complements ``LikelihoodEngine``.
+    """
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    k = len(mixture)
+    if weights is None:
+        weights = np.full(k, 1.0 / k)
+    weights = np.asarray(weights, np.float64)
+    weights = weights / weights.sum()
+    k_cls, *k_sub = jax.random.split(key, k + 1)
+    site_classes = np.asarray(jax.random.categorical(
+        k_cls, jnp.log(jnp.asarray(weights))[None, :], shape=(n_sites,)
+    ))
+    cols: Dict[int, Dict[str, str]] = {}
+    counts = [int((site_classes == c).sum()) for c in range(k)]
+    sims = []
+    for c in range(k):
+        params = dict(shared or {})
+        params.update(mixture[c])
+        sims.append(
+            simulate_alignment(k_sub[c], tree, model, max(counts[c], 1),
+                               params=params)
+            if counts[c]
+            else None
+        )
+    width = 3 if model.alphabet == "codon" else 1
+    out: Dict[str, str] = {}
+    for name in tree.leaf_names:
+        pos = [0] * k
+        chunks = []
+        for c in site_classes:
+            s = sims[c][name]
+            i = pos[c]
+            chunks.append(s[i * width:(i + 1) * width])
+            pos[c] = i + 1
+        out[name] = "".join(chunks)
+    return out, site_classes
 
 
 class SequenceSimulator:

@@ -98,3 +98,34 @@ def test_simulate_with_explicit_alpha():
         params={"alpha": 50.0}, ncat=8,
     )
     assert float(np.std(np.asarray(r_small))) > float(np.std(np.asarray(r_big)))
+
+
+def test_simulate_mixture_alignment():
+    """Mixture simulator: correct shapes, classes recoverable by the M3
+    posterior scan."""
+    import numpy as np
+
+    from phylo_utils_tpu.io import encode_codon_alignment
+    from phylo_utils_tpu.mixtures import ModelMixtureEngine, omega_posteriors
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.simulate import simulate_mixture_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(6, seed=3, mean_brlen=0.25)
+    aln, cls = simulate_mixture_alignment(
+        jax.random.key(4), tree, models.GY94, 200,
+        mixture=[{"omega": 0.1}, {"omega": 4.0}],
+        weights=[0.6, 0.4], shared={"kappa": 2.0},
+    )
+    assert cls.shape == (200,)
+    assert all(len(s) == 600 for s in aln.values())  # codons -> 3 chars
+    frac1 = float((cls == 1).mean())
+    assert 0.2 < frac1 < 0.6
+    ca = encode_codon_alignment(aln)
+    eng = ModelMixtureEngine(tree, ca, models.GY94,
+                             mixture=[{"omega": 0.2}, {"omega": 2.0}])
+    res = fit(eng, free=("branch_lengths", "mixture", "cat_weights"),
+              max_steps=50, patience=10)
+    mean_w, _ = omega_posteriors(eng, res.params)
+    # sites simulated under omega=4 must get higher posterior mean omega
+    assert mean_w[cls == 1].mean() > mean_w[cls == 0].mean() + 0.3
