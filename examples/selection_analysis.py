@@ -26,7 +26,7 @@ from phylo_utils_tpu.branch_models import (
 )
 from phylo_utils_tpu.clock import clock_test
 from phylo_utils_tpu.io import encode_codon_alignment, parse_newick
-from phylo_utils_tpu.mixtures import (
+from phylo_utils_tpu.mixtures import (  # noqa: F401
     M1aEngine,
     M2aEngine,
     m1a_m2a_test,
@@ -69,6 +69,16 @@ mean_omega, gam = omega_posteriors(m2a, r2.params)
 called = np.where(gam[:, -1] > 0.95)[0]
 frac_right = np.mean(called >= 150) if len(called) else 0.0
 print(f"  NEB sites with P(positive)>0.95: {len(called)} "
+      f"({frac_right:.0%} in the truly positive half)")
+
+# BEB (codeml's published site table): integrates over parameter
+# uncertainty instead of plugging in the MLEs
+from phylo_utils_tpu.mixtures import beb_site_posteriors
+
+p_pos, beb_w = beb_site_posteriors(m2a, r2.params)
+called_beb = np.where(p_pos > 0.95)[0]
+frac_right = np.mean(called_beb >= 150) if len(called_beb) else 0.0
+print(f"  BEB sites with P(positive)>0.95: {len(called_beb)} "
       f"({frac_right:.0%} in the truly positive half)")
 
 # --- branch-site Model A on the fast clade ---------------------------------
