@@ -88,6 +88,7 @@ from phylo_utils_tpu.mixtures import (  # noqa: F401
     M8Engine,
     ModelMixtureEngine,
     beb_site_posteriors,
+    beb_site_posteriors_m8,
     m1a_m2a_test,
     omega_posteriors,
     positive_selection_test,

@@ -32,6 +32,7 @@ from phylo_utils_tpu.ops.pruning import (
 __all__ = ["ModelMixtureEngine", "M1aEngine", "M2aEngine",
            "M7Engine", "M8Engine",
            "omega_posteriors", "beb_site_posteriors",
+           "beb_site_posteriors_m8",
            "positive_selection_test", "m1a_m2a_test"]
 
 
@@ -525,5 +526,89 @@ def beb_site_posteriors(engine, params: Optional[Mapping] = None,
             tot = c0 + c1 + c2
             acc_pos += pg @ (c2 / tot)
             acc_w += pg @ ((w0[i] * c0 + c1 + w2[j] * c2) / tot)
+    s2p = engine._compressed.site_to_pattern
+    return acc_pos[s2p], acc_w[s2p]
+
+
+def beb_site_posteriors_m8(engine, params: Optional[Mapping] = None,
+                           d: int = 10, n_fine: int = 20):
+    """Bayes Empirical Bayes positive-selection scan for M8.
+
+    Grid (after Yang, Wong & Nielsen 2005): ``p0`` at d midpoints of
+    (0,1); beta parameters ``p``/``q`` at d midpoints of (0,2);
+    ``omega_s`` at d midpoints of (1,11). The beta class omegas for each
+    (p,q) pair are the equal-probability bin means SNAPPED to a fixed
+    ``n_fine``-point omega grid on (0,1), so the whole scan needs one
+    pruning pass with ``n_fine + d`` omega categories. Branch lengths,
+    kappa and codon frequencies stay at their MLEs (codeml convention).
+
+    Returns ``(p_positive, mean_omega)`` per site.
+    """
+    if not isinstance(engine, M8Engine):
+        raise TypeError("M8 BEB is implemented for M8Engine")
+    from phylo_utils_tpu.ops.beta import discrete_beta
+
+    full = engine._full_params(params)
+    w_fine = (np.arange(n_fine) + 0.5) / n_fine          # (0,1) grid
+    w_s = 1.0 + (np.arange(d) + 0.5) * (10.0 / d)        # (1,11) grid
+    omegas = np.concatenate([w_fine, w_s])
+    logf = _site_class_logliks(engine, full, omegas)     # (n_fine+d, P)
+    weights = np.asarray(engine._weights, np.float64)
+    n_pat = engine._compressed.n_patterns
+    logf = logf[:, :n_pat]
+    weights = weights[:n_pat]
+    m = logf.max(axis=0)
+    f = np.exp(logf - m[None, :])                        # scaled liks
+    f_beta, f_ws = f[:n_fine], f[n_fine:]                # views
+
+    # beta-bin means per (p,q), snapped to the fine grid -> averaging
+    # matrix B (n_pq, n_fine) with 1/n_beta at each snapped bin index
+    pq = (np.arange(d) + 0.5) * (2.0 / d)
+    n_beta = engine.n_beta
+    pairs = [(p, q) for p in pq for q in pq]
+    B = np.zeros((len(pairs), n_fine))
+    for r, (p, q) in enumerate(pairs):
+        means = np.asarray(discrete_beta(p, q, n_beta), np.float64)
+        idx = np.clip((means * n_fine).astype(int), 0, n_fine - 1)
+        for i in idx:
+            B[r, i] += 1.0 / n_beta
+    mixed_beta = B @ f_beta                              # (n_pq, P)
+
+    p0g = (np.arange(d) + 0.5) / d                       # (d,)
+    # pass 1: grid posterior. lik[a,b,c] = p0_a*mixed[b] + (1-p0_a)*f_ws[c]
+    log_post = np.empty((d, len(pairs), d))
+    for a in range(d):
+        base = p0g[a] * mixed_beta                       # (n_pq, P)
+        for c in range(d):
+            lik = base + (1.0 - p0g[a]) * f_ws[c][None, :]
+            log_post[a, :, c] = (weights[None, :] * np.log(lik)).sum(axis=1)
+    lp = log_post - log_post.max()
+    post_g = np.exp(lp)
+    post_g /= post_g.sum()
+
+    # pass 2: site posteriors. mean omega needs the beta-part posterior
+    # mean per (p,q): precompute per-pair mean-omega-weighted mixture.
+    Bw = np.zeros((len(pairs), n_fine))
+    for r, (p, q) in enumerate(pairs):
+        means = np.asarray(discrete_beta(p, q, n_beta), np.float64)
+        idx = np.clip((means * n_fine).astype(int), 0, n_fine - 1)
+        for mo, i in zip(means, idx):
+            Bw[r, i] += mo / n_beta
+    mixed_beta_w = Bw @ f_beta                           # (n_pq, P)
+
+    acc_pos = np.zeros(n_pat)
+    acc_w = np.zeros(n_pat)
+    for a in range(d):
+        for c in range(d):
+            pg = post_g[a, :, c]                         # (n_pq,)
+            if pg.max() < 1e-14:
+                continue
+            beta_part = p0g[a] * mixed_beta              # (n_pq, P)
+            pos_part = (1.0 - p0g[a]) * f_ws[c][None, :]
+            tot = beta_part + pos_part
+            acc_pos += pg @ (pos_part / tot)
+            acc_w += pg @ (
+                (p0g[a] * mixed_beta_w + w_s[c] * pos_part) / tot
+            )
     s2p = engine._compressed.site_to_pattern
     return acc_pos[s2p], acc_w[s2p]

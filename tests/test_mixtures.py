@@ -229,3 +229,25 @@ def test_beb_m2a_site_scan():
     _, gam = omega_posteriors(m2a, res.params)
     neb_pos = gam[:, -1]
     assert np.corrcoef(p_pos, neb_pos)[0, 1] > 0.7
+
+
+def test_beb_m8_site_scan():
+    """M8 BEB on half-purifying/half-positive data flags the right half."""
+    from phylo_utils_tpu.mixtures import M8Engine, beb_site_posteriors_m8
+
+    tree = random_tree(6, seed=1, mean_brlen=0.2)
+    aln_pur = simulate_alignment(jax.random.key(0), tree, models.GY94, 120,
+                                 params={"omega": 0.1, "kappa": 2.0})
+    aln_pos = simulate_alignment(jax.random.key(1), tree, models.GY94, 120,
+                                 params={"omega": 4.0, "kappa": 2.0})
+    aln = {n: aln_pur[n] + aln_pos[n] for n in aln_pur}
+    ca = encode_codon_alignment(aln)
+    m8 = M8Engine(tree, ca, ncat=4)
+    res = fit(m8, free=("branch_lengths", "shared", "beta_p", "beta_q",
+                        "p0", "omega_delta"),
+              max_steps=60, patience=12)
+    p_pos, mean_w = beb_site_posteriors_m8(m8, res.params, d=6, n_fine=12)
+    assert p_pos.shape == (240,)
+    assert np.all((p_pos >= 0) & (p_pos <= 1.0 + 1e-9))
+    assert p_pos[120:].mean() > p_pos[:120].mean() + 0.2
+    assert mean_w[120:].mean() > mean_w[:120].mean() + 0.5
