@@ -379,3 +379,46 @@ def loglikelihood_branch_models(
     if return_sitewise:
         return total, sitewise
     return total
+
+
+def mg94(kappa: float, omega: float, nuc_freqs=None) -> OracleModel:
+    """Muse-Gaut (1994) codon model: q_ij = kappa^ts * omega^ns * pi_b^(p)
+    for single-nucleotide changes; stationary = F3x4 product over sense
+    codons. Independent golden for models.codon.MG94."""
+    import itertools
+
+    bases = "TCAG"
+    code = ("FFLLSSSSYY**CC*W" "LLLLPPPPHHQQRRRR"
+            "IIIMTTTTNNKKSSRR" "VVVVAAAADDEEGGGG")
+    all_codons = ["".join(c) for c in itertools.product(bases, repeat=3)]
+    CODONS = [c for c, aa in zip(all_codons, code) if aa != "*"]
+    CODON_TO_AA = {c: a for c, a in zip(all_codons, code) if a != "*"}
+    order = {"A": 0, "C": 1, "G": 2, "T": 3}
+    ts_pairs = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+    if nuc_freqs is None:
+        nuc_freqs = np.full((3, 4), 0.25)
+    f = np.asarray(nuc_freqs, np.float64)
+    f = f / f.sum(axis=1, keepdims=True)
+    n = len(CODONS)
+    prod = np.array([
+        f[0][order[c[0]]] * f[1][order[c[1]]] * f[2][order[c[2]]]
+        for c in CODONS
+    ])
+    freqs = prod / prod.sum()
+    q = np.zeros((n, n))
+    for i, ci in enumerate(CODONS):
+        for j, cj in enumerate(CODONS):
+            if i == j:
+                continue
+            diffs = [p for p in range(3) if ci[p] != cj[p]]
+            if len(diffs) != 1:
+                continue
+            p = diffs[0]
+            rate = f[p][order[cj[p]]]
+            if (ci[p], cj[p]) in ts_pairs:
+                rate *= kappa
+            if CODON_TO_AA[ci] != CODON_TO_AA[cj]:
+                rate *= omega
+            q[i, j] = rate
+    np.fill_diagonal(q, -q.sum(axis=1))
+    return OracleModel("MG94", _normalize_q(q, freqs), freqs)

@@ -16,7 +16,7 @@ import numpy as np
 
 MODEL_NAMES = (
     "JC69", "K80", "F81", "F84", "HKY85", "TN93", "GTR", "UNREST", "LG",
-    "WAG", "GY94"
+    "WAG", "GY94", "MG94"
 )
 
 

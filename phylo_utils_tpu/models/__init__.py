@@ -26,6 +26,7 @@ from phylo_utils_tpu.models.dna import (  # noqa: F401
 from phylo_utils_tpu.models.protein import LG, WAG  # noqa: F401
 from phylo_utils_tpu.models.codon import (  # noqa: F401
     GY94,
+    MG94,
     CODONS,
     f3x4_frequencies,
 )
@@ -42,6 +43,7 @@ _REGISTRY = {
     "lg": LG,
     "wag": WAG,
     "gy94": GY94,
+    "mg94": MG94,
 }
 
 

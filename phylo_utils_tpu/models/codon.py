@@ -22,6 +22,7 @@ __all__ = [
     "CODONS",
     "CODON_TO_AA",
     "GY94",
+    "MG94",
     "codon_index",
     "empirical_codon_frequencies",
     "f3x4_frequencies",
@@ -170,6 +171,86 @@ def _gy94_build(kappa, omega, freqs):
     nonsyn = jnp.asarray(_NONSYN, dtype)
     sym = single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn)
     return sym.astype(dtype), freqs.astype(dtype)
+
+
+def _build_target_structure():
+    """(3, 61, 61) one-hot: slot [p, i, j] = 1 iff codons i,j differ only
+    at position p; and (3, 61, 61) int index of j's nucleotide at that
+    position (A,C,G,T order), 0 where not a single-diff pair."""
+    n = len(CODONS)
+    order = {"A": 0, "C": 1, "G": 2, "T": 3}
+    pos_mask = np.zeros((3, n, n))
+    tgt = np.zeros((3, n, n), np.int32)
+    for i, ci in enumerate(CODONS):
+        for j, cj in enumerate(CODONS):
+            if i == j:
+                continue
+            diffs = [p for p in range(3) if ci[p] != cj[p]]
+            if len(diffs) != 1:
+                continue
+            p = diffs[0]
+            pos_mask[p, i, j] = 1.0
+            tgt[p, i, j] = order[cj[p]]
+    return pos_mask, tgt
+
+
+_POS_MASK, _TGT = _build_target_structure()
+# per-codon position-nucleotide index: _CODON_NUC[p, i] = nucleotide of
+# codon i at position p (A,C,G,T order)
+_CODON_NUC = np.array(
+    [[{"A": 0, "C": 1, "G": 2, "T": 3}[c[p]] for c in CODONS]
+     for p in range(3)],
+    np.int32,
+)
+
+
+def _mg94_build(kappa, omega, nuc_freqs):
+    """Muse-Gaut (1994) x HKY-style codon model, F3x4 parameterized.
+
+    q_ij (single-nucleotide change at position p, to nucleotide b) =
+    kappa^[ts] * omega^[nonsyn] * pi_b^(p); stationary distribution is the
+    F3x4 product over sense codons (detailed balance holds: pi_i q_ij =
+    pi_j q_ji since the product frequencies differ exactly by the changed
+    position's nucleotide ratio). Exposed as (sym, freqs) for the
+    engine's symmetrized-eigh path; sym is symmetrized explicitly to kill
+    float rounding asymmetry.
+    """
+    kappa = jnp.asarray(kappa)
+    omega = jnp.asarray(omega)
+    f = jnp.asarray(nuc_freqs)                      # (3, 4)
+    f = f / jnp.sum(f, axis=1, keepdims=True)
+    dtype = jnp.result_type(kappa, omega, f)
+    # stationary: F3x4 product over sense codons, renormalized
+    pos = jnp.asarray(_CODON_NUC)                   # (3, 61)
+    prod = f[0, pos[0]] * f[1, pos[1]] * f[2, pos[2]]
+    freqs = prod / jnp.sum(prod)
+    # q_ij = ts/nonsyn factors * target-position nucleotide frequency
+    tgt_freq = sum(
+        jnp.asarray(_POS_MASK[p], dtype) * f[p, jnp.asarray(_TGT[p])]
+        for p in range(3)
+    )                                               # (61, 61)
+    single = jnp.asarray(_SINGLE, dtype)
+    ts = jnp.asarray(_TS, dtype)
+    nonsyn = jnp.asarray(_NONSYN, dtype)
+    q_off = single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn) * tgt_freq
+    sym = q_off / jnp.clip(freqs[None, :], 1e-30, None)
+    sym = 0.5 * (sym + sym.T)                       # exact symmetry
+    return sym.astype(dtype), freqs.astype(dtype)
+
+
+MG94 = Model(
+    "MG94",
+    len(CODONS),
+    "codon",
+    {
+        "kappa": 2.0,
+        "omega": 1.0,
+        "nuc_freqs": tuple(
+            tuple(np.full(4, 0.25).tolist()) for _ in range(3)
+        ),
+    },
+    _mg94_build,
+)
 
 
 GY94 = Model(

@@ -50,7 +50,8 @@ _HI = lax.Precision.HIGHEST
 # Reparameterization: constrained model space <-> unconstrained optimizer space
 # ---------------------------------------------------------------------------
 
-_SIMPLEX_KEYS = {"freqs", "cat_weights", "proportions"}  # softmax (sum to 1)
+_SIMPLEX_KEYS = {"freqs", "cat_weights", "proportions",
+                 "nuc_freqs"}          # softmax rows (sum to 1)
 _UNIT_KEYS = {"pinv", "p0", "omega0", "height_fractions"}  # sigmoid (0, 1)
 # everything else positive-valued: softplus-parameterized
 

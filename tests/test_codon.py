@@ -156,3 +156,51 @@ def test_empirical_codon_frequencies():
     )
     with pytest.raises(ValueError, match="unknown method"):
         empirical_codon_frequencies(aln, "f99")
+
+
+def test_mg94_matches_oracle_and_detects_structure():
+    """MG94 logL matches the independently built oracle MG94; detailed
+    balance and stationarity hold; omega is recoverable."""
+    import numpy as np
+
+    import oracle.core as oracle
+    from phylo_utils_tpu import models
+    from phylo_utils_tpu.io import encode_codon_alignment
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+    from phylo_utils_tpu.models.base import build_rate_matrix
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    nf = np.array([[0.3, 0.2, 0.3, 0.2],
+                   [0.25, 0.25, 0.25, 0.25],
+                   [0.15, 0.35, 0.2, 0.3]])
+    # Q structure parity vs the oracle's independent construction
+    sym, freqs = models.MG94.build(kappa=3.0, omega=0.4, nuc_freqs=nf)
+    q = np.asarray(build_rate_matrix(jnp.asarray(sym), jnp.asarray(freqs)))
+    om = oracle.mg94(3.0, 0.4, nf)
+    np.testing.assert_allclose(q, om.q, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(freqs), om.freqs, atol=1e-12)
+    # detailed balance
+    pi_q = np.asarray(freqs)[:, None] * q
+    np.testing.assert_allclose(pi_q, pi_q.T, atol=1e-12)
+
+    # logL parity on simulated data
+    tree = random_tree(5, seed=6, mean_brlen=0.2)
+    aln = simulate_alignment(jax.random.key(7), tree, models.MG94, 40,
+                             params={"omega": 0.5, "kappa": 3.0,
+                                     "nuc_freqs": nf})
+    ca = encode_codon_alignment(aln)
+    eng = LikelihoodEngine(tree, ca, models.MG94)
+    ll = eng.loglikelihood({"model": {"kappa": 3.0, "omega": 0.5,
+                                      "nuc_freqs": nf}})
+    gold = oracle.loglikelihood(
+        tree, {}, oracle.mg94(3.0, 0.5, nf),
+        pattern_weights=np.asarray(ca.weights),
+        leaf_partials=np.asarray(ca.partials, np.float64),
+    )
+    assert ll == pytest.approx(gold, abs=1e-7)
+    # omega recovery through fit (kappa/freqs free too)
+    res = fit(eng, free=("branch_lengths", "model"), max_steps=60,
+              patience=12)
+    assert 0.2 < float(res.params["model"]["omega"]) < 1.2
