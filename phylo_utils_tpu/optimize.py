@@ -242,10 +242,21 @@ def fit(
                 total, _ = engine._loglik_fn(params, lp, w, eig=eig)
             else:
                 total, _ = engine._loglik_fn(params, lp, w)
-            return -total
+            # fixed loss dtype: an f32 engine under x64 otherwise feeds an
+            # f32 value into optax's f64 linesearch state (lax.cond branch
+            # dtype mismatch inside value_and_grad_from_state)
+            return -total.astype(jnp.result_type(float))
         return loss_fn
 
-    raw0 = transform_params(start)
+    # The unconstrained optimizer vector always lives in the session's
+    # widest float: an f32 ENGINE otherwise seeds f32 optax state whose
+    # linesearch lax.cond then clashes with the (f64) fresh loss under
+    # x64, and optimizer arithmetic benefits from f64 anyway — the engine
+    # casts params to its compute dtype internally.
+    _opt_dtype = jnp.result_type(float)
+    raw0 = jax.tree.map(
+        lambda x: x.astype(_opt_dtype), transform_params(start)
+    )
 
     if optimizer is None:
         optimizer = optax.lbfgs()
