@@ -98,8 +98,10 @@ from phylo_utils_tpu.nj import neighbor_joining  # noqa: F401
 from phylo_utils_tpu.trees import (  # noqa: F401
     Tree,
     compile_schedule,
+    midpoint_root,
     nni_neighbors,
     random_tree,
+    reroot,
     robinson_foulds,
     spr_neighbors,
 )

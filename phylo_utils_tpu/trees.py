@@ -407,7 +407,10 @@ def _splits(tree: Tree) -> set:
     """Non-trivial unrooted bipartitions as frozensets of leaf names
     (canonicalized to the side not containing the first leaf name)."""
     all_names = frozenset(tree.leaf_names)
-    anchor = tree.leaf_names[0]
+    # deterministic SHARED anchor: two trees over the same taxa must
+    # canonicalize each bipartition to the same side regardless of their
+    # internal leaf order (rerooting reorders leaves)
+    anchor = min(all_names)
     below: Dict[int, frozenset] = {}
     splits = set()
     for node in tree.postorder():
@@ -437,3 +440,155 @@ def robinson_foulds(t1: Tree, t2: Tree, normalized: bool = False) -> float:
         return float(rf)
     denom = len(s1) + len(s2)
     return rf / denom if denom else 0.0
+
+
+def reroot(tree: Tree, node: int, fraction: float = 0.5) -> Tree:
+    """New tree rooted ON THE EDGE above ``node``.
+
+    The new root splits that edge: ``fraction`` of its length goes to the
+    ``node`` side (0.5 = middle). The old root, if it becomes a
+    degree-two pass-through, is spliced out (its two edge lengths sum).
+    For reversible models the likelihood is invariant to this operation
+    (Felsenstein's pulley principle) — tested against the engine.
+    """
+    node = int(node)
+    if node == tree.root:
+        raise ValueError("cannot reroot on the root's (nonexistent) edge")
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    t_edge = float(tree.lengths[node])
+    orig = {n: float(tree.lengths[n]) for n in range(tree.n_nodes)}
+    ch = {n: list(tree.children[n]) for n in range(tree.n_nodes)}
+    ln = dict(orig)
+    path = []                                 # old_parent(node) .. old_root
+    q = int(tree.parent[node])
+    while q != -1:
+        path.append(q)
+        q = int(tree.parent[q])
+    old_root = tree.root
+    prev = node
+    for q in path:                            # flip the chain
+        ch[q] = [c for c in ch[q] if c != prev]
+        if q != old_root:
+            ch[q].append(int(tree.parent[q]))
+        # new edge above q = the old edge (prev, q): the split upper part
+        # for the first hop, the ORIGINAL edge above prev otherwise
+        ln[q] = (1.0 - fraction) * t_edge if prev == node else orig[prev]
+        prev = q
+    ln[node] = fraction * t_edge
+    top_kids = [node, path[0]]
+    # splice a now-degree-2 old root (original bifurcating root)
+    if len(ch[old_root]) == 1:
+        only = ch[old_root][0]
+        ln[only] = orig[only] + ln[old_root]
+        if path[0] == old_root:
+            top_kids = [node, only]
+        else:
+            adopter = path[path.index(old_root) - 1]
+            ch[adopter] = [only if c == old_root else c
+                           for c in ch[adopter]]
+
+    b = TreeBuilder()
+    new_id: Dict[int, int] = {}
+    NEW_ROOT = -2
+
+    def kids_of(n):
+        return top_kids if n == NEW_ROOT else ch[n]
+
+    stack = [(NEW_ROOT, False)]
+    while stack:
+        n, expanded = stack.pop()
+        kids = kids_of(n)
+        if expanded or not kids:
+            new_id[n] = b.add_node(
+                name=None if n == NEW_ROOT else (tree.names[n] or None),
+                length=None if n == NEW_ROOT else ln[n],
+                children=[new_id[k] for k in kids],
+            )
+        else:
+            stack.append((n, True))
+            for k in reversed(kids):
+                stack.append((k, False))
+    return b.build(new_id[NEW_ROOT])
+
+
+def midpoint_root(tree: Tree) -> Tree:
+    """Reroot at the midpoint of the longest leaf-to-leaf path.
+
+    The standard outgroup-free rooting for clock analyses
+    (``clock.ClockEngine`` assumes a meaningfully rooted tree).
+    """
+    # node depths from the current root; path distances via upward walks
+    def root_path(leaf):
+        path, node, dist = [], leaf, []
+        while node != -1:
+            path.append(node)
+            dist.append(float(tree.lengths[node]))
+            node = int(tree.parent[node])
+        return path, dist
+
+    def leaf_dists(src):
+        """distance from leaf `src` to every node (upward then downward)."""
+        d = {}
+        path, dist = root_path(src)
+        acc = 0.0
+        for n, ln in zip(path, dist):
+            d[n] = acc
+            acc += ln
+        # downward sweep from each path node
+        for start in path:
+            stack = [start]
+            while stack:
+                n = stack.pop()
+                for c in tree.children[n]:
+                    if c in d:
+                        continue
+                    d[c] = d[n] + float(tree.lengths[c])
+                    stack.append(c)
+        return d
+
+    leaves = range(tree.n_leaves)
+    d0 = leaf_dists(0)
+    u = max(leaves, key=lambda i: d0[i])
+    du = leaf_dists(u)
+    v = max(leaves, key=lambda i: du[i])
+    diameter = du[v]
+    if diameter <= 0:
+        return tree
+    # walk from v toward u: v's root path + u's root path meet at the LCA
+    pu, _ = root_path(u)
+    pv, _ = root_path(v)
+    onpath_u = set(pu)
+    lca = next(n for n in pv if n in onpath_u)
+    # nodes from v up to lca, then down to u — accumulate from v
+    chain = []
+    for n in pv:
+        chain.append(n)
+        if n == lca:
+            break
+    down = []
+    for n in pu:
+        if n == lca:
+            break
+        down.append(n)
+    chain += down[::-1]
+    # edges along the chain: above each node except the lca entry
+    half = diameter / 2.0
+    acc = 0.0
+    for i, n in enumerate(chain):
+        if n == lca and i == len(chain) - 1:
+            break
+        # edge above n if we're ascending (before lca), else edge above
+        # the NEXT node (descending side)
+        edge_node = n if i < chain.index(lca) else chain[i + 1]
+        ln = float(tree.lengths[edge_node])
+        if acc + ln >= half - 1e-12:
+            frac_from_below = (half - acc) / max(ln, 1e-30)
+            if edge_node == n:      # ascending: below-end is n (v side)
+                fraction = frac_from_below
+            else:                   # descending: below-end is edge_node
+                fraction = 1.0 - frac_from_below
+            fraction = min(max(fraction, 0.0), 1.0)
+            return reroot(tree, edge_node, fraction)
+        acc += ln
+    return reroot(tree, chain[0], 0.5)  # numerical fallback

