@@ -76,6 +76,7 @@ from phylo_utils_tpu.optimize import (  # noqa: F401
     golden_section,
     newton_branch_length,
 )
+from phylo_utils_tpu.supports import alrt_supports  # noqa: F401
 from phylo_utils_tpu.simulate import (  # noqa: F401
     SequenceSimulator,
     simulate_alignment,

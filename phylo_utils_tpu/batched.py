@@ -31,6 +31,7 @@ from phylo_utils_tpu.ops.pmatrix import (
     transition_matrices,
 )
 from phylo_utils_tpu.ops.pruning import mixture_loglik
+from phylo_utils_tpu.ops.pruning import LN2, pow2_rescale
 
 __all__ = ["pad_schedules", "TopologySetEngine", "optimize_branch_lengths", "nni_hill_climb"]
 
@@ -97,15 +98,26 @@ def _prune_dynamic(nodes, children, mask, p_matrices, leaf_partials, root):
         partial = jnp.prod(contrib, axis=1)
         sc = jnp.sum(child_sc * mask[:, :, None, None].astype(dtype), axis=1)
         m = jnp.maximum(jnp.max(partial, axis=-1), tiny)
-        partial = partial / m[..., None]
-        sc = sc + jnp.log(m)
+        if dtype == jnp.float32:
+            # exact power-of-2 rescale (TPU f32 log bias — see ops.pruning)
+            scale, e = pow2_rescale(m)
+            partial = partial * scale[..., None]
+            sc = sc + e
+        else:
+            partial = partial / m[..., None]
+            sc = sc + jnp.log(m)
         buf = buf.at[nodes].set(partial)
         logscale = logscale.at[nodes].set(sc)
         return (buf, logscale), None
 
     (buf, logscale), _ = lax.scan(level_step, (buf, logscale),
                                   (nodes, children, mask))
-    return buf[root], logscale[root]
+    root_sc = logscale[root]
+    if dtype == jnp.float32:
+        root_sc = (
+            root_sc.astype(jnp.result_type(float)) * LN2
+        ).astype(dtype)
+    return buf[root], root_sc
 
 
 class TopologySetEngine:

@@ -508,6 +508,44 @@ def cmd_clock_test(args) -> int:
     return 0
 
 
+def cmd_supports(args) -> int:
+    """aLRT / SH-aLRT branch supports on a fixed topology."""
+    from phylo_utils_tpu.io import write_newick
+    from phylo_utils_tpu.supports import alrt_supports
+
+    out = alrt_supports(
+        _read_tree(args.tree), _read_aln(args.alignment),
+        _get_model(args.model), ncat=args.ncat,
+        params=_json_params(args.params), n_boot=args.replicates,
+    )
+    tree = out["tree"]
+    print(json.dumps({
+        "loglik": out["loglik"],
+        "tree": write_newick(tree),
+        "edges": [{
+            "node": int(e),
+            "clade": sorted(
+                n for i, n in enumerate(tree.leaf_names)
+                if _in_clade(tree, int(e), i)
+            ),
+            "stat": float(s),
+            "alrt": float(a),
+            "sh_alrt": float(sh),
+        } for e, s, a, sh in zip(out["edges"], out["stat"], out["alrt"],
+                                 out["sh_alrt"])],
+    }))
+    return 0
+
+
+def _in_clade(tree, anc: int, leaf: int) -> bool:
+    n = leaf
+    while n != -1:
+        if n == anc:
+            return True
+        n = int(tree.parent[n])
+    return False
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="phylo_utils_tpu",
@@ -681,6 +719,18 @@ def main(argv=None) -> int:
     p.add_argument("--ncat", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=200)
     p.set_defaults(fn=cmd_clock_test)
+
+    p = sub.add_parser(
+        "supports", help="aLRT / SH-aLRT branch supports (NNI-based)"
+    )
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="GTR")
+    p.add_argument("--ncat", type=int, default=1)
+    p.add_argument("--params", help="JSON model params (held fixed)")
+    p.add_argument("--replicates", type=int, default=1000,
+                   help="RELL replicates for SH-aLRT")
+    p.set_defaults(fn=cmd_supports)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -58,7 +58,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from phylo_utils_tpu.ops.pruning import make_prune_fn
+from phylo_utils_tpu.ops.pruning import (
+    LN2,
+    exp2_int,
+    make_prune_fn,
+    pow2_rescale,
+)
 from phylo_utils_tpu.trees import PruningSchedule
 
 __all__ = ["make_pallas_prune_fn", "make_pallas_loglik_fn"]
@@ -207,7 +212,11 @@ def _combine_children(child_data, s_pad, tiny, n_real=None):
         acc = y if acc is None else acc * y
         sc = csc if sc is None else sc + csc
     m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)  # (1, T)
-    return acc / m, sc + jnp.log(m)
+    # exact power-of-2 rescale; logscale carries binary-exponent COUNTS
+    # (integer-valued f32) — ln conversion happens once outside the kernel
+    # (TPU f32 log is ~1e-4-accurate with a bias: see ops.pruning)
+    scale, e = pow2_rescale(m)
+    return acc * scale, sc + e
 
 
 def _static_kernel(
@@ -273,7 +282,8 @@ def _block_rescale(acc, s_pad: int, n_blocks: int, tiny):
     """
     if n_blocks == 1:
         m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
-        return acc / m, jnp.log(m)
+        scale, e = pow2_rescale(m)
+        return acc * scale, e
     ms = [
         jnp.maximum(
             jnp.max(acc[b * s_pad:(b + 1) * s_pad], axis=0, keepdims=True),
@@ -281,11 +291,12 @@ def _block_rescale(acc, s_pad: int, n_blocks: int, tiny):
         )
         for b in range(n_blocks)
     ]
+    se = [pow2_rescale(m) for m in ms]
     out = jnp.concatenate(
-        [acc[b * s_pad:(b + 1) * s_pad] / ms[b] for b in range(n_blocks)],
+        [acc[b * s_pad:(b + 1) * s_pad] * se[b][0] for b in range(n_blocks)],
         axis=0,
     )
-    return out, jnp.log(jnp.concatenate(ms, axis=0))
+    return out, jnp.concatenate([e for _, e in se], axis=0)
 
 
 def _walk_tree(
@@ -488,8 +499,9 @@ def _dynamic_slot_kernel(
                 acc = jnp.where(valid, acc * y, acc)
                 sc = jnp.where(valid, sc + csc, sc)
         m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
-        buf[slot] = acc / m                # may reuse a child's slot: all
-        logscale[slot] = sc + jnp.log(m)   # reads happened above
+        scale, e = pow2_rescale(m)         # exact: see _combine_children
+        buf[slot] = acc * scale            # may reuse a child's slot: all
+        logscale[slot] = sc + e            # reads happened above
         return 0
 
     jax.lax.fori_loop(0, n_internal, node_step, 0)
@@ -623,8 +635,9 @@ def _dynamic_slot_stream_kernel(
                 acc = jnp.where(valid, acc * y, acc)
                 sc = jnp.where(valid, sc + csc, sc)
         m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
-        buf[slot] = acc / m
-        logscale[slot] = sc + jnp.log(m)
+        scale, e = pow2_rescale(m)         # exact: see _combine_children
+        buf[slot] = acc * scale
+        logscale[slot] = sc + e
         return i32(1) - b
 
     jax.lax.fori_loop(0, n_internal, node_step, jnp.int32(0))
@@ -724,7 +737,8 @@ def _dynamic_bwd_kernel(
             # sum equals the forward's; keep the mask for safety
             csc = jnp.where(valid, ls_ref[0, cid], 0.0)
             sc_sum = csc if sc_sum is None else sc_sum + csc
-        inv_m = jnp.exp(sc_sum - ls_ref[0, node])   # (1, T) = 1/m_node
+        # exponent-count units: the difference is an exact f32 integer
+        inv_m = exp2_int(sc_sum - ls_ref[0, node])  # (1, T) = 1/m_node
         for c in range(cmax):
             cid, valid, y = ys[c]
             sib = None
@@ -1073,7 +1087,9 @@ def _pallas_forward(
             call = jax.custom_batching.sequential_vmap(call)
         root_p, root_sc = call(*prefetch, p, lp)
         root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
-        root_logscale = root_sc[:, 0, :sites]
+        root_logscale = (
+            root_sc[:, 0, :sites].astype(jnp.result_type(float)) * LN2
+        )
         out_dtype = leaf_partials.dtype
         return (
             root_partials.astype(out_dtype), root_logscale.astype(out_dtype)
@@ -1125,7 +1141,10 @@ def _pallas_forward(
     # un-fold: block b of folded group g is category g*fold + b
     root_p = root_p.reshape(k, s_pad, sites_pad)
     root_partials = jnp.transpose(root_p[:, :s, :sites], (0, 2, 1))
-    root_logscale = root_sc.reshape(k, sites_pad)[:, :sites]
+    root_logscale = (
+        root_sc.reshape(k, sites_pad)[:, :sites]
+        .astype(jnp.result_type(float)) * LN2
+    )
     out_dtype = leaf_partials.dtype
     return root_partials.astype(out_dtype), root_logscale.astype(out_dtype)
 
@@ -1591,7 +1610,7 @@ def make_pallas_loglik_fn(
             dot = jnp.einsum(
                 "kis,i->ks", root_pp.astype(rdt), freqs, precision=_hi
             )
-            ll = jnp.log(dot) + ls_all[:, root, 0, :sites].astype(rdt)
+            ll = jnp.log(dot) + ls_all[:, root, 0, :sites].astype(rdt) * LN2
             p_tok = jnp.zeros((0,), p_matrices.dtype)
             leaf_tok = jnp.zeros((0,), leaf_partials.dtype)
             return ll, (p_tok, leaf_tok, p_pad, buf_all, ls_all, dot, freqs)
@@ -1710,7 +1729,7 @@ def make_pallas_loglik_fn(
         dot = jnp.einsum(
             "kis,i->ks", root_pp.astype(rdt), freqs, precision=_hi
         )
-        return jnp.log(dot) + blscs[root][:, 0, :sites].astype(rdt)
+        return jnp.log(dot) + blscs[root][:, 0, :sites].astype(rdt) * LN2
 
     @jax.custom_vjp
     def site_cat_ll(p_matrices, leaf_partials, freqs):

@@ -35,9 +35,56 @@ __all__ = [
     "mixture_loglik",
     "mixture_loglik_from_ll",
     "invariant_site_likelihood",
+    "pow2_rescale",
+    "exp2_int",
+    "LN2",
 ]
 
 _HI = lax.Precision.HIGHEST
+
+LN2 = float(np.log(2.0))
+
+
+def pow2_rescale(m):
+    """EXACT power-of-two rescale of a positive f32 tensor.
+
+    Returns ``(scale, e)`` with ``scale = 2**-e`` bit-assembled from m's
+    binary exponent (``e = floor(log2(m))``), so ``x * scale`` is an
+    EXACT f32 operation and the accumulated scale exponents are exact
+    small integers (stored in f32; adds are exact below 2^24).
+
+    Why: TPU's f32 ``log`` is a fast polynomial with absolute error up to
+    ~1e-4 and a positive bias (measured on v5e, PARITY.md) — accumulating
+    ``log(m)`` per pruning node biased every sitewise logL by ~1e-5
+    relative, blowing the 1e-6 parity budget on realistic trees. The
+    power-of-two scheme removes every transcendental (and every rounding)
+    from the rescale chain; the single exponent-count -> ln conversion
+    happens once at the root, in the reduction dtype.
+    """
+    import jax
+
+    # np.int32 literals: Python ints trace as i64 under jax_enable_x64,
+    # which Mosaic rejects (and jnp.clip recurses on the mixed widths)
+    i32 = np.int32
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    eb = jnp.right_shift(bits, i32(23)) & i32(0xFF)
+    eb = jnp.minimum(jnp.maximum(eb, i32(1)), i32(253))
+    scale = jax.lax.bitcast_convert_type(
+        jnp.left_shift(i32(254) - eb, i32(23)), jnp.float32
+    )
+    return scale, (eb - i32(127)).astype(jnp.float32)
+
+
+def exp2_int(k):
+    """Exact ``2**k`` for an integer-VALUED f32 tensor (bit assembly)."""
+    import jax
+
+    i32 = np.int32
+    kf = jnp.minimum(jnp.maximum(k, jnp.float32(-126.0)), jnp.float32(127.0))
+    ki = kf.astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jnp.left_shift(ki + i32(127), i32(23)), jnp.float32
+    )
 
 
 def make_prune_fn(
@@ -99,8 +146,17 @@ def make_prune_fn(
             partial = jnp.prod(contrib, axis=1)                     # (W,K,sites,S)
             sc = jnp.sum(child_sc * mask[:, :, None, None], axis=1)  # (W,K,sites)
             m = jnp.maximum(jnp.max(partial, axis=-1), tiny)
-            partial = partial / m[..., None]
-            sc = sc + jnp.log(m)
+            if dtype == jnp.float32:
+                # exact power-of-2 rescale: TPU f32 log is ~1e-4-accurate
+                # with a positive bias (see pow2_rescale) — logscale
+                # accumulates binary EXPONENT COUNTS here, converted to
+                # ln units once at the root below
+                scale, e = pow2_rescale(m)
+                partial = partial * scale[..., None]
+                sc = sc + e
+            else:
+                partial = partial / m[..., None]
+                sc = sc + jnp.log(m)
             buf = buf.at[nodes].set(partial)
             logscale = logscale.at[nodes].set(sc)
             return (buf, logscale), None
@@ -124,7 +180,12 @@ def make_prune_fn(
                 (jnp.asarray(nodes_np), jnp.asarray(children_np),
                  jnp.asarray(mask_np)),
             )
-        return buf[root], logscale[root]
+        root_sc = logscale[root]
+        if dtype == jnp.float32:
+            root_sc = (
+                root_sc.astype(jnp.result_type(float)) * LN2
+            ).astype(dtype)
+        return buf[root], root_sc
 
     return prune
 

@@ -1,0 +1,159 @@
+"""Per-branch support values: aLRT and SH-aLRT (+ RELL edge bootstrap).
+
+The reference has no support machinery (SURVEY.md §2). This implements the
+standard fast supports:
+
+- **aLRT** (Anisimova & Gascuel 2006): for each internal edge, the test
+  statistic 2(lnL - lnL') where lnL' is the best of the NNI
+  rearrangements around that edge; parametric support from the
+  ½χ²(0)+½χ²(1) mixture null.
+- **SH-aLRT** (Guindon et al. 2010 flavor): the same statistic judged
+  against a RELL-bootstrap centered null (no re-optimization per
+  replicate), robust to model misspecification.
+
+TPU-first: ALL NNI alternatives across ALL edges are scored (and their
+branch lengths re-optimized) in ONE ``TopologySetEngine`` program — the
+per-edge loop is a host-side regrouping of one batched device run.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+from phylo_utils_tpu import trees as ptrees
+
+__all__ = ["nni_alternatives_by_edge", "alrt_supports"]
+
+
+def nni_alternatives_by_edge(tree: ptrees.Tree):
+    """{internal node v: NNI rearrangements around the edge above v}.
+
+    Mirrors ``trees.nni_neighbors`` (each child of v exchanged with each
+    sibling of v) but grouped by the edge being tested.
+    """
+    base = {n: list(tree.children[n]) for n in range(tree.n_nodes)}
+    out: Dict[int, list] = {}
+    root = tree.root
+    root_bifurcating = len(tree.children[root]) == 2
+    for v in range(tree.n_leaves, tree.n_nodes):
+        if v == root:
+            continue
+        u = int(tree.parent[v])
+        alts = []
+        if u == root and root_bifurcating:
+            # the two root-child edges are ONE unrooted edge (see
+            # trees.nni_neighbors): true NNI exchanges a child of v with
+            # a child of the sibling; tested once, keyed by the lower id
+            (s,) = [k for k in tree.children[u] if k != v]
+            if s < tree.n_leaves or s < v:
+                continue
+            for c in tree.children[v]:
+                for c2 in tree.children[s]:
+                    cm = {n: list(k) for n, k in base.items()}
+                    cm[v] = [c2 if k == c else k for k in cm[v]]
+                    cm[s] = [c if k == c2 else k for k in cm[s]]
+                    alts.append(ptrees._rebuild_with_children(tree, cm))
+        else:
+            for s in tree.children[u]:
+                if s == v:
+                    continue
+                for c in tree.children[v]:
+                    cm = {n: list(k) for n, k in base.items()}
+                    cm[v] = [s if k == c else k for k in cm[v]]
+                    cm[u] = [c if k == s else k for k in cm[u]]
+                    alts.append(ptrees._rebuild_with_children(tree, cm))
+        if alts:
+            out[v] = alts
+    return out
+
+
+def alrt_supports(
+    tree,
+    alignment,
+    model,
+    ncat: int = 1,
+    params: Optional[Mapping] = None,
+    brlen_steps: int = 60,
+    n_boot: int = 1000,
+    seed: int = 0,
+    dtype=None,
+) -> Dict:
+    """aLRT + SH-aLRT supports for every internal edge.
+
+    Branch lengths of the input tree are optimized first (model params
+    from ``params`` stay fixed); every NNI alternative's branch lengths
+    are re-optimized jointly in one batched program. Returns a dict:
+    ``edges`` (node ids whose parent edge is tested), ``stat`` (2ΔlnL),
+    ``alrt`` (parametric mixture-χ² support), ``sh_alrt`` (RELL support),
+    ``loglik`` (optimized base-tree logL), ``tree`` (the optimized tree).
+    """
+    from scipy.stats import chi2
+
+    from phylo_utils_tpu.batched import (
+        TopologySetEngine,
+        optimize_branch_lengths,
+    )
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+    from phylo_utils_tpu.optimize import fit
+
+    if isinstance(tree, str):
+        tree = parse_newick(tree)
+    engine = LikelihoodEngine(tree, alignment, model, ncat=ncat, dtype=dtype)
+    res = fit(engine, params0=params, free=("branch_lengths",),
+              max_steps=200, patience=15)
+    tree = tree.with_lengths(np.asarray(res.params["branch_lengths"]))
+    ll0 = res.loglik
+    sw0 = engine.sitewise_loglikelihoods(res.params)
+
+    by_edge = nni_alternatives_by_edge(tree)
+    edges = sorted(by_edge)
+    if not edges:
+        return {"edges": [], "stat": np.zeros(0), "alrt": np.zeros(0),
+                "sh_alrt": np.zeros(0), "loglik": ll0, "tree": tree}
+    alts = [t for e in edges for t in by_edge[e]]
+    owners = np.asarray([e for e in edges for _ in by_edge[e]])
+
+    tse = TopologySetEngine(alts, alignment, model, ncat=ncat, dtype=dtype)
+    tse_params = dict(params or {})
+    for k in ("branch_lengths",):
+        tse_params.pop(k, None)
+    lls, bls = optimize_branch_lengths(
+        tse, params=tse_params or None, steps=brlen_steps
+    )
+    full = tse._full_params(tse_params or None)
+    full["branch_lengths"] = bls
+    sw_alts = tse.sitewise_loglikelihoods(full)          # (A, n_sites)
+
+    stat = np.empty(len(edges))
+    sh = np.empty(len(edges))
+    rng_seed = seed
+    # one shared RELL count matrix across edges
+    n_sites = sw0.shape[0]
+    rng = np.random.default_rng(rng_seed)
+    counts = rng.multinomial(
+        n_sites, np.full(n_sites, 1.0 / n_sites), size=n_boot
+    ).astype(np.float64)
+    for i, e in enumerate(edges):
+        rows = np.nonzero(owners == e)[0]
+        best = rows[np.argmax(lls[rows])]
+        delta = ll0 - float(lls[best])
+        stat[i] = max(2.0 * delta, 0.0)
+        # RELL centered null of the pairwise statistic (KH-style)
+        dsite = sw0 - sw_alts[best]                      # (n_sites,)
+        centered = dsite - dsite.mean()
+        boot = counts @ centered                         # (n_boot,)
+        sh[i] = float((boot < delta).mean())
+    alrt = 1.0 - 0.5 * chi2.sf(stat, df=1)
+    # a negative observed delta (alternative better) is zero support
+    alrt = np.where(stat <= 0.0, 0.0, alrt)
+    sh = np.where(stat <= 0.0, 0.0, sh)
+    return {
+        "edges": edges,
+        "stat": stat,
+        "alrt": np.asarray(alrt),
+        "sh_alrt": np.asarray(sh),
+        "loglik": ll0,
+        "tree": tree,
+    }

@@ -314,10 +314,28 @@ def nni_neighbors(tree: Tree) -> List[Tree]:
     """
     base = {n: list(tree.children[n]) for n in range(tree.n_nodes)}
     out: List[Tree] = []
+    root = tree.root
+    root_bifurcating = len(tree.children[root]) == 2
     for v in range(tree.n_leaves, tree.n_nodes):
-        if v == tree.root:
+        if v == root:
             continue
         u = int(tree.parent[v])
+        if u == root and root_bifurcating:
+            # A bifurcating root fuses its two child edges into ONE
+            # unrooted edge: swapping v's child with the WHOLE sibling is
+            # a no-op re-rooting (verified: RF 0). The real NNI exchanges
+            # a child of v with a child of the sibling. Emit it once (for
+            # the lower-id internal side).
+            (s,) = [k for k in tree.children[u] if k != v]
+            if s < tree.n_leaves or s < v:
+                continue   # pendant root edge, or already emitted via s
+            for c in tree.children[v]:
+                for c2 in tree.children[s]:
+                    cm = {n: list(k) for n, k in base.items()}
+                    cm[v] = [c2 if k == c else k for k in cm[v]]
+                    cm[s] = [c if k == c2 else k for k in cm[s]]
+                    out.append(_rebuild_with_children(tree, cm))
+            continue
         for s in tree.children[u]:
             if s == v:
                 continue

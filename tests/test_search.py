@@ -1,5 +1,6 @@
 """Tree-search building blocks: NNI neighborhoods + batched scoring +
 bootstrap resampling."""
+import jax
 import numpy as np
 import pytest
 
@@ -8,7 +9,12 @@ from phylo_utils_tpu.batched import TopologySetEngine
 from phylo_utils_tpu.io import parse_newick, write_newick
 from phylo_utils_tpu.likelihood import LikelihoodEngine
 from phylo_utils_tpu.simulate import simulate_alignment
-from phylo_utils_tpu.trees import nni_neighbors, random_tree
+from phylo_utils_tpu.batched import nni_hill_climb
+from phylo_utils_tpu.trees import (
+    nni_neighbors,
+    random_tree,
+    robinson_foulds,
+)
 
 
 def test_nni_preserves_taxa_and_lengths():
@@ -185,3 +191,54 @@ def test_reroot_pulley_invariance_and_midpoint():
         for a, b in combinations(range(tree.n_leaves), 2)
     )
     assert depths[-1] == pytest.approx(diam / 2, abs=1e-9)
+
+
+def test_nni_covers_root_edge():
+    """Regression: with a bifurcating root, NNI across the fused root
+    edge must produce genuinely different topologies (it used to emit
+    no-op re-rootings), and hill climbing must be able to fix a
+    root-edge-wrong start tree."""
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import nni_neighbors
+
+    truth = parse_newick(
+        "((a:0.15,b:0.15):0.15,((c:0.15,d:0.15):0.15,e:0.3):0.05);"
+    )
+    for n in nni_neighbors(truth):
+        assert robinson_foulds(truth, n) > 0
+    # start tree wrong ONLY across the root edge: c swapped with b
+    start = parse_newick(
+        "((a:0.15,c:0.15):0.15,((b:0.15,d:0.15):0.15,e:0.3):0.05);"
+    )
+    aln = simulate_alignment(jax.random.key(8), truth, models.HKY85, 500,
+                             params={"kappa": 3.0})
+    best_tree, best_ll, _ = nni_hill_climb(start, aln, models.HKY85,
+                                           max_rounds=4)
+    assert robinson_foulds(best_tree, truth) == 0.0
+
+
+def test_alrt_supports():
+    """aLRT/SH-aLRT: strong edges get ~1.0, a near-zero edge gets low
+    support; one tested edge per unrooted internal edge."""
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.supports import alrt_supports
+
+    tree = parse_newick(
+        "(((a:0.2,b:0.2):0.002,(c:0.2,d:0.2):0.2):0.1,(e:0.3,f:0.3):0.1);"
+    )
+    aln = simulate_alignment(jax.random.key(5), tree, models.HKY85, 800,
+                             params={"kappa": 3.0})
+    out = alrt_supports(tree, aln, models.HKY85, n_boot=400)
+    assert len(out["edges"]) == 3  # n-3 internal edges for 6 taxa
+    by = dict(zip(out["edges"], zip(out["stat"], out["alrt"],
+                                    out["sh_alrt"])))
+    # node 6 = the 0.002 edge; 7 and 8 are well-supported
+    stats = {e: v[0] for e, v in by.items()}
+    weak = min(stats, key=stats.get)
+    assert stats[weak] < 2.0
+    for e, (st, a, s) in by.items():
+        if e == weak:
+            continue
+        assert a > 0.99 and s > 0.95, (e, st, a, s)
