@@ -76,7 +76,10 @@ from phylo_utils_tpu.optimize import (  # noqa: F401
     golden_section,
     newton_branch_length,
 )
-from phylo_utils_tpu.supports import alrt_supports  # noqa: F401
+from phylo_utils_tpu.supports import (  # noqa: F401
+    alrt_supports,
+    bootstrap_tree_support,
+)
 from phylo_utils_tpu.simulate import (  # noqa: F401
     SequenceSimulator,
     simulate_alignment,

@@ -23,7 +23,8 @@ import numpy as np
 
 from phylo_utils_tpu import trees as ptrees
 
-__all__ = ["nni_alternatives_by_edge", "alrt_supports"]
+__all__ = ["nni_alternatives_by_edge", "alrt_supports",
+           "bootstrap_tree_support"]
 
 
 def nni_alternatives_by_edge(tree: ptrees.Tree):
@@ -157,3 +158,102 @@ def alrt_supports(
         "loglik": ll0,
         "tree": tree,
     }
+
+
+def bootstrap_tree_support(
+    tree,
+    alignment,
+    model,
+    n_reps: int = 100,
+    params: Optional[Mapping] = None,
+    seed: int = 0,
+    dtype=None,
+) -> Dict:
+    """Felsenstein bootstrap supports via distance/NJ replicate trees.
+
+    Each replicate resamples alignment columns (a multinomial draw over
+    pattern weights — no data copying), recomputes ALL pairwise ML
+    distances for ALL replicates in one batched Newton program (the
+    (replicate x pair) grid is a single vmap-of-vmap on device), builds
+    the NJ tree per replicate on the host, and counts how often each of
+    ``tree``'s internal edges (as unrooted bipartitions) re-appears.
+
+    Returns ``{"edges": node ids, "support": (E,) fractions,
+    "n_reps": B}``. Classic nonparametric supports — complementary to the
+    likelihood-based ``alrt_supports``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_utils_tpu import io as pio
+    from phylo_utils_tpu.nj import neighbor_joining
+    from phylo_utils_tpu.optimize import newton_branch_length
+
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    ca = (
+        alignment
+        if isinstance(alignment, pio.CompressedAlignment)
+        else pio.compress_patterns(alignment, model.alphabet)
+    )
+    names = list(ca.names)
+    order = [names.index(n) for n in tree.leaf_names]
+    dt = jnp.dtype(dtype) if dtype else jnp.dtype(jnp.result_type(float))
+    eig = model.eigen(params, dtype=dt)
+    partials = jnp.asarray(ca.partials, dt)[np.asarray(order)]
+    w = np.asarray(ca.weights, np.float64)
+    n_sites = int(w.sum())
+    n = partials.shape[0]
+    ii, jj = np.triu_indices(n, k=1)
+
+    rng = np.random.default_rng(seed)
+    wb = rng.multinomial(
+        n_sites, w / w.sum(), size=n_reps
+    ).astype(np.float64)                                  # (B, P)
+
+    @jax.jit
+    def solve_all(partials, wb):
+        def one_rep(wrow):
+            def one(i, j):
+                t, _ = newton_branch_length(
+                    eig, partials[i], partials[j], wrow
+                )
+                return t
+            return jax.vmap(one)(jnp.asarray(ii), jnp.asarray(jj))
+        return jax.vmap(one_rep)(wb)
+
+    ts = np.asarray(solve_all(partials, jnp.asarray(wb, dt)), np.float64)
+
+    # reference bipartitions, keyed by the node whose parent edge they are
+    leaf_names = tree.leaf_names
+    all_names = frozenset(leaf_names)
+    anchor = min(all_names)
+    below: Dict[int, frozenset] = {}
+    edge_split: Dict[int, frozenset] = {}
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            below[node] = frozenset((tree.names[node],))
+            continue
+        s = frozenset().union(*(below[c] for c in kids))
+        below[node] = s
+        if node != tree.root and 1 < len(s) < len(all_names) - 1:
+            edge_split[node] = s if anchor not in s else all_names - s
+    # a bifurcating root's two child edges are ONE unrooted bipartition:
+    # report it once (lower internal id), like alrt_supports
+    rk = tree.children[tree.root]
+    if len(rk) == 2 and all(k in edge_split for k in rk):
+        edge_split.pop(max(rk), None)
+    edges = sorted(edge_split)
+    counts = {e: 0 for e in edges}
+    for b in range(n_reps):
+        d = np.zeros((n, n))
+        d[ii, jj] = ts[b]
+        d[jj, ii] = ts[b]
+        rep = neighbor_joining(d, list(leaf_names))
+        rep_splits = ptrees._splits(rep)
+        for e in edges:
+            if edge_split[e] in rep_splits:
+                counts[e] += 1
+    support = np.asarray([counts[e] / n_reps for e in edges])
+    return {"edges": edges, "support": support, "n_reps": n_reps}

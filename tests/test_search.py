@@ -242,3 +242,26 @@ def test_alrt_supports():
         if e == weak:
             continue
         assert a > 0.99 and s > 0.95, (e, st, a, s)
+
+
+def test_bootstrap_tree_support():
+    """Felsenstein bootstrap supports: strong edges ~1.0, the near-zero
+    edge is uncertain; one entry per unrooted bipartition."""
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.supports import bootstrap_tree_support
+
+    tree = parse_newick(
+        "(((a:0.2,b:0.2):0.002,(c:0.2,d:0.2):0.2):0.1,(e:0.3,f:0.3):0.1);"
+    )
+    aln = simulate_alignment(jax.random.key(5), tree, models.HKY85, 800,
+                             params={"kappa": 3.0})
+    out = bootstrap_tree_support(tree, aln, models.HKY85, n_reps=60,
+                                 params={"kappa": 3.0})
+    assert len(out["edges"]) == 3
+    by = dict(zip(out["edges"], out["support"]))
+    weak = min(by, key=by.get)
+    assert by[weak] < 0.9
+    for e, s in by.items():
+        if e != weak:
+            assert s > 0.9, (e, s)
