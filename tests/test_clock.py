@@ -118,3 +118,24 @@ def test_clock_gradients_flow(small):
     assert np.isfinite(float(np.asarray(g["root_height"])))
     assert np.all(np.isfinite(np.asarray(g["height_fractions"])))
     assert np.asarray(g["height_fractions"]).shape == (ce.n_internal - 1,)
+
+
+def test_clock_edge_cases():
+    """2-leaf trees (no fractions), multifurcations, trifurcating-root
+    clock_test df."""
+    t2 = parse_newick("(a:0.1,b:0.2);")
+    ce = ClockEngine(t2, {"a": "ACGTACGT", "b": "ACCTACGA"}, models.JC69)
+    r = fit(ce, max_steps=30, patience=8)
+    assert np.isfinite(r.loglik)
+    assert float(r.params["root_height"]) > 0
+
+    tm = parse_newick("((a:0.1,b:0.1,c:0.1):0.05,(d:0.15,e:0.15):0.0);")
+    alnm = {n: "ACGTACGTGG" for n in "abcde"}
+    cem = ClockEngine(tm, alnm, models.JC69)
+    assert np.isfinite(cem.loglikelihood())
+
+    t3 = parse_newick("(a:0.1,b:0.2,(c:0.3,d:0.1):0.2);")
+    aln = {"a": "ACGTACGTGG", "b": "ACGTTGCAGG",
+           "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
+    out = clock_test(t3, aln, models.JC69, max_steps=25, patience=6)
+    assert out["df"] >= 1 and np.isfinite(out["lrt"]["pvalue"])

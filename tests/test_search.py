@@ -265,3 +265,21 @@ def test_bootstrap_tree_support():
     for e, s in by.items():
         if e != weak:
             assert s > 0.9, (e, s)
+
+
+def test_reroot_trifurcating_root():
+    """Rerooting an unrooted-convention (trifurcating-root) tree keeps
+    topology and reversible-model logL."""
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+    from phylo_utils_tpu.trees import midpoint_root, reroot
+
+    t3 = parse_newick("(a:0.1,b:0.2,(c:0.3,d:0.1):0.2);")
+    aln = {"a": "ACGTACGTGG", "b": "ACGTTGCAGG",
+           "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
+    base = LikelihoodEngine(t3, aln, models.HKY85).loglikelihood()
+    for node in (0, 2, t3.n_leaves):
+        rt = reroot(t3, node, 0.4)
+        assert robinson_foulds(t3, rt) == 0.0
+        ll = LikelihoodEngine(rt, aln, models.HKY85).loglikelihood()
+        assert ll == pytest.approx(base, abs=1e-7)
+    assert robinson_foulds(t3, midpoint_root(t3)) == 0.0
