@@ -37,6 +37,7 @@ __all__ = [
     "untransform_params",
     "fit",
     "FitResult",
+    "standard_errors",
     "newton_branch_length",
     "ml_distance_matrix",
     "brent_minimize",
@@ -419,6 +420,74 @@ def _branch_lnl_derivs(
     d1 = f1 / f
     d2 = f2 / f - d1 * d1
     return lnl, jnp.sum(weights * d1), jnp.sum(weights * d2)
+
+
+def standard_errors(
+    engine,
+    params: Mapping,
+    free: Optional[Tuple[str, ...]] = None,
+) -> Dict:
+    """Asymptotic standard errors of MLEs from the observed Fisher
+    information (the exact Hessian of logL via ``jax.hessian`` — the
+    reference/codeml report these from numerical second differences).
+
+    ``params`` should be the fitted MLEs (e.g. ``FitResult.params``);
+    ``free`` selects which parameters the information matrix covers
+    (same semantics as ``fit``, dotted names included). The Hessian is
+    taken in the CONSTRAINED space directly. Entries whose curvature is
+    not positive (parameter at a boundary, flat direction) get ``nan``.
+    Confounded directions (e.g. a rooted binary tree's two root-child
+    edges, where only the sum is identifiable) are resolved by the
+    pseudo-inverse: the reported per-element SEs are the minimum-norm
+    ones, and the IDENTIFIABLE combination's variance is split across
+    the confounded elements.
+
+    Returns a PyTree shaped like the free parameters with per-element
+    standard errors.
+    """
+    base = engine._full_params(params)
+    if free is None:
+        free = tuple(base.keys())
+    frozen, point = _split_free(base, free)
+    lp, w = engine._leaf_partials, engine._weights
+
+    def negll(p):
+        full = _merge_params(frozen, p)
+        total, _ = engine._loglik_fn(full, lp, w)
+        return -total.astype(jnp.result_type(float))
+
+    point = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.result_type(float)), point
+    )
+    hess = jax.hessian(negll)(point)
+    # flatten the PyTree-of-PyTrees Hessian into a dense matrix
+    leaves, treedef = jax.tree.flatten(point)
+    sizes = [int(np.size(x)) for x in leaves]
+    n = sum(sizes)
+    rows = []
+    hrows = jax.tree.leaves(hess)
+    # jax.hessian returns tree(tree(...)): leaves in row-major block order
+    idx = 0
+    blocks = [[None] * len(leaves) for _ in range(len(leaves))]
+    for i in range(len(leaves)):
+        for j in range(len(leaves)):
+            blk = np.asarray(hrows[idx], np.float64)
+            blocks[i][j] = blk.reshape(sizes[i], sizes[j])
+            idx += 1
+    h = np.block(blocks)
+    # covariance = inverse information; guard singulars with pinv
+    cov = np.linalg.pinv(0.5 * (h + h.T))
+    var = np.diag(cov).copy()
+    var[var <= 0] = np.nan
+    se_flat = np.sqrt(var)
+    out_leaves = []
+    off = 0
+    for x, sz in zip(leaves, sizes):
+        out_leaves.append(
+            np.asarray(se_flat[off:off + sz]).reshape(np.shape(x))
+        )
+        off += sz
+    return jax.tree.unflatten(treedef, out_leaves)
 
 
 def newton_branch_length(

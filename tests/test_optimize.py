@@ -1,6 +1,7 @@
 """Optimization layer: reparameterization, joint fit, Newton branch lengths,
 1-D safeguarded minimizers (reference optimisation.py parity, SURVEY.md §2).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -247,3 +248,37 @@ def test_fit_dotted_free_keys():
         fit(eng, free=("kapa",), max_steps=1)
     with pytest.raises(ValueError, match="both whole"):
         fit(eng, free=("shared", "shared.kappa"), max_steps=1)
+
+
+def test_standard_errors_match_parametric_bootstrap():
+    """Fisher-information SEs (exact Hessian) track parametric-bootstrap
+    SEs for kappa and pendant branch lengths; the unused root entry is
+    nan."""
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.optimize import standard_errors
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    truth = parse_newick("((a:0.12,b:0.18):0.1,(c:0.25,d:0.08):0.15);")
+    aln = simulate_alignment(jax.random.key(0), truth, models.K80, 500,
+                             params={"kappa": 3.0})
+    eng = LikelihoodEngine(truth, aln, models.K80)
+    res = fit(eng, max_steps=250, patience=25)
+    se = standard_errors(eng, res.params, free=("branch_lengths", "model"))
+    se_k = float(np.asarray(se["model"]["kappa"]))
+    se_bl = np.asarray(se["branch_lengths"])
+    assert np.isnan(se_bl[-1])          # root entry: no curvature
+    assert np.all(se_bl[:4] > 0)
+
+    ks, bls = [], []
+    for r in range(12):
+        a2 = simulate_alignment(jax.random.key(100 + r), truth,
+                                models.K80, 500, params={"kappa": 3.0})
+        r2 = fit(LikelihoodEngine(truth, a2, models.K80),
+                 max_steps=150, patience=15)
+        ks.append(float(np.asarray(r2.params["model"]["kappa"])))
+        bls.append(np.asarray(r2.params["branch_lengths"]))
+    boot_k = np.std(ks)
+    boot_bl = np.std(np.stack(bls), axis=0)
+    assert 0.4 < se_k / boot_k < 2.5
+    for i in range(4):                  # pendant branches: identifiable
+        assert 0.4 < se_bl[i] / boot_bl[i] < 2.5, (i, se_bl[i], boot_bl[i])
