@@ -83,6 +83,7 @@ from phylo_utils_tpu.supports import (  # noqa: F401
 from phylo_utils_tpu.simulate import (  # noqa: F401
     SequenceSimulator,
     simulate_alignment,
+    simulate_branch_alignment,
     simulate_mixture_alignment,
 )
 from phylo_utils_tpu.mixtures import (  # noqa: F401

@@ -31,6 +31,7 @@ __all__ = [
     "simulate_states",
     "simulate_alignment",
     "simulate_mixture_alignment",
+    "simulate_branch_alignment",
     "SequenceSimulator",
 ]
 
@@ -234,3 +235,78 @@ class SequenceSimulator:
             sub, self.tree, self.model, n_sites, self.params, self.ncat,
             self.pinv, self.median,
         )
+
+
+def simulate_branch_alignment(
+    key: jax.Array,
+    tree: Union[ptrees.Tree, str],
+    model: Model,
+    branch_classes,
+    class_params,
+    n_sites: int,
+    shared: Optional[Mapping] = None,
+) -> Dict[str, str]:
+    """Simulate under PER-EDGE-CLASS models (the BranchModelEngine dual).
+
+    ``branch_classes``: (n_nodes,) class of each node's parent edge (see
+    ``branch_models.mark_branches``/``mark_clade``); ``class_params``:
+    one model-parameter dict per class; ``shared``: parameters common to
+    all classes. Single rate category (compose site classes by
+    concatenating calls — see tests for a branch-site power analysis).
+    """
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    cls = np.asarray(branch_classes, np.int32)
+    if cls.shape != (tree.n_nodes,):
+        raise ValueError("branch_classes must have one entry per node")
+    n_classes = int(cls.max()) + 1
+    if len(class_params) < n_classes:
+        raise ValueError("class_params shorter than the class id range")
+    eigs = []
+    for c in range(n_classes):
+        p = dict(model.defaults(None))
+        p.update({k: jnp.asarray(v) for k, v in (shared or {}).items()})
+        p.update({k: jnp.asarray(v) for k, v in class_params[c].items()})
+        eigs.append(model.eigen(p))
+    # root states from the ROOT class's stationary distribution (matches
+    # BranchModelEngine's root-frequency convention)
+    root_freqs = eigs[int(cls[tree.root])].freqs
+    dtype = root_freqs.dtype
+    k_root, k_walk = jax.random.split(key, 2)
+    root_states = jax.random.categorical(
+        k_root, jnp.log(root_freqs)[None, :], shape=(n_sites,)
+    ).astype(jnp.int32)
+
+    nodes, parents = _preorder_arrays(tree)
+    lengths = jnp.asarray(tree.lengths, dtype)
+    # P per node under ITS class: (n_nodes, S, S), stacked from per-class
+    p_by_class = jnp.stack([
+        transition_matrices(e, lengths) for e in eigs
+    ])                                                  # (C, n_nodes, S, S)
+    p = p_by_class[jnp.asarray(cls), jnp.arange(tree.n_nodes)]
+
+    states0 = jnp.zeros((tree.n_nodes, n_sites), jnp.int32)
+    states0 = states0.at[tree.root].set(root_states)
+    keys = jax.random.split(k_walk, nodes.shape[0])
+
+    def step(states, xs):
+        node, parent, kk = xs
+        rows = p[node][states[parent], :]               # (n_sites, S)
+        logits = jnp.log(jnp.clip(rows, 1e-30, None))
+        child = jax.random.categorical(kk, logits).astype(jnp.int32)
+        return states.at[node].set(child), None
+
+    states, _ = jax.lax.scan(
+        step, states0, (jnp.asarray(nodes), jnp.asarray(parents), keys)
+    )
+    leaf_states = np.asarray(states[: tree.n_leaves])
+    if model.alphabet == "codon":
+        from phylo_utils_tpu.models.codon import CODONS
+
+        chars = np.asarray(CODONS)
+    else:
+        chars = np.asarray(list(get_alphabet(model.alphabet).states))
+    return {
+        name: "".join(chars[leaf_states[i]])
+        for i, name in enumerate(tree.leaf_names)
+    }

@@ -19,6 +19,7 @@ from phylo_utils_tpu import (
     mark_clade,
     models,
 )
+from phylo_utils_tpu.io import encode_codon_alignment, parse_newick
 from phylo_utils_tpu.mixtures import ModelMixtureEngine
 from phylo_utils_tpu.optimize import fit, transform_params, untransform_params
 from phylo_utils_tpu.trees import random_tree
@@ -270,3 +271,55 @@ def test_ancestral_posteriors_flow_through_hook(dna_case):
     n_sites = len(next(iter(aln.values())))
     assert post.shape == (n_internal, n_sites, 4)
     np.testing.assert_allclose(post.sum(axis=-1), 1.0, atol=1e-8)
+
+
+def test_simulate_branch_alignment_two_ratio_recovery():
+    """Data simulated with fg omega=3 / bg omega=0.15: the two-ratio
+    BranchModelEngine recovers both sides of 1."""
+    from phylo_utils_tpu.simulate import simulate_branch_alignment
+
+    tree = parse_newick(
+        "(((a:0.15,b:0.15):0.1,(c:0.15,d:0.15):0.1):0.08,"
+        "(e:0.25,f:0.25):0.08);"
+    )
+    fg = mark_clade(tree, ["e", "f"])
+    aln = simulate_branch_alignment(
+        jax.random.key(0), tree, models.GY94, fg,
+        class_params=[{"omega": 0.15}, {"omega": 3.0}],
+        shared={"kappa": 2.5}, n_sites=400,
+    )
+    ca = encode_codon_alignment(aln)
+    be = BranchModelEngine(tree, ca, models.GY94, fg,
+                           class_params=[{"omega": 0.5}, {"omega": 1.0}])
+    res = fit(be, free=("branch_lengths", "classes", "shared"),
+              max_steps=120, patience=15)
+    om = np.asarray(res.params["classes"]["omega"])
+    assert om[0] < 0.5 and om[1] > 1.5
+
+
+def test_branch_site_test_power():
+    """Branch-site Model A rejects on data with foreground-only positive
+    selection (site x branch interaction the site/branch models alone
+    cannot express)."""
+    from phylo_utils_tpu.branch_models import branch_site_test
+    from phylo_utils_tpu.simulate import (
+        simulate_alignment,
+        simulate_branch_alignment,
+    )
+
+    tree = parse_newick(
+        "(((a:0.15,b:0.15):0.1,(c:0.15,d:0.15):0.1):0.08,"
+        "(e:0.4,f:0.4):0.15);"
+    )
+    fg = mark_clade(tree, ["e", "f"])
+    neutral = simulate_alignment(jax.random.key(1), tree, models.GY94, 200,
+                                 params={"omega": 0.05, "kappa": 2.5})
+    pos_fg = simulate_branch_alignment(
+        jax.random.key(2), tree, models.GY94, fg,
+        class_params=[{"omega": 0.05}, {"omega": 10.0}],
+        shared={"kappa": 2.5}, n_sites=300,
+    )
+    ca = encode_codon_alignment({n: neutral[n] + pos_fg[n] for n in neutral})
+    out = branch_site_test(tree, ca, fg, max_steps=200)
+    assert out["lrt"]["pvalue"] < 1e-3
+    assert 1.0 + float(out["alt"].params["omega2_delta"]) > 2.0
