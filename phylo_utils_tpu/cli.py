@@ -148,17 +148,29 @@ def cmd_fit(args) -> int:
         resume_from=resume_from,
     )
     logger.close()
+    se = None
+    if args.se:
+        from phylo_utils_tpu.optimize import standard_errors
+
+        free_t = tuple(args.free.split(",")) if args.free else None
+        se = jax.tree.map(
+            lambda x: np.asarray(x).tolist(),
+            standard_errors(engine, res.params, free=free_t),
+        )
     if args.checkpoint and not args.checkpoint_every:
         # legacy final-params checkpoint (resumable full state is written
         # periodically by fit() when --checkpoint-every is given)
         save_checkpoint(args.checkpoint, res.params, step=res.n_steps,
                         extra={"loglik": res.loglik})
-    print(json.dumps({
+    out = {
         "loglik": res.loglik,
         "n_steps": res.n_steps,
         "converged": res.converged,
         "params": jax.tree.map(lambda x: np.asarray(x).tolist(), res.params),
-    }))
+    }
+    if se is not None:
+        out["standard_errors"] = se
+    print(json.dumps(out))
     return 0
 
 
@@ -573,6 +585,8 @@ def main(argv=None) -> int:
     p.add_argument("--resume", help="resume from checkpoint (full-state "
                    "checkpoints resume bit-exactly incl. optimizer state)")
     p.add_argument("--metrics", help="JSONL metrics path")
+    p.add_argument("--se", action="store_true",
+                   help="report asymptotic standard errors (exact Hessian)")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_fit)
 

@@ -475,10 +475,17 @@ def standard_errors(
             blocks[i][j] = blk.reshape(sizes[i], sizes[j])
             idx += 1
     h = np.block(blocks)
-    # covariance = inverse information; guard singulars with pinv
-    cov = np.linalg.pinv(0.5 * (h + h.T))
-    var = np.diag(cov).copy()
-    var[var <= 0] = np.nan
+    h = 0.5 * (h + h.T)
+    # parameters at a boundary can yield non-finite second derivatives:
+    # drop those rows/cols from the information matrix (their SE is nan)
+    finite = np.isfinite(h).all(axis=0) & np.isfinite(h).all(axis=1)
+    var = np.full(n, np.nan)
+    if finite.any():
+        sub = h[np.ix_(finite, finite)]
+        cov = np.linalg.pinv(sub)
+        v = np.diag(cov).copy()
+        v[v <= 0] = np.nan
+        var[finite] = v
     se_flat = np.sqrt(var)
     out_leaves = []
     off = 0
