@@ -304,8 +304,12 @@ def fit(
     # Bookkeeping invariant: step() returns the loss of the raw it was
     # GIVEN, so each recorded (ll, raw) pair must use the pre-step raw.
     # In chunked mode only the chunk-start and chunk-end evaluations have
-    # a retained raw; intermediate step values feed the trace/patience
-    # counters but cannot win `best_raw`.
+    # a retained raw. Two separate trackers: `best_trace` (any step value;
+    # drives patience/convergence) and `best_ret` (best RETAINED
+    # candidate; drives the returned params) — letting unretained values
+    # raise a single shared `best` used to ratchet best_raw would block
+    # the chunk-end candidates forever (chunked fits then returned their
+    # STARTING params).
     raw = raw0
     n = 0
     if resume_from:
@@ -316,7 +320,8 @@ def fit(
         )
         raw, opt_state = state["raw"], state["opt_state"]
     trace = []
-    best = -np.inf
+    best_trace = -np.inf
+    best_ret = -np.inf
     best_raw = raw
     since_best = 0
     last_ckpt = n
@@ -342,27 +347,24 @@ def fit(
                 raw, opt_state, data_lp, data_w
             )
             lls = [-float(x) for x in np.asarray(losses)]
-            candidates = {0: raw_start}
-            end_ll = -float(end_loss)
+            retained = [(lls[0], raw_start), (-float(end_loss), raw)]
         else:
             raw_start = raw
             raw, opt_state, loss = step(raw, opt_state, data_lp, data_w)
             lls = [-float(loss)]
-            candidates = {0: raw_start}
-            end_ll = None
-        for i, ll in enumerate(lls):
+            retained = [(lls[0], raw_start)]
+        for ll in lls:
             n += 1
             trace.append(ll)
             if callback is not None:
                 callback(n, ll, untransform_params(raw))
-            if ll > best + tol:
-                best, since_best = ll, 0
-                if i in candidates:
-                    best_raw = candidates[i]
+            if ll > best_trace + tol:
+                best_trace, since_best = ll, 0
             else:
                 since_best += 1
-        if end_ll is not None and end_ll > best + tol:
-            best, since_best, best_raw = end_ll, 0, raw
+        for ll, r in retained:
+            if ll > best_ret:
+                best_ret, best_raw = ll, r
         _maybe_checkpoint(raw, opt_state, n)
         if since_best >= patience:
             break
@@ -374,8 +376,8 @@ def fit(
     if steps_per_call == 1:
         cand = _merge_params(frozen, untransform_params(raw))
         final_candidate_ll = engine.loglikelihood(cand)
-        if final_candidate_ll > best:
-            best, best_raw = final_candidate_ll, raw
+        if final_candidate_ll > best_ret:
+            best_ret, best_raw = final_candidate_ll, raw
     converged = since_best >= patience
     params = _merge_params(frozen, untransform_params(best_raw))
     # Report the logL OF THE RETURNED PARAMS (re-evaluated), never a value

@@ -282,3 +282,24 @@ def test_standard_errors_match_parametric_bootstrap():
     assert 0.4 < se_k / boot_k < 2.5
     for i in range(4):                  # pendant branches: identifiable
         assert 0.4 < se_bl[i] / boot_bl[i] < 2.5, (i, se_bl[i], boot_bl[i])
+
+
+def test_chunked_fit_returns_optimized_params_f32():
+    """Regression: chunked fits (steps_per_call>1) on an f32 engine used
+    to return the STARTING params — intra-chunk loss values (with no
+    retained raw) ratcheted `best` past every retained candidate."""
+    import jax
+
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    tree = parse_newick("((a:0.12,b:0.18):0.1,(c:0.25,d:0.08):0.15);")
+    aln = simulate_alignment(jax.random.key(1), tree, models.K80, 400,
+                             params={"kappa": 3.0})
+    eng = LikelihoodEngine(tree, aln, models.K80, dtype="float32")
+    res1 = fit(eng, max_steps=150)
+    res10 = fit(eng, max_steps=150, steps_per_call=10)
+    assert res10.loglik == pytest.approx(res1.loglik, abs=0.5)
+    # and decisively better than the start
+    start_ll = eng.loglikelihood()
+    assert res10.loglik > start_ll + 1.0
