@@ -383,16 +383,21 @@ def parse_newick_forest(path_or_text: str):
 
 
 def encode_codon_alignment(
-    sequences: Dict[str, str], dtype=np.float64
+    sequences: Dict[str, str], dtype=np.float64, code: str = "standard"
 ) -> CompressedAlignment:
-    """Nucleotide alignment -> codon-state (61) compressed partials.
+    """Nucleotide alignment -> codon-state compressed partials (61 sense
+    codons for the standard genetic ``code``; see
+    ``models.codon.GENETIC_CODES`` for alternatives, e.g.
+    ``"vertebrate_mito"`` with 60).
 
     Sequence lengths must be divisible by 3. IUPAC ambiguity propagates:
     a codon is compatible with a state iff every position's nucleotide set
     contains that codon's base (gaps/N make the whole position ambiguous).
     """
     from phylo_utils_tpu.alphabets import get_alphabet, _charmap_table
-    from phylo_utils_tpu.models.codon import CODONS
+    from phylo_utils_tpu.models.codon import code_tables
+
+    CODONS = code_tables(code)[0]
 
     names = list(sequences.keys())
     lengths = {len(s) for s in sequences.values()}

@@ -10,6 +10,7 @@ unchanged; 61 states pad to 64 sublanes in the Pallas kernel.
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Dict, List, Tuple
 
@@ -21,11 +22,15 @@ from phylo_utils_tpu.models.base import Model
 __all__ = [
     "CODONS",
     "CODON_TO_AA",
+    "GENETIC_CODES",
     "GY94",
     "MG94",
+    "code_tables",
     "codon_index",
     "empirical_codon_frequencies",
     "f3x4_frequencies",
+    "make_gy94",
+    "make_mg94",
 ]
 
 _BASES = "TCAG"
@@ -37,34 +42,71 @@ _CODE = (
     "VVVVAAAADDEEGGGG"
 )
 
-_ALL = ["".join(c) for c in itertools.product(_BASES, repeat=3)]
-CODONS: Tuple[str, ...] = tuple(
-    c for c, aa in zip(_ALL, _CODE) if aa != "*"
-)  # 61 sense codons
-CODON_TO_AA: Dict[str, str] = {
-    c: aa for c, aa in zip(_ALL, _CODE) if aa != "*"
-}
-_INDEX = {c: i for i, c in enumerate(CODONS)}
 
+def _mito_code() -> str:
+    """NCBI transl_table=2 (vertebrate mitochondrial): AGA/AGG -> stop,
+    ATA -> M, TGA -> W relative to the standard code."""
+    rank = {b: i for i, b in enumerate(_BASES)}
+
+    def idx(codon):
+        return 16 * rank[codon[0]] + 4 * rank[codon[1]] + rank[codon[2]]
+
+    c = list(_CODE)
+    c[idx("AGA")] = "*"
+    c[idx("AGG")] = "*"
+    c[idx("ATA")] = "M"
+    c[idx("TGA")] = "W"
+    return "".join(c)
+
+
+GENETIC_CODES: Dict[str, str] = {
+    "standard": _CODE,
+    "vertebrate_mito": _mito_code(),
+}
+
+_ALL = ["".join(c) for c in itertools.product(_BASES, repeat=3)]
 _TRANSITIONS = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
 
 
-def codon_index(codon: str) -> int:
+def _code_string(code: str) -> str:
+    try:
+        return GENETIC_CODES[code]
+    except KeyError:
+        raise ValueError(
+            f"unknown genetic code {code!r}; "
+            f"available: {sorted(GENETIC_CODES)}"
+        ) from None
+
+
+@functools.lru_cache(maxsize=None)
+def code_tables(code: str = "standard"):
+    """Per-genetic-code constants: (codons, codon_to_aa, index dict)."""
+    cs = _code_string(code)
+    codons = tuple(c for c, aa in zip(_ALL, cs) if aa != "*")
+    to_aa = {c: aa for c, aa in zip(_ALL, cs) if aa != "*"}
+    return codons, to_aa, {c: i for i, c in enumerate(codons)}
+
+
+CODONS, CODON_TO_AA, _INDEX = code_tables("standard")
+
+
+def codon_index(codon: str, code: str = "standard") -> int:
     """Index of a sense codon in the model's state order (raises on stops)."""
-    return _INDEX[codon.upper().replace("U", "T")]
+    return code_tables(code)[2][codon.upper().replace("U", "T")]
 
 
-def _build_structure() -> Tuple[np.ndarray, np.ndarray]:
-    """(is_single_diff_transition, is_single_diff) masks and nonsyn mask,
-    packed as: ts_mask (61,61), nonsyn_mask (61,61); entries are only
-    meaningful where codons differ at exactly one position (else both 0 and
-    the pair's rate is 0)."""
-    n = len(CODONS)
+@functools.lru_cache(maxsize=None)
+def _build_structure(code: str = "standard"):
+    """(single, ts, nonsyn) masks over the code's sense codons; entries are
+    only meaningful where codons differ at exactly one position (else all 0
+    and the pair's rate is 0)."""
+    codons, to_aa, _ = code_tables(code)
+    n = len(codons)
     single = np.zeros((n, n), dtype=np.float64)
     ts = np.zeros((n, n), dtype=np.float64)
     nonsyn = np.zeros((n, n), dtype=np.float64)
-    for i, ci in enumerate(CODONS):
-        for j, cj in enumerate(CODONS):
+    for i, ci in enumerate(codons):
+        for j, cj in enumerate(codons):
             if i == j:
                 continue
             diffs = [(a, b) for a, b in zip(ci, cj) if a != b]
@@ -73,33 +115,36 @@ def _build_structure() -> Tuple[np.ndarray, np.ndarray]:
             single[i, j] = 1.0
             if diffs[0] in _TRANSITIONS:
                 ts[i, j] = 1.0
-            if CODON_TO_AA[ci] != CODON_TO_AA[cj]:
+            if to_aa[ci] != to_aa[cj]:
                 nonsyn[i, j] = 1.0
     return single, ts, nonsyn
 
 
-_SINGLE, _TS, _NONSYN = _build_structure()
+_SINGLE, _TS, _NONSYN = _build_structure("standard")
 
 
-def f3x4_frequencies(nuc_freqs_by_position) -> np.ndarray:
+def f3x4_frequencies(nuc_freqs_by_position, code: str = "standard"
+                     ) -> np.ndarray:
     """F3x4 codon frequencies from per-position nucleotide frequencies.
 
     ``nuc_freqs_by_position``: (3, 4) array in A,C,G,T order per position.
-    Stop codons are excluded and the result renormalized.
+    Stop codons (of the chosen genetic ``code``) are excluded and the
+    result renormalized.
     """
     f = np.asarray(nuc_freqs_by_position, dtype=np.float64)
     if f.shape != (3, 4):
         raise ValueError("expected (3, 4) per-position A,C,G,T frequencies")
+    codons = code_tables(code)[0]
     order = {"A": 0, "C": 1, "G": 2, "T": 3}
     out = np.array([
         f[0][order[c[0]]] * f[1][order[c[1]]] * f[2][order[c[2]]]
-        for c in CODONS
+        for c in codons
     ])
     return out / out.sum()
 
 
 def empirical_codon_frequencies(
-    sequences: Dict[str, str], method: str = "f3x4"
+    sequences: Dict[str, str], method: str = "f3x4", code: str = "standard"
 ) -> np.ndarray:
     """Observed codon frequencies from an in-frame nucleotide alignment.
 
@@ -123,17 +168,17 @@ def empirical_codon_frequencies(
     ])
     if chars.size % 3:
         raise ValueError("sequence lengths must be divisible by 3")
-    # nucleotide code: A,C,G,T -> 0..3, everything else -> 4 (ignored)
-    code = np.full(256, 4, np.int8)
+    # nucleotide lookup: A,C,G,T -> 0..3, everything else -> 4 (ignored)
+    lut = np.full(256, 4, np.int8)
     for i, b in enumerate(b"ACGT"):
-        code[b] = i
-    nuc = code[chars].reshape(-1, 3)                  # (total_codons, 3)
+        lut[b] = i
+    nuc = lut[chars].reshape(-1, 3)                   # (total_codons, 3)
     if method == "f1x4":
         counts = np.bincount(nuc[nuc < 4], minlength=4).astype(np.float64)
         if counts.sum() == 0:
             raise ValueError("no unambiguous nucleotides in alignment")
         by_pos = np.tile(counts / counts.sum(), (3, 1))
-        return f3x4_frequencies(by_pos)
+        return f3x4_frequencies(by_pos, code)
     if method == "f3x4":
         by_pos = np.zeros((3, 4))
         for p in range(3):
@@ -144,7 +189,7 @@ def empirical_codon_frequencies(
                     f"no unambiguous nucleotides at codon position {p + 1}"
                 )
             by_pos[p] /= by_pos[p].sum()
-        return f3x4_frequencies(by_pos)
+        return f3x4_frequencies(by_pos, code)
     if method == "f61":
         valid = (nuc < 4).all(axis=1)
         # base-4 codon key over TCAG order to match CODONS indexing
@@ -155,34 +200,60 @@ def empirical_codon_frequencies(
             + tcag[nuc[valid, 2]]
         )
         all64 = np.bincount(key, minlength=64).astype(np.float64)
-        sense = np.array([_ALL.index(c) for c in CODONS])
+        sense = np.array([_ALL.index(c) for c in code_tables(code)[0]])
         counts = all64[sense] + 0.5   # pseudocount: keep Q irreducible
         return counts / counts.sum()
     raise ValueError(f"unknown method {method!r}; use f1x4|f3x4|f61")
 
 
-def _gy94_build(kappa, omega, freqs):
-    kappa = jnp.asarray(kappa)
-    omega = jnp.asarray(omega)
-    freqs = jnp.asarray(freqs)
-    dtype = jnp.result_type(kappa, omega, freqs)
-    single = jnp.asarray(_SINGLE, dtype)
-    ts = jnp.asarray(_TS, dtype)
-    nonsyn = jnp.asarray(_NONSYN, dtype)
-    sym = single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn)
-    return sym.astype(dtype), freqs.astype(dtype)
+def _make_gy94_build(code: str):
+    single_np, ts_np, nonsyn_np = _build_structure(code)
+
+    def _gy94_build(kappa, omega, freqs):
+        kappa = jnp.asarray(kappa)
+        omega = jnp.asarray(omega)
+        freqs = jnp.asarray(freqs)
+        dtype = jnp.result_type(kappa, omega, freqs)
+        single = jnp.asarray(single_np, dtype)
+        ts = jnp.asarray(ts_np, dtype)
+        nonsyn = jnp.asarray(nonsyn_np, dtype)
+        sym = single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn)
+        return sym.astype(dtype), freqs.astype(dtype)
+
+    return _gy94_build
 
 
-def _build_target_structure():
-    """(3, 61, 61) one-hot: slot [p, i, j] = 1 iff codons i,j differ only
-    at position p; and (3, 61, 61) int index of j's nucleotide at that
-    position (A,C,G,T order), 0 where not a single-diff pair."""
-    n = len(CODONS)
+@functools.lru_cache(maxsize=None)
+def make_gy94(code: str = "standard") -> Model:
+    """GY94 over an alternative genetic code (see ``GENETIC_CODES``)."""
+    codons = code_tables(code)[0]
+    n = len(codons)
+    return Model(
+        f"GY94[{code}]" if code != "standard" else "GY94",
+        n,
+        "codon" if code == "standard" else f"codon:{code}",
+        {
+            "kappa": 2.0,
+            "omega": 1.0,
+            "freqs": tuple(np.full(n, 1.0 / n).tolist()),
+        },
+        _make_gy94_build(code),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_target_structure(code: str = "standard"):
+    """(3, n, n) one-hot: slot [p, i, j] = 1 iff codons i,j differ only
+    at position p; and (3, n, n) int index of j's nucleotide at that
+    position (A,C,G,T order), 0 where not a single-diff pair. Plus the
+    per-codon position-nucleotide index (3, n)."""
+    codons = code_tables(code)[0]
+    n = len(codons)
     order = {"A": 0, "C": 1, "G": 2, "T": 3}
     pos_mask = np.zeros((3, n, n))
     tgt = np.zeros((3, n, n), np.int32)
-    for i, ci in enumerate(CODONS):
-        for j, cj in enumerate(CODONS):
+    for i, ci in enumerate(codons):
+        for j, cj in enumerate(codons):
             if i == j:
                 continue
             diffs = [p for p in range(3) if ci[p] != cj[p]]
@@ -191,76 +262,74 @@ def _build_target_structure():
             p = diffs[0]
             pos_mask[p, i, j] = 1.0
             tgt[p, i, j] = order[cj[p]]
-    return pos_mask, tgt
+    codon_nuc = np.array(
+        [[order[c[p]] for c in codons] for p in range(3)], np.int32
+    )
+    return pos_mask, tgt, codon_nuc
 
 
-_POS_MASK, _TGT = _build_target_structure()
-# per-codon position-nucleotide index: _CODON_NUC[p, i] = nucleotide of
-# codon i at position p (A,C,G,T order)
-_CODON_NUC = np.array(
-    [[{"A": 0, "C": 1, "G": 2, "T": 3}[c[p]] for c in CODONS]
-     for p in range(3)],
-    np.int32,
-)
+_POS_MASK, _TGT, _CODON_NUC = _build_target_structure("standard")
 
 
-def _mg94_build(kappa, omega, nuc_freqs):
-    """Muse-Gaut (1994) x HKY-style codon model, F3x4 parameterized.
+def _make_mg94_build(code: str):
+    pos_mask, tgt, codon_nuc = _build_target_structure(code)
+    single_np, ts_np, nonsyn_np = _build_structure(code)
 
-    q_ij (single-nucleotide change at position p, to nucleotide b) =
-    kappa^[ts] * omega^[nonsyn] * pi_b^(p); stationary distribution is the
-    F3x4 product over sense codons (detailed balance holds: pi_i q_ij =
-    pi_j q_ji since the product frequencies differ exactly by the changed
-    position's nucleotide ratio). Exposed as (sym, freqs) for the
-    engine's symmetrized-eigh path; sym is symmetrized explicitly to kill
-    float rounding asymmetry.
-    """
-    kappa = jnp.asarray(kappa)
-    omega = jnp.asarray(omega)
-    f = jnp.asarray(nuc_freqs)                      # (3, 4)
-    f = f / jnp.sum(f, axis=1, keepdims=True)
-    dtype = jnp.result_type(kappa, omega, f)
-    # stationary: F3x4 product over sense codons, renormalized
-    pos = jnp.asarray(_CODON_NUC)                   # (3, 61)
-    prod = f[0, pos[0]] * f[1, pos[1]] * f[2, pos[2]]
-    freqs = prod / jnp.sum(prod)
-    # q_ij = ts/nonsyn factors * target-position nucleotide frequency
-    tgt_freq = sum(
-        jnp.asarray(_POS_MASK[p], dtype) * f[p, jnp.asarray(_TGT[p])]
-        for p in range(3)
-    )                                               # (61, 61)
-    single = jnp.asarray(_SINGLE, dtype)
-    ts = jnp.asarray(_TS, dtype)
-    nonsyn = jnp.asarray(_NONSYN, dtype)
-    q_off = single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn) * tgt_freq
-    sym = q_off / jnp.clip(freqs[None, :], 1e-30, None)
-    sym = 0.5 * (sym + sym.T)                       # exact symmetry
-    return sym.astype(dtype), freqs.astype(dtype)
+    def _mg94_build(kappa, omega, nuc_freqs):
+        """Muse-Gaut (1994) x HKY-style codon model, F3x4 parameterized.
 
+        q_ij (single-nucleotide change at position p, to nucleotide b) =
+        kappa^[ts] * omega^[nonsyn] * pi_b^(p); stationary distribution
+        is the F3x4 product over sense codons (detailed balance holds:
+        the product frequencies differ exactly by the changed position's
+        nucleotide ratio). Exposed as (sym, freqs) for the engine's
+        symmetrized-eigh path; sym is symmetrized explicitly to kill
+        float rounding asymmetry.
+        """
+        kappa = jnp.asarray(kappa)
+        omega = jnp.asarray(omega)
+        f = jnp.asarray(nuc_freqs)                  # (3, 4)
+        f = f / jnp.sum(f, axis=1, keepdims=True)
+        dtype = jnp.result_type(kappa, omega, f)
+        pos = jnp.asarray(codon_nuc)                # (3, n)
+        prod = f[0, pos[0]] * f[1, pos[1]] * f[2, pos[2]]
+        freqs = prod / jnp.sum(prod)
+        tgt_freq = sum(
+            jnp.asarray(pos_mask[p], dtype) * f[p, jnp.asarray(tgt[p])]
+            for p in range(3)
+        )                                           # (n, n)
+        single = jnp.asarray(single_np, dtype)
+        ts = jnp.asarray(ts_np, dtype)
+        nonsyn = jnp.asarray(nonsyn_np, dtype)
+        q_off = (single * jnp.power(kappa, ts) * jnp.power(omega, nonsyn)
+                 * tgt_freq)
+        sym = q_off / jnp.clip(freqs[None, :], 1e-30, None)
+        sym = 0.5 * (sym + sym.T)                   # exact symmetry
+        return sym.astype(dtype), freqs.astype(dtype)
 
-MG94 = Model(
-    "MG94",
-    len(CODONS),
-    "codon",
-    {
-        "kappa": 2.0,
-        "omega": 1.0,
-        "nuc_freqs": tuple(
-            tuple(np.full(4, 0.25).tolist()) for _ in range(3)
-        ),
-    },
-    _mg94_build,
-)
+    return _mg94_build
 
 
-GY94 = Model(
-    "GY94",
-    len(CODONS),
-    "codon",
-    {
-        "kappa": 2.0,
-        "omega": 1.0,
-        "freqs": tuple(np.full(len(CODONS), 1.0 / len(CODONS)).tolist()),
-    },
-    _gy94_build,
-)
+@functools.lru_cache(maxsize=None)
+def make_mg94(code: str = "standard") -> Model:
+    """MG94 over an alternative genetic code (see ``GENETIC_CODES``)."""
+    codons = code_tables(code)[0]
+    return Model(
+        f"MG94[{code}]" if code != "standard" else "MG94",
+        len(codons),
+        "codon" if code == "standard" else f"codon:{code}",
+        {
+            "kappa": 2.0,
+            "omega": 1.0,
+            "nuc_freqs": tuple(
+                tuple(np.full(4, 0.25).tolist()) for _ in range(3)
+            ),
+        },
+        _make_mg94_build(code),
+    )
+
+
+MG94 = make_mg94("standard")
+
+
+GY94 = make_gy94("standard")

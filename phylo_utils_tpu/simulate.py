@@ -44,6 +44,17 @@ def _preorder_arrays(tree: ptrees.Tree) -> Tuple[np.ndarray, np.ndarray]:
     return nodes, parents
 
 
+def _state_chars(model) -> np.ndarray:
+    """Per-state output characters (codon states emit 3-char strings)."""
+    if model.alphabet.startswith("codon"):
+        from phylo_utils_tpu.models.codon import code_tables
+
+        code = (model.alphabet.split(":", 1)[1]
+                if ":" in model.alphabet else "standard")
+        return np.asarray(code_tables(code)[0])
+    return np.asarray(list(get_alphabet(model.alphabet).states))
+
+
 def simulate_states(
     key: jax.Array,
     tree: ptrees.Tree,
@@ -148,12 +159,7 @@ def simulate_alignment(
         key, tree, model, n_sites, params, ncat, pinv, median
     )
     leaf_states = np.asarray(states[: tree.n_leaves])
-    if model.alphabet == "codon":
-        from phylo_utils_tpu.models.codon import CODONS
-
-        chars = np.asarray(CODONS)  # 3-char states concatenate to codons
-    else:
-        chars = np.asarray(list(get_alphabet(model.alphabet).states))
+    chars = _state_chars(model)  # codon states emit 3-char strings
     return {
         name: "".join(chars[leaf_states[i]])
         for i, name in enumerate(tree.leaf_names)
@@ -300,12 +306,7 @@ def simulate_branch_alignment(
         step, states0, (jnp.asarray(nodes), jnp.asarray(parents), keys)
     )
     leaf_states = np.asarray(states[: tree.n_leaves])
-    if model.alphabet == "codon":
-        from phylo_utils_tpu.models.codon import CODONS
-
-        chars = np.asarray(CODONS)
-    else:
-        chars = np.asarray(list(get_alphabet(model.alphabet).states))
+    chars = _state_chars(model)
     return {
         name: "".join(chars[leaf_states[i]])
         for i, name in enumerate(tree.leaf_names)

@@ -204,3 +204,51 @@ def test_mg94_matches_oracle_and_detects_structure():
     res = fit(eng, free=("branch_lengths", "model"), max_steps=60,
               patience=12)
     assert 0.2 < float(res.params["model"]["omega"]) < 1.2
+
+
+def test_vertebrate_mito_genetic_code():
+    """GY94/MG94 over the vertebrate mitochondrial code (60 sense codons,
+    TGA=W, ATA=M, AGA/AGG=stop): Q well-formed, simulation emits only
+    sense codons, omega recoverable through the full pipeline."""
+    import numpy as np
+
+    from phylo_utils_tpu.io import encode_codon_alignment
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+    from phylo_utils_tpu.models.base import build_rate_matrix
+    from phylo_utils_tpu.models.codon import (
+        code_tables,
+        make_gy94,
+        make_mg94,
+    )
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    cods, aa, _ = code_tables("vertebrate_mito")
+    assert len(cods) == 60
+    assert aa["TGA"] == "W" and aa["ATA"] == "M"
+    assert "AGA" not in aa and "AGG" not in aa
+
+    GYm = make_gy94("vertebrate_mito")
+    sym, freqs = GYm.build(**GYm.defaults(None))
+    q = np.asarray(build_rate_matrix(sym, freqs))
+    assert abs(q.sum(1)).max() < 1e-12
+    piq = np.asarray(freqs)[:, None] * q
+    np.testing.assert_allclose(piq, piq.T, atol=1e-12)
+
+    tree = random_tree(5, seed=2, mean_brlen=0.3)
+    aln = simulate_alignment(jax.random.key(4), tree, GYm, 300,
+                             params={"omega": 0.5, "kappa": 3.0})
+    joined = "".join(aln.values())
+    seen = {joined[i:i + 3] for i in range(0, len(joined), 3)}
+    assert "AGA" not in seen and "AGG" not in seen and "TGA" in seen
+
+    ca = encode_codon_alignment(aln, code="vertebrate_mito")
+    eng = LikelihoodEngine(tree, ca, GYm)
+    res = fit(eng, free=("branch_lengths", "model"), max_steps=80,
+              patience=12)
+    assert 0.2 < float(np.asarray(res.params["model"]["omega"])) < 1.1
+    assert make_mg94("vertebrate_mito").n_states == 60
+
+    with pytest.raises(ValueError, match="unknown genetic code"):
+        make_gy94("klingon")
