@@ -52,6 +52,28 @@ def _json_params(arg: Optional[str]) -> Optional[Dict]:
     return json.loads(arg) if arg else None
 
 
+def _engine_params(args, engine) -> Optional[Dict]:
+    """--params JSON, plus --empirical-freqs observed '+F' frequencies."""
+    params = _json_params(args.params) or {}
+    if getattr(args, "empirical_freqs", False):
+        if "freqs" not in engine.model.param_defaults:
+            raise SystemExit(
+                f"model {engine.model.name!r} has no 'freqs' parameter"
+            )
+        from phylo_utils_tpu.alphabets import empirical_frequencies
+
+        aln = _read_aln(args.alignment)
+        model_p = dict(params.get("model", {}))
+        model_p.setdefault(
+            "freqs",
+            empirical_frequencies(
+                aln, engine.model.alphabet, pseudocount=0.5
+            ).tolist(),
+        )
+        params["model"] = model_p
+    return params or None
+
+
 def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--tree", required=True, help="newick file or literal")
     p.add_argument("--alignment", required=True, help="FASTA/PHYLIP file")
@@ -63,6 +85,10 @@ def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--invariant-sites", dest="invariant_sites",
                    action="store_true", help="+I mixture")
     p.add_argument("--params", help="JSON params override")
+    p.add_argument("--empirical-freqs", dest="empirical_freqs",
+                   action="store_true",
+                   help="set model equilibrium frequencies from observed "
+                        "character counts (the '+F' convention)")
     p.add_argument("--dtype", default=None, help="float32|float64")
     p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
     p.add_argument("--shard-sites", action="store_true",
@@ -100,7 +126,7 @@ def _build_engine(args):
 
 def cmd_loglik(args) -> int:
     engine = _build_engine(args)
-    params = engine._full_params(_json_params(args.params))
+    params = engine._full_params(_engine_params(args, engine))
     ll = engine.loglikelihood(params)
     out = {"loglik": ll}
     if args.sitewise:
@@ -116,7 +142,7 @@ def cmd_fit(args) -> int:
     from phylo_utils_tpu.utils import MetricsLogger, load_checkpoint, save_checkpoint
 
     engine = _build_engine(args)
-    params0 = _json_params(args.params)
+    params0 = _engine_params(args, engine)
     resume_from = None
     if args.resume:
         # Full-state checkpoints (written by --checkpoint-every) hold

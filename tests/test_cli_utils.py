@@ -304,3 +304,24 @@ def test_cli_branch_site_test(codon_inputs, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["loglik_alt"] >= out["loglik_null"] - 0.5
     assert 0.0 <= out["lrt"]["pvalue"] <= 1.0
+
+
+def test_cli_empirical_freqs(small_inputs, tmp_path, capsys):
+    """--empirical-freqs (+F) fits skewed-composition data better than
+    uniform frequencies."""
+    tree = "((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);"
+    fa = tmp_path / "gc.fa"
+    fa.write_text(
+        ">a\nGGCCGGCCGC\n>b\nGGCCGGCGGC\n>c\nGCCCGGCCGC\n>d\nGGCCGCCCGC\n"
+    )
+    lls = {}
+    for flag in ([], ["--empirical-freqs"]):
+        rc = main(["loglik", "--tree", tree, "--alignment", str(fa),
+                   "--model", "HKY85"] + flag)
+        assert rc == 0
+        lls[bool(flag)] = json.loads(capsys.readouterr().out)["loglik"]
+    assert lls[True] > lls[False] + 1.0
+    # models without a freqs parameter reject the flag cleanly
+    with pytest.raises(SystemExit, match="freqs"):
+        main(["loglik", "--tree", tree, "--alignment", str(fa),
+              "--model", "K80", "--empirical-freqs"])
