@@ -27,6 +27,7 @@ __all__ = [
     "write_fasta",
     "write_phylip",
     "read_alignment",
+    "read_nexus",
     "parse_newick_forest",
     "compress_patterns",
     "encode_codon_alignment",
@@ -273,7 +274,168 @@ def read_alignment(path: str) -> Dict[str, str]:
     stripped = text.lstrip()
     if stripped.startswith(">"):
         return read_fasta(text)
+    if stripped[:6].upper() == "#NEXUS":
+        return read_nexus(text)["alignment"]
     return read_phylip(text)
+
+
+# ---------------------------------------------------------------------------
+# NEXUS (pragmatic subset: DATA/CHARACTERS matrix + TREES with TRANSLATE)
+# ---------------------------------------------------------------------------
+
+def _strip_nexus_comments(text: str) -> str:
+    out = []
+    depth = 0
+    in_quote = False
+    for c in text:
+        if in_quote:
+            out.append(c)
+            if c == "'":
+                in_quote = False
+        elif depth:
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+        elif c == "[":
+            depth += 1
+        elif c == "'":
+            in_quote = True
+            out.append(c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _split_name_chunks(line: str):
+    """(name, [sequence chunks]) for one matrix line; quoted names kept."""
+    line = line.strip()
+    if not line:
+        return None, []
+    if line.startswith("'"):
+        j = 1
+        buf = []
+        while j < len(line):
+            if line[j] == "'":
+                if j + 1 < len(line) and line[j + 1] == "'":
+                    buf.append("'")
+                    j += 2
+                    continue
+                break
+            buf.append(line[j])
+            j += 1
+        return "".join(buf), line[j + 1:].split()
+    parts = line.split()
+    return parts[0], parts[1:]
+
+
+def read_nexus(path_or_text: str) -> Dict[str, object]:
+    """Read a NEXUS file: ``{"alignment": {name: seq}, "trees":
+    {name: Tree}}`` (either may be empty).
+
+    Covers the common core: DATA/CHARACTERS blocks (DIMENSIONS, FORMAT
+    incl. INTERLEAVE and MATCHCHAR, line-oriented MATRIX — every matrix
+    line starts with its taxon name) and TREES blocks (TRANSLATE tables;
+    quoted labels; [comments] stripped everywhere).
+    """
+    text = _maybe_read(path_or_text)
+    if text.lstrip()[:6].upper() != "#NEXUS":
+        raise ValueError("not a NEXUS file (missing #NEXUS header)")
+    text = _strip_nexus_comments(text)
+    body = text.lstrip()[6:]
+    statements = [s for s in body.split(";") if s.strip()]
+    alignment: Dict[str, str] = {}
+    trees: Dict[str, "_trees.Tree"] = {}
+    block = None
+    nchar = None
+    matchchar = None
+    translate: Dict[str, str] = {}
+    for st in statements:
+        words = st.split()
+        if not words:
+            continue
+        head = words[0].upper()
+        if head == "BEGIN":
+            block = words[1].upper() if len(words) > 1 else None
+            if block in ("DATA", "CHARACTERS"):
+                nchar, matchchar = None, None
+            if block == "TREES":
+                translate = {}
+            continue
+        if head in ("END", "ENDBLOCK"):
+            block = None
+            continue
+        if block in ("DATA", "CHARACTERS"):
+            if head == "DIMENSIONS":
+                for w in words[1:]:
+                    k, _, v = w.partition("=")
+                    if k.upper() == "NCHAR" and v:
+                        nchar = int(v.rstrip())
+            elif head == "FORMAT":
+                for w in words[1:]:
+                    k, _, v = w.partition("=")
+                    if k.upper() == "MATCHCHAR" and v:
+                        matchchar = v.strip("'")
+            elif head == "MATRIX":
+                # drop everything through the MATRIX keyword itself
+                cut = st.upper().find("MATRIX") + len("MATRIX")
+                lines = st[cut:].split("\n")
+                seqs: Dict[str, List[str]] = {}
+                order: List[str] = []
+                for ln in lines:
+                    name, chunks = _split_name_chunks(ln)
+                    if name is None:
+                        continue
+                    if name not in seqs:
+                        seqs[name] = []
+                        order.append(name)
+                    seqs[name].append("".join(chunks))
+                ref = None
+                for name in order:
+                    s = "".join(seqs[name])
+                    if matchchar and ref is not None:
+                        s = "".join(
+                            ref[k] if ch == matchchar and k < len(ref)
+                            else ch
+                            for k, ch in enumerate(s)
+                        )
+                    else:
+                        ref = s
+                    alignment[name] = s
+                lens = {len(s) for s in alignment.values()}
+                if nchar is not None and lens != {nchar}:
+                    raise ValueError(
+                        f"NEXUS matrix rows have lengths {sorted(lens)}; "
+                        f"expected nchar={nchar}"
+                    )
+        elif block == "TREES":
+            if head == "TRANSLATE":
+                body_tr = st[st.upper().find("TRANSLATE") + 9:]
+                for pair in body_tr.split(","):
+                    parts = pair.strip().split(None, 1)
+                    if len(parts) != 2:
+                        continue
+                    # the value may be a quoted label with spaces
+                    vname, _ = _split_name_chunks(parts[1])
+                    if vname:
+                        translate[parts[0]] = vname
+            elif head in ("TREE", "UTREE"):
+                eq = st.find("=")
+                if eq < 0:
+                    continue
+                name_part = st[:eq].split()
+                name = name_part[1] if len(name_part) > 1 else (
+                    f"tree{len(trees)}"
+                )
+                tree = parse_newick(st[eq + 1:] + ";")
+                if translate:
+                    names = [
+                        translate.get(n, n) if i < tree.n_leaves else n
+                        for i, n in enumerate(tree.names)
+                    ]
+                    tree = dataclasses.replace(tree, names=tuple(names))
+                trees[name] = tree
+    return {"alignment": alignment, "trees": trees}
 
 
 # ---------------------------------------------------------------------------

@@ -325,3 +325,46 @@ def test_cli_empirical_freqs(small_inputs, tmp_path, capsys):
     with pytest.raises(SystemExit, match="freqs"):
         main(["loglik", "--tree", tree, "--alignment", str(fa),
               "--model", "K80", "--empirical-freqs"])
+
+
+def test_read_nexus():
+    """NEXUS: interleaved matrix with matchchar + quoted names, TRANSLATE
+    trees; read_alignment sniffs the format; engine-ready output."""
+    from phylo_utils_tpu import models
+    from phylo_utils_tpu.io import read_alignment, read_nexus
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+
+    nx = (
+        "#NEXUS\n[ comment ]\nBEGIN DATA;\n"
+        "  DIMENSIONS NTAX=4 NCHAR=12;\n"
+        "  FORMAT DATATYPE=DNA MISSING=? GAP=- MATCHCHAR=. INTERLEAVE;\n"
+        "  MATRIX\n"
+        "    taxon_A ACGTAC\n    taxon_B ..T...\n"
+        "    'taxon C' A..GT.\n    taxon_D ...-..\n"
+        "    taxon_A GTGTAC\n    taxon_B ......\n"
+        "    'taxon C' .A....\n    taxon_D ..C..T\n  ;\nEND;\n"
+        "BEGIN TREES;\n"
+        "  TRANSLATE\n    1 taxon_A,\n    2 taxon_B,\n"
+        "    3 'taxon C',\n    4 taxon_D;\n"
+        "  TREE best = ((1:0.1,2:0.2):0.05,(3:0.3,4:0.15):0.07);\n"
+        "  TREE alt = ((1:0.1,3:0.2):0.05,(2:0.3,4:0.15):0.07);\nEND;\n"
+    )
+    out = read_nexus(nx)
+    aln = out["alignment"]
+    assert aln["taxon_A"] == "ACGTACGTGTAC"
+    assert aln["taxon_B"] == "ACTTACGTGTAC"      # matchchar expansion
+    assert aln["taxon_D"] == "ACG-ACGTCTAT"
+    assert set(out["trees"]) == {"best", "alt"}
+    tree = out["trees"]["best"]
+    assert sorted(tree.leaf_names) == sorted(aln)
+    assert read_alignment(nx) == aln
+    ll = LikelihoodEngine(tree, aln, models.HKY85).loglikelihood()
+    assert np.isfinite(ll)
+    # sequential layout + wrapped chunks
+    nx2 = ("#NEXUS\nBEGIN CHARACTERS;\n  DIMENSIONS NCHAR=8;\n"
+           "  FORMAT DATATYPE=DNA;\n  MATRIX\n"
+           "    a ACGT ACGT\n    b ACCTACGA\n  ;\nEND;\n")
+    assert read_nexus(nx2)["alignment"] == {"a": "ACGTACGT",
+                                            "b": "ACCTACGA"}
+    with pytest.raises(ValueError, match="NEXUS"):
+        read_nexus(">a\nACGT\n")
