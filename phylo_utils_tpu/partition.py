@@ -167,3 +167,32 @@ class PartitionedEngine:
         return self._jit_grad(
             self._full_params(params), self._leaf_partials, self._weights
         )
+
+
+def codon_position_partitions(
+    name_prefix: str,
+    alignment,
+    model: Model,
+    split: str = "12_3",
+    **kwargs,
+):
+    """Partition an in-frame coding DNA alignment by codon position.
+
+    The classic '1+2 vs 3' (``split="12_3"``) or fully separate
+    (``split="1_2_3"``) partitioning for ``PartitionedEngine`` — third
+    positions evolve much faster, and proportional branch lengths across
+    the partitions capture that with one extra parameter per partition.
+    """
+    lens = {len(s) for s in alignment.values()}
+    if len(lens) != 1 or next(iter(lens)) % 3:
+        raise ValueError("alignment must be equal-length, in-frame codons")
+    groups = {"12_3": [(0, 1), (2,)], "1_2_3": [(0,), (1,), (2,)]}[split]
+    parts = []
+    for g in groups:
+        sub = {
+            n: "".join(s[i] for i in range(len(s)) if i % 3 in g)
+            for n, s in alignment.items()
+        }
+        label = name_prefix + "_pos" + "".join(str(p + 1) for p in g)
+        parts.append(Partition(label, sub, model, **kwargs))
+    return parts

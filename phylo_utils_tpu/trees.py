@@ -31,6 +31,9 @@ __all__ = [
     "nni_neighbors",
     "spr_neighbors",
     "robinson_foulds",
+    "reroot",
+    "midpoint_root",
+    "tree_ascii",
 ]
 
 
@@ -610,3 +613,66 @@ def midpoint_root(tree: Tree) -> Tree:
             return reroot(tree, edge_node, fraction)
         acc += ln
     return reroot(tree, chain[0], 0.5)  # numerical fallback
+
+
+def tree_ascii(tree: Tree, width: int = 72,
+               supports: Optional[Dict[int, float]] = None) -> str:
+    """Plain-text rendering of the tree (CLI/report output).
+
+    Branch lengths scale the horizontal extent; ``supports`` (node id ->
+    value, e.g. from ``supports.alrt_supports``) annotates internal
+    nodes.
+    """
+    depth = np.zeros(tree.n_nodes)
+    order = [n for n in tree.postorder()][::-1]
+    for n in order:
+        p = int(tree.parent[n])
+        if p != -1:
+            depth[n] = depth[p] + max(float(tree.lengths[n]), 0.0)
+    maxd = float(depth.max()) or 1.0
+    name_w = max((len(n) for n in tree.leaf_names), default=0)
+    plot_w = max(width - name_w - 2, 8)
+
+    def col(n):
+        return int(round(depth[n] / maxd * (plot_w - 1)))
+
+    # leaf rows top-down in tree order; internal nodes centered
+    row = {}
+    next_row = 0
+    for n in tree.postorder():
+        if not tree.children[n]:
+            row[n] = next_row
+            next_row += 2
+        else:
+            kids = tree.children[n]
+            row[n] = (row[kids[0]] + row[kids[-1]]) // 2
+    height = next_row - 1
+    grid = [[" "] * (plot_w + name_w + 2) for _ in range(height)]
+    for n in range(tree.n_nodes):
+        p = int(tree.parent[n])
+        r, c = row[n], col(n)
+        if p != -1:
+            cp = col(p)
+            for x in range(cp + 1, c):
+                grid[r][x] = "-"
+            grid[r][cp] = "+"
+            # vertical connector on the parent's column
+            lo, hi = sorted((row[p], r))
+            for y in range(lo + 1, hi):
+                if grid[y][cp] == " ":
+                    grid[y][cp] = "|"
+        if tree.children[n]:
+            label = ""
+            if supports and n in supports:
+                label = f"{supports[n]:.2f}"
+            elif tree.names[n]:
+                label = tree.names[n]
+            for k, ch in enumerate(label):
+                if c + 1 + k < len(grid[r]):
+                    grid[r][c + 1 + k] = ch
+        else:
+            name = tree.names[n]
+            for k, ch in enumerate(" " + name):
+                if c + k < len(grid[r]):
+                    grid[r][c + k] = ch
+    return "\n".join("".join(line).rstrip() for line in grid)

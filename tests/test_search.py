@@ -283,3 +283,31 @@ def test_reroot_trifurcating_root():
         ll = LikelihoodEngine(rt, aln, models.HKY85).loglikelihood()
         assert ll == pytest.approx(base, abs=1e-7)
     assert robinson_foulds(t3, midpoint_root(t3)) == 0.0
+
+
+def test_tree_ascii_and_codon_partitions():
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.partition import (
+        PartitionedEngine,
+        codon_position_partitions,
+    )
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree, tree_ascii
+
+    t = parse_newick("((a:0.1,b:0.2)x:0.05,(c:0.3,d:0.15):0.07);")
+    s = tree_ascii(t, supports={t.root: 0.97})
+    for name in ("a", "b", "c", "d", "x", "0.97"):
+        assert name in s
+    assert len(s.splitlines()) == 7  # 4 leaves -> 7 rows
+
+    tr = random_tree(5, seed=1, mean_brlen=0.2)
+    aln = simulate_alignment(jax.random.key(0), tr, models.GY94, 60,
+                             params={"omega": 0.3})
+    parts = codon_position_partitions("gene", aln, models.HKY85)
+    assert [p.name for p in parts] == ["gene_pos12", "gene_pos3"]
+    assert len(next(iter(parts[0].alignment.values()))) == 120
+    assert len(next(iter(parts[1].alignment.values()))) == 60
+    pe = PartitionedEngine(tr, parts)
+    assert np.isfinite(pe.loglikelihood())
+    with pytest.raises(ValueError, match="in-frame"):
+        codon_position_partitions("x", {"a": "ACGT"}, models.HKY85)
