@@ -64,7 +64,11 @@ from phylo_utils_tpu.branch_models import (  # noqa: F401
     mark_branches,
     mark_clade,
 )
-from phylo_utils_tpu.clock import ClockEngine, clock_test  # noqa: F401
+from phylo_utils_tpu.clock import (  # noqa: F401
+    ClockEngine,
+    clock_test,
+    node_height_errors,
+)
 from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F401
 from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
 from phylo_utils_tpu.partition import Partition, PartitionedEngine  # noqa: F401

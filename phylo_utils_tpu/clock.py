@@ -34,7 +34,7 @@ import numpy as np
 from phylo_utils_tpu.likelihood import LikelihoodEngine, mixture_rates_and_p
 from phylo_utils_tpu.trees import Tree
 
-__all__ = ["ClockEngine", "clock_test"]
+__all__ = ["ClockEngine", "clock_test", "node_height_errors"]
 
 
 def _clock_structure(tree: Tree):
@@ -274,3 +274,50 @@ def clock_test(tree, alignment, model, ncat: int = 1,
         "null": null_fit, "alt": alt_fit, "lrt": lrt, "df": df,
         "null_engine": null, "alt_engine": alt,
     }
+
+
+def node_height_errors(engine: ClockEngine,
+                       params: Optional[Mapping] = None) -> Dict[int, float]:
+    """Asymptotic standard errors of the fitted node heights (ages).
+
+    Delta method on the height map: heights are a smooth function of
+    (root_height, height_fractions), so var(h) = J cov J^T with J the
+    exact ``jax.jacobian`` of the map and cov the observed-information
+    covariance of the clock parameters at the MLEs (model parameters and
+    rate multipliers, if free, are marginalized through the joint
+    information matrix). Returns {node id: SE} for internal nodes —
+    dating with uncertainty, not just point estimates.
+    """
+    import jax
+
+    from phylo_utils_tpu.optimize import fisher_covariance
+
+    full = engine._full_params(params)
+    free = ["root_height"]
+    if engine.n_internal > 1:
+        free.append("height_fractions")
+    if engine.n_rate_classes > 1:
+        free.append("rate_multipliers")
+    cov, (leaves, treedef, sizes) = fisher_covariance(
+        engine, full, free=tuple(free)
+    )
+    point = {k: full[k] for k in free}
+
+    def heights_of(p):
+        q = dict(full)
+        q.update(p)
+        return engine._heights(q, engine._reduce_dtype)
+
+    jac = jax.jacobian(heights_of)(point)
+    # flatten jacobian columns in the SAME leaf order as the covariance
+    jleaves = jax.tree.leaves(jac)
+    n_h = engine.n_internal
+    cols = []
+    for jl, sz in zip(jleaves, sizes):
+        cols.append(np.asarray(jl, np.float64).reshape(n_h, sz))
+    J = np.concatenate(cols, axis=1)                 # (n_h, n_params)
+    var = np.einsum("ip,pq,iq->i", J, np.nan_to_num(cov), J)
+    var[~(var >= 0)] = np.nan
+    se = np.sqrt(var)
+    return {int(nid): float(se[k])
+            for k, nid in enumerate(engine._internal_ids)}

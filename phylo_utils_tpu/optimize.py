@@ -38,6 +38,7 @@ __all__ = [
     "fit",
     "FitResult",
     "standard_errors",
+    "fisher_covariance",
     "newton_branch_length",
     "ml_distance_matrix",
     "brent_minimize",
@@ -424,6 +425,51 @@ def _branch_lnl_derivs(
     return lnl, jnp.sum(weights * d1), jnp.sum(weights * d2)
 
 
+def fisher_covariance(
+    engine,
+    params: Mapping,
+    free: Optional[Tuple[str, ...]] = None,
+):
+    """(cov, point, sizes): observed-information covariance of the free
+    parameters at ``params`` (flattened order = ``jax.tree.leaves`` of the
+    free sub-PyTree), the evaluation point, and per-leaf sizes.
+    Boundary/non-finite rows are dropped (their variance reads nan)."""
+    base = engine._full_params(params)
+    if free is None:
+        free = tuple(base.keys())
+    frozen, point = _split_free(base, free)
+    lp, w = engine._leaf_partials, engine._weights
+
+    def negll(p):
+        full = _merge_params(frozen, p)
+        total, _ = engine._loglik_fn(full, lp, w)
+        return -total.astype(jnp.result_type(float))
+
+    point = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.result_type(float)), point
+    )
+    hess = jax.hessian(negll)(point)
+    leaves, treedef = jax.tree.flatten(point)
+    sizes = [int(np.size(x)) for x in leaves]
+    n = sum(sizes)
+    hrows = jax.tree.leaves(hess)
+    idx = 0
+    blocks = [[None] * len(leaves) for _ in range(len(leaves))]
+    for i in range(len(leaves)):
+        for j in range(len(leaves)):
+            blk = np.asarray(hrows[idx], np.float64)
+            blocks[i][j] = blk.reshape(sizes[i], sizes[j])
+            idx += 1
+    h = np.block(blocks)
+    h = 0.5 * (h + h.T)
+    finite = np.isfinite(h).all(axis=0) & np.isfinite(h).all(axis=1)
+    cov = np.full((n, n), np.nan)
+    if finite.any():
+        sub = np.linalg.pinv(h[np.ix_(finite, finite)])
+        cov[np.ix_(finite, finite)] = sub
+    return cov, (leaves, treedef, sizes)
+
+
 def standard_errors(
     engine,
     params: Mapping,
@@ -447,47 +493,9 @@ def standard_errors(
     Returns a PyTree shaped like the free parameters with per-element
     standard errors.
     """
-    base = engine._full_params(params)
-    if free is None:
-        free = tuple(base.keys())
-    frozen, point = _split_free(base, free)
-    lp, w = engine._leaf_partials, engine._weights
-
-    def negll(p):
-        full = _merge_params(frozen, p)
-        total, _ = engine._loglik_fn(full, lp, w)
-        return -total.astype(jnp.result_type(float))
-
-    point = jax.tree.map(
-        lambda x: jnp.asarray(x, jnp.result_type(float)), point
-    )
-    hess = jax.hessian(negll)(point)
-    # flatten the PyTree-of-PyTrees Hessian into a dense matrix
-    leaves, treedef = jax.tree.flatten(point)
-    sizes = [int(np.size(x)) for x in leaves]
-    n = sum(sizes)
-    rows = []
-    hrows = jax.tree.leaves(hess)
-    # jax.hessian returns tree(tree(...)): leaves in row-major block order
-    idx = 0
-    blocks = [[None] * len(leaves) for _ in range(len(leaves))]
-    for i in range(len(leaves)):
-        for j in range(len(leaves)):
-            blk = np.asarray(hrows[idx], np.float64)
-            blocks[i][j] = blk.reshape(sizes[i], sizes[j])
-            idx += 1
-    h = np.block(blocks)
-    h = 0.5 * (h + h.T)
-    # parameters at a boundary can yield non-finite second derivatives:
-    # drop those rows/cols from the information matrix (their SE is nan)
-    finite = np.isfinite(h).all(axis=0) & np.isfinite(h).all(axis=1)
-    var = np.full(n, np.nan)
-    if finite.any():
-        sub = h[np.ix_(finite, finite)]
-        cov = np.linalg.pinv(sub)
-        v = np.diag(cov).copy()
-        v[v <= 0] = np.nan
-        var[finite] = v
+    cov, (leaves, treedef, sizes) = fisher_covariance(engine, params, free)
+    var = np.diag(cov).copy()
+    var[~(var > 0)] = np.nan
     se_flat = np.sqrt(var)
     out_leaves = []
     off = 0

@@ -139,3 +139,29 @@ def test_clock_edge_cases():
            "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
     out = clock_test(t3, aln, models.JC69, max_steps=25, patience=6)
     assert out["df"] >= 1 and np.isfinite(out["lrt"]["pvalue"])
+
+
+def test_node_height_errors():
+    """Delta-method node-age SEs: finite and positive on all internal
+    nodes, and the root-height SE tracks a parametric bootstrap."""
+    from phylo_utils_tpu.clock import node_height_errors
+
+    truth = parse_newick(
+        "(((a:0.1,b:0.1):0.1,(c:0.1,d:0.1):0.1):0.05,(e:0.2,f:0.2):0.05);"
+    )
+    aln = simulate_alignment(jax.random.key(0), truth, models.HKY85, 600,
+                             params={"kappa": 3.0})
+    ce = ClockEngine(truth, aln, models.HKY85)
+    res = fit(ce, max_steps=150, patience=20)
+    se = node_height_errors(ce, res.params)
+    assert set(se) == {6, 7, 8, 9, 10}
+    assert all(np.isfinite(v) and v > 0 for v in se.values())
+    boots = []
+    for r in range(8):
+        a2 = simulate_alignment(jax.random.key(50 + r), truth,
+                                models.HKY85, 600, params={"kappa": 3.0})
+        e2 = ClockEngine(truth, a2, models.HKY85)
+        r2 = fit(e2, max_steps=100, patience=12)
+        boots.append(e2.node_heights(r2.params)[truth.root])
+    ratio = se[truth.root] / np.std(boots)
+    assert 0.3 < ratio < 3.0, (se[truth.root], np.std(boots))
