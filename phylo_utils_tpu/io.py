@@ -28,6 +28,7 @@ __all__ = [
     "write_phylip",
     "read_alignment",
     "read_nexus",
+    "write_nexus",
     "parse_newick_forest",
     "compress_patterns",
     "encode_codon_alignment",
@@ -436,6 +437,50 @@ def read_nexus(path_or_text: str) -> Dict[str, object]:
                     tree = dataclasses.replace(tree, names=tuple(names))
                 trees[name] = tree
     return {"alignment": alignment, "trees": trees}
+
+
+def write_nexus(
+    alignment: Optional[Dict[str, str]] = None,
+    trees: Optional[Dict[str, "_trees.Tree"]] = None,
+    path: Optional[str] = None,
+    datatype: str = "DNA",
+) -> str:
+    """Write a NEXUS file with optional DATA and TREES blocks.
+
+    Round-trips through :func:`read_nexus` (names needing quotes are
+    quoted; no TRANSLATE table is emitted — full labels in the newick).
+    """
+    def q(name: str) -> str:
+        if any(c.isspace() or c in "()[]{}/\\,;:=*'\"`<>" for c in name):
+            return "'" + name.replace("'", "''") + "'"
+        return name
+
+    out = ["#NEXUS", ""]
+    if alignment:
+        lens = {len(s) for s in alignment.values()}
+        if len(lens) != 1:
+            raise ValueError("alignment rows have unequal lengths")
+        (nchar,) = lens
+        out += [
+            "BEGIN DATA;",
+            f"  DIMENSIONS NTAX={len(alignment)} NCHAR={nchar};",
+            f"  FORMAT DATATYPE={datatype} MISSING=? GAP=-;",
+            "  MATRIX",
+        ]
+        width = max(len(q(n)) for n in alignment)
+        for name, seq in alignment.items():
+            out.append(f"    {q(name):<{width}} {seq}")
+        out += ["  ;", "END;", ""]
+    if trees:
+        out.append("BEGIN TREES;")
+        for name, tree in trees.items():
+            out.append(f"  TREE {q(name)} = {write_newick(tree)}")
+        out += ["END;", ""]
+    text = "\n".join(out)
+    if path:
+        with open(path, "w") as fh:
+            fh.write(text)
+    return text
 
 
 # ---------------------------------------------------------------------------

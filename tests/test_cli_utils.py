@@ -368,3 +368,15 @@ def test_read_nexus():
                                             "b": "ACCTACGA"}
     with pytest.raises(ValueError, match="NEXUS"):
         read_nexus(">a\nACGT\n")
+
+
+def test_write_nexus_roundtrip(tmp_path):
+    from phylo_utils_tpu.io import parse_newick, read_nexus, write_nexus
+
+    aln = {"taxon A": "ACGT-CGT", "b": "ACCTAC?A"}
+    t = parse_newick("(('taxon A':0.1,b:0.2):0.0);")
+    path = str(tmp_path / "x.nex")
+    write_nexus(aln, {"best": t}, path=path)
+    out = read_nexus(path)
+    assert out["alignment"] == aln
+    assert sorted(out["trees"]["best"].leaf_names) == sorted(t.leaf_names)
