@@ -31,6 +31,31 @@ def _get_model(name: str):
         )
 
 
+def _parse_model_spec(spec: str):
+    """'GTR+G4+I+F' -> (model, ncat, invariant_sites, empirical_freqs).
+
+    The ubiquitous model-string convention: +G[n] discrete gamma
+    (default 4 categories), +I invariant sites, +F observed equilibrium
+    frequencies."""
+    parts = spec.split("+")
+    model = _get_model(parts[0])
+    ncat, inv, emp = 1, False, False
+    for flag in parts[1:]:
+        up = flag.upper()
+        if up.startswith("G"):
+            ncat = int(up[1:]) if up[1:] else 4
+        elif up == "I":
+            inv = True
+        elif up == "F":
+            emp = True
+        else:
+            raise SystemExit(
+                f"unknown model-string flag '+{flag}' in {spec!r} "
+                "(supported: +G[n], +I, +F)"
+            )
+    return model, ncat, inv, emp
+
+
 def _read_tree(arg: str):
     from phylo_utils_tpu.io import parse_newick
 
@@ -77,7 +102,9 @@ def _engine_params(args, engine) -> Optional[Dict]:
 def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--tree", required=True, help="newick file or literal")
     p.add_argument("--alignment", required=True, help="FASTA/PHYLIP file")
-    p.add_argument("--model", default="GTR", help="|".join(MODEL_NAMES))
+    p.add_argument("--model", default="GTR",
+                   help="|".join(MODEL_NAMES) + " with optional +G[n]/+I/+F "
+                        "suffixes (e.g. GTR+G4+I+F)")
     p.add_argument("--ncat", type=int, default=1, help="gamma categories")
     # NOTE: the boolean mixture switch is --invariant-sites; --pinv is a
     # FLOAT proportion and only exists on `simulate` (they used to share a
@@ -106,7 +133,13 @@ def _build_engine(args):
         from phylo_utils_tpu.parallel import SiteSharding
 
         sharding = SiteSharding()
-    model = _get_model(args.model)
+    model, spec_ncat, spec_inv, spec_emp = _parse_model_spec(args.model)
+    # model-string suffixes compose with (and never reduce) the explicit
+    # flags: --model GTR+G4+I == --model GTR --ncat 4 --invariant-sites
+    args.ncat = max(args.ncat, spec_ncat)
+    args.invariant_sites = args.invariant_sites or spec_inv
+    if spec_emp and hasattr(args, "empirical_freqs"):
+        args.empirical_freqs = True
     if os.path.exists(args.alignment):
         # native C++ FASTA->matrix->compression fast path (falls back inside)
         aln = load_compressed(args.alignment, model.alphabet)

@@ -380,3 +380,20 @@ def test_write_nexus_roundtrip(tmp_path):
     out = read_nexus(path)
     assert out["alignment"] == aln
     assert sorted(out["trees"]["best"].leaf_names) == sorted(t.leaf_names)
+
+
+def test_cli_model_strings(small_inputs, capsys):
+    """'GTR+G4+I+F'-style model strings equal the explicit flags."""
+    tree, fasta = small_inputs
+
+    def ll(args):
+        assert main(["loglik", "--tree", tree, "--alignment", fasta]
+                    + args) == 0
+        return json.loads(capsys.readouterr().out)["loglik"]
+
+    assert ll(["--model", "HKY85+G4+I"]) == ll(
+        ["--model", "HKY85", "--ncat", "4", "--invariant-sites"])
+    assert ll(["--model", "HKY85+F"]) == ll(
+        ["--model", "HKY85", "--empirical-freqs"])
+    with pytest.raises(SystemExit, match=r"\+X"):
+        ll(["--model", "HKY85+X"])
