@@ -292,5 +292,39 @@ def main():
     print(json.dumps(result))
 
 
+def _tpu_alive(timeout_s: float = 90.0) -> bool:
+    """Probe device init in a SUBPROCESS: a half-dead relay makes
+    jax.devices() hang forever in-process (observed 2026-08-18), and a
+    hung bench leaves no artifact at all."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_SKIP_TPU_PROBE") != "1" and not _tpu_alive():
+        # TPU relay down: re-exec on CPU with the axon plumbing scrubbed
+        # so the round still records an artifact — clearly labeled (the
+        # "device" field will read CPU), NOT comparable to chip numbers.
+        sys.stderr.write(
+            "bench: TPU backend unavailable (probe failed/timed out); "
+            "re-executing on CPU — numbers are NOT chip-comparable\n"
+        )
+        env = dict(
+            os.environ,
+            PYTHONPATH="",
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            BENCH_SKIP_TPU_PROBE="1",
+        )
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
     main()
