@@ -351,12 +351,28 @@ def cmd_ancestral(args) -> int:
     engine = _build_engine(args)
     params = _json_params(args.params)
     post = ancestral_posteriors(engine, params)
+    map_states = post.argmax(axis=2)
     out = {
         "n_internal_nodes": post.shape[0],
         "n_sites": post.shape[1],
-        "map_states": post.argmax(axis=2).tolist(),
+        "map_states": map_states.tolist(),
         "max_posterior": post.max(axis=2).tolist(),
     }
+    # MAP sequences: per-state characters from the model's alphabet
+    from phylo_utils_tpu.simulate import _state_chars
+
+    chars = _state_chars(engine.model)
+    tree = engine.tree
+    seqs = {}
+    for k in range(post.shape[0]):
+        nid = tree.n_leaves + k
+        label = tree.names[nid] or f"node{nid}"
+        seqs[label] = "".join(chars[map_states[k]])
+    out["map_sequences"] = seqs
+    if args.out_fasta:
+        from phylo_utils_tpu.io import write_fasta
+
+        write_fasta(seqs, path=args.out_fasta)
     if args.full:
         out["posteriors"] = post.tolist()
     if args.ncat > 1:
@@ -698,6 +714,8 @@ def main(argv=None) -> int:
     _add_engine_args(p)
     p.add_argument("--full", action="store_true",
                    help="emit full posterior tensors (large)")
+    p.add_argument("--out-fasta", dest="out_fasta",
+                   help="write MAP ancestral sequences as FASTA here")
     p.set_defaults(fn=cmd_ancestral)
 
     p = sub.add_parser("bootstrap", help="bootstrap logL replicates")

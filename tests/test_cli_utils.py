@@ -397,3 +397,19 @@ def test_cli_model_strings(small_inputs, capsys):
         ["--model", "HKY85", "--empirical-freqs"])
     with pytest.raises(SystemExit, match=r"\+X"):
         ll(["--model", "HKY85+X"])
+
+
+def test_cli_ancestral_fasta(small_inputs, tmp_path, capsys):
+    """ancestral --out-fasta writes MAP sequences for internal nodes."""
+    from phylo_utils_tpu.io import read_fasta
+
+    tree, fasta = small_inputs
+    anc = str(tmp_path / "anc.fa")
+    rc = main(["ancestral", "--tree", tree, "--alignment", fasta,
+               "--model", "HKY85+G4", "--out-fasta", anc])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["map_sequences"]) == 3
+    seqs = read_fasta(anc)
+    assert all(len(s) == 10 and set(s) <= set("ACGT")
+               for s in seqs.values())
