@@ -263,6 +263,10 @@ def main():
         "value": round(pps, 1),
         "unit": "patterns/s/chip",
         "vs_baseline": round(pps / oracle_pps, 2),
+        # top-level so a dashboard trend-comparing `value` across rounds
+        # can't miss a CPU-fallback run (the device detail in `extra` is
+        # too subtle — judged weak in round 2)
+        "chip_comparable": jax.devices()[0].platform != "cpu",
         "extra": {
             "methodology": (
                 f"throughput: {VMAP_B} independent evals per kernel launch "
@@ -292,7 +296,7 @@ def main():
     print(json.dumps(result))
 
 
-def _tpu_alive(timeout_s: float = 90.0) -> bool:
+def _tpu_alive_once(timeout_s: float = 90.0) -> bool:
     """Probe device init in a SUBPROCESS: a half-dead relay makes
     jax.devices() hang forever in-process (observed 2026-08-18), and a
     hung bench leaves no artifact at all."""
@@ -307,6 +311,24 @@ def _tpu_alive(timeout_s: float = 90.0) -> bool:
         return r.returncode == 0 and "ok" in r.stdout
     except Exception:
         return False
+
+
+def _tpu_alive() -> bool:
+    """Retry the probe with backoff (~10 min total): the axon relay is
+    known to flap — a single 90 s probe against a relay that recovers in
+    minutes would forfeit the round's only driver-captured TPU artifact
+    (exactly what happened in round 2)."""
+    backoffs = [60.0, 120.0, 180.0]          # 4 probes x 90 s + waits ~ 12 min
+    for i in range(len(backoffs) + 1):
+        if _tpu_alive_once():
+            return True
+        if i < len(backoffs):
+            sys.stderr.write(
+                f"bench: TPU probe {i + 1} failed; retrying in "
+                f"{backoffs[i]:.0f} s\n"
+            )
+            time.sleep(backoffs[i])
+    return False
 
 
 if __name__ == "__main__":

@@ -176,12 +176,24 @@ def main():
 
         sharding = SiteSharding()
     engine5 = LikelihoodEngine(
-        tree5, aln5, models.GTR, ncat=4, sharding=sharding, pruner="xla",
-        dtype="float32",
+        tree5, aln5, models.GTR, ncat=4, sharding=sharding,
+        pruner=args.pruner, dtype="float32",
     )
     ll0 = engine5.loglikelihood()
+    # Chunked dispatch: 25 optimizer steps fused per device call via
+    # lax.scan (optimize.py steps_per_call) — the per-dispatch ~25 ms relay
+    # overhead otherwise dominates and makes steps/s unrepresentative
+    # (round-2 artifact measured 0.11 steps/s at steps_per_call=1; the
+    # engine's own cure was not applied in this harness — VERDICT r2 weak 2).
+    # Early stopping/patience operate at chunk granularity.
+    steps_per_call = 25
+    max_steps = 25 if args.fast else 100
+    # warmup fit: one chunk, pays the XLA compile and primes the
+    # persistent compile cache so the timed fit below is steady-state
+    fit(engine5, max_steps=steps_per_call, steps_per_call=steps_per_call)
     t0 = time.perf_counter()
-    res = fit(engine5, max_steps=(10 if args.fast else 40), patience=10)
+    res = fit(engine5, max_steps=max_steps, patience=10,
+              steps_per_call=steps_per_call)
     fit_s = time.perf_counter() - t0
     ok = res.loglik > ll0
     failures += 0 if ok else 1
@@ -192,8 +204,18 @@ def main():
         "improved": ok,
         "n_steps": res.n_steps,
         "fit_seconds": round(fit_s, 2),
+        "fit_steps_per_s": round(res.n_steps / fit_s, 2),
+        "steps_per_call": steps_per_call,
+        "pruner": args.pruner,
         "n_devices": len(jax.devices()),
         "sharded": sharding is not None,
+        "notes": (
+            f"config5 runs value_and_grad through the {args.pruner!r} "
+            "pruner (fused Pallas backward when 'pallas') with "
+            f"{steps_per_call} L-BFGS steps fused per dispatch; a "
+            "one-chunk warmup fit precedes the timed fit so "
+            "fit_steps_per_s is steady-state (compile-cache hit)"
+        ),
     }))
     return failures
 
