@@ -83,12 +83,14 @@ def main():
     params = engine._full_params(None)
     lp, w = engine._leaf_partials, engine._weights
 
-    # model fixed across the evals -> eigen computed once (the reference's
-    # TransitionMatrix semantics); P(t) is still rebuilt per evaluation
+    # model fixed across the evals -> eigen + gamma rates computed once
+    # (the reference's TransitionMatrix semantics); P(t) is still rebuilt
+    # per evaluation
     eig = engine.model_eigen(params)
+    cat_rates = engine.model_rates(params)
 
     def loglik(p2):
-        return engine._loglik_fn(p2, lp, w, eig=eig)[0]
+        return engine._loglik_fn(p2, lp, w, eig=eig, rates=cat_rates)[0]
 
     acc0 = jnp.zeros((), jnp.result_type(float))
 

@@ -75,7 +75,9 @@ def main():
 
     def p_of(i, seed):
         ts = (t0_bl * (1.0 + 1e-7 * (i + seed)))[:, None] * rates[None, :]
-        return transition_matrices(eig, ts)
+        # out_dtype mirrors likelihood.mixture_rates_and_p's fast path:
+        # exp in rdt (f64), spectral-mode matmul in the compute dtype
+        return transition_matrices(eig, ts, out_dtype=engine.dtype)
 
     def scanner(body):
         @jax.jit
@@ -104,10 +106,14 @@ def main():
 
     run_prune = scanner(prune_body)
 
+    cat_rates = engine.model_rates(params)
+
     def full_body(i, s):
         p2 = dict(params)
         p2["branch_lengths"] = params["branch_lengths"] * (1.0 + 1e-7 * (i + s))
-        return engine._loglik_fn(p2, lp, w, eig=eig)[0].astype(rdt)
+        return engine._loglik_fn(
+            p2, lp, w, eig=eig, rates=cat_rates
+        )[0].astype(rdt)
 
     run_full = scanner(full_body)
 
@@ -115,7 +121,8 @@ def main():
         p2 = dict(params)
         p2["branch_lengths"] = params["branch_lengths"] * (1.0 + 1e-7 * (i + s))
         v, g = jax.value_and_grad(
-            lambda q: engine._loglik_fn(q, lp, w, eig=eig)[0]
+            lambda q: engine._loglik_fn(q, lp, w, eig=eig,
+                                        rates=cat_rates)[0]
         )(p2)
         return (v + jnp.sum(g["branch_lengths"])).astype(rdt)
 

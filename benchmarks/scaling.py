@@ -13,12 +13,26 @@ linearly with devices; efficiency = (sites/s at N) / (N * sites/s at 1).
 The only cross-device communication is the final logL psum (and its
 gradient), so efficiency should be near 1 whenever per-device work amortizes
 dispatch overhead.
+
+CPU-mesh pinning (round 3): all virtual host devices share ONE XLA
+threadpool, so an unpinned N-device run contends for the host's cores and
+the efficiency number measures OVERSUBSCRIPTION, not communication
+(round-2 artifact: 0.79 at 2 devices on 4 cores). Measured on this host,
+a single device is FASTER on one core (180k patterns/s) than with the
+4-core threadpool (113k) at this problem size. `--pin` (default on the
+cpu backend) therefore runs each device count in a subprocess under
+`taskset -c 0..N-1` — exactly one core per device — so cores/device is
+constant across rows and the remaining efficiency loss is the psum +
+per-dispatch sharding overhead, which a separate psum-only microbenchmark
+quantifies (`psum_us_per_call`). Raw unpinned rows are still emitted
+(`pinned: false`) for transparency.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -59,18 +73,109 @@ def measure(n_devices: int, patterns_per_device: int, n_taxa: int,
     return int(engine._weights.shape[0]) / dt
 
 
-def main():
+def measure_psum(n_devices: int, iters: int = 50) -> float:
+    """Microseconds per call for the harness's ONLY collective: one scalar
+    psum over the mesh (what the sharded logL reduction lowers to)."""
     import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
+    from phylo_utils_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:n_devices])
+
+    @jax.jit
+    def reduced(x):
+        f = jax.shard_map(
+            lambda v: jax.lax.psum(jnp.sum(v), "sites"),
+            mesh=mesh, in_specs=P("sites"), out_specs=P(),
+        )
+        return f(x)
+
+    x = jnp.arange(n_devices * 8, dtype=jnp.float32)
+    jax.block_until_ready(reduced(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = reduced(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e6
+
+
+def _run_pinned(n: int, args) -> dict:
+    """One device-count point in a subprocess pinned to cores 0..n-1 with
+    exactly n virtual devices: cores/device == 1 for every row."""
+    env = dict(
+        os.environ,
+        PYTHONPATH="",
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+    )
+    cmd = [
+        "taskset", "-c", f"0-{n - 1}" if n > 1 else "0",
+        sys.executable, os.path.abspath(__file__),
+        "--single", str(n),
+        "--patterns-per-device", str(args.patterns_per_device),
+        "--taxa", str(args.taxa),
+    ] + (["--grad"] if args.grad else [])
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f"pinned run n={n} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--patterns-per-device", type=int, default=2048)
     ap.add_argument("--taxa", type=int, default=64)
     ap.add_argument("--grad", action="store_true",
                     help="measure value_and_grad instead of forward")
+    ap.add_argument("--single", type=int, default=0,
+                    help="(internal) measure ONE device count and exit")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip the taskset-pinned subprocess rows")
     args = ap.parse_args()
 
+    if args.single:
+        import jax
+
+        n = args.single
+        pps = measure(n, args.patterns_per_device, args.taxa, args.grad)
+        print(json.dumps({
+            "devices": n,
+            "patterns_per_s": round(pps, 1),
+            "psum_us_per_call": round(measure_psum(n), 1),
+            "platform": jax.default_backend(),
+        }))
+        return
+
+    import jax
+
     n_avail = len(jax.devices())
+    n_cores = os.cpu_count() or 1
     scales = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+
+    # pinned rows: cores/device == 1, so efficiency isolates the psum +
+    # sharded-dispatch overhead instead of host oversubscription
+    if jax.default_backend() == "cpu" and not args.no_pin:
+        base = None
+        for n in [s for s in scales if s <= n_cores]:
+            row = _run_pinned(n, args)
+            if base is None:
+                base = row["patterns_per_s"]
+            row.update(
+                weak_scaling_efficiency=round(
+                    row["patterns_per_s"] / (n * base), 4),
+                patterns_per_device=args.patterns_per_device,
+                taxa=args.taxa,
+                measuring="grad" if args.grad else "forward",
+                pinned=True,
+                cores_per_device=1,
+            )
+            print(json.dumps(row))
+
+    # raw in-process rows (unpinned; oversubscribed beyond the core count)
     base = None
     for n in scales:
         pps = measure(n, args.patterns_per_device, args.taxa, args.grad)
@@ -85,6 +190,8 @@ def main():
             "taxa": args.taxa,
             "measuring": "grad" if args.grad else "forward",
             "platform": jax.default_backend(),
+            "pinned": False,
+            "oversubscribed": n > n_cores,
         }))
 
 

@@ -26,7 +26,12 @@ from jax import lax
 
 from phylo_utils_tpu.trees import PruningSchedule
 
-__all__ = ["ancestral_posteriors", "site_rate_posteriors"]
+__all__ = [
+    "ancestral_posteriors",
+    "site_rate_posteriors",
+    "site_rates",
+    "joint_ancestral_states",
+]
 
 _HI = lax.Precision.HIGHEST
 
@@ -187,3 +192,159 @@ def site_rate_posteriors(
     gam = engine._site_rate_jit(full, engine._leaf_partials, engine._weights)
     gam = np.asarray(gam)[: engine._compressed.n_patterns]
     return gam[engine._compressed.site_to_pattern]
+
+
+def site_rates(engine, params: Optional[Mapping] = None) -> np.ndarray:
+    """Posterior-mean evolutionary rate per site (rate4site-style):
+    ``r_s = sum_k gamma_{s,k} * rate_k`` — the empirical-Bayes point
+    estimate of each site's relative rate under the engine's discrete
+    RATE mixture. Returns (n_sites,). Note: for ``invariant_sites``
+    engines this averages over the gamma categories only (the +I
+    component is a separate mixture layer, not a rate category here)."""
+    from phylo_utils_tpu.likelihood import rate_categories
+
+    full = engine._full_params(params)
+    gam = site_rate_posteriors(engine, params)          # (sites, K)
+    rates, _ = rate_categories(engine, full, np.float64)
+    return gam @ np.asarray(rates, np.float64)
+
+
+def _maxprod_contract(pm, child_d):
+    """Max-product "matmul" with argmax: for each parent state j,
+    ``contrib[..., j] = max_i pm[..., j, i] * child_d[..., i]`` and
+    ``amax[..., j] = argmax_i``.
+
+    pm: (W, C, K, S, S); child_d: (W, C, K, sites, S) ->
+    contrib/amax: (W, C, K, sites, S). Sequential ``lax.map`` over the
+    parent state keeps the peak intermediate at one (W, C, K, sites, S)
+    slab instead of the (sites, S, S) outer product (a 61-state codon
+    model would otherwise materialize gigabytes).
+    """
+    def one_parent_state(j):
+        scores = pm[:, :, :, None, j, :] * child_d      # (W,C,K,sites,Si)
+        return jnp.max(scores, axis=-1), jnp.argmax(
+            scores, axis=-1
+        ).astype(jnp.int32)
+
+    s = pm.shape[-1]
+    contrib, amax = lax.map(one_parent_state, jnp.arange(s))
+    # (S, W, C, K, sites) -> (W, C, K, sites, S)
+    return jnp.moveaxis(contrib, 0, -1), jnp.moveaxis(amax, 0, -1)
+
+
+def joint_ancestral_states(
+    engine, params: Optional[Mapping] = None
+) -> Dict[str, np.ndarray]:
+    """Joint maximum-likelihood ancestral reconstruction (Pupko,
+    Pe'er, Shamir & Graur 2000, Mol. Biol. Evol. 17:890 — the max-product
+    dynamic program PAML's RateAncestor uses for joint reconstruction).
+
+    Unlike the marginal (empirical-Bayes) posteriors, this finds the
+    single assignment of states to ALL internal nodes jointly maximizing
+    P(states, data) per site. Rate mixtures are handled by running the
+    DP per category and selecting, per site, the (category, assignment)
+    pair maximizing w_k * P(states, data | r_k).
+
+    Returns {"states": (n_internal, n_sites) int32 — ordered by internal
+    node id, root last; "log_prob": (n_sites,) joint log P(states, data);
+    "category": (n_sites,) winning rate-category index}.
+    """
+    schedule = engine.schedule
+    full = engine._full_params(params)
+    dtype = engine.dtype
+
+    def compute(full, leaf_partials, weights):
+        _, cat_weights, p, freqs = engine._mixture_tensors(full, dtype)
+        n = schedule.n_nodes
+        k = p.shape[1]
+        sites = leaf_partials.shape[1]
+        s = leaf_partials.shape[2]
+        tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+        # post-order max-product: d[v][j] = max prob of subtree(v) given
+        # state(v)=j (rescaled); a[v][j] = argmax of v's state given its
+        # PARENT is in state j
+        d = jnp.zeros((n + 1, k, sites, s), dtype)
+        d = d.at[: schedule.n_leaves].set(leaf_partials[:, None, :, :])
+        a = jnp.zeros((n + 1, k, sites, s), jnp.int32)
+        logscale = jnp.zeros((n + 1, k, sites), dtype)
+        for lvl in range(schedule.n_levels):
+            nodes = schedule.level_nodes[lvl]
+            children = schedule.level_children[lvl]
+            mask = schedule.level_childmask[lvl]
+            child_d = d[children]                   # (W, C, K, sites, S)
+            pm = p[children]                        # (W, C, K, S, S)
+            contrib, amax = _maxprod_contract(pm, child_d)
+            mb = mask[:, :, None, None, None].astype(dtype)
+            contrib = contrib * mb + (1.0 - mb)
+            dv = jnp.prod(contrib, axis=1)          # (W, K, sites, S)
+            sc = jnp.sum(
+                logscale[children] * mask[:, :, None, None], axis=1
+            )
+            m = jnp.maximum(jnp.max(dv, axis=-1), tiny)
+            d = d.at[nodes].set(dv / m[..., None])
+            logscale = logscale.at[nodes].set(sc + jnp.log(m))
+            # scatter each child's argmax table (padding -> trash row)
+            flat_children = children.reshape(-1)
+            flat_mask = mask.reshape(-1)
+            tgt = jnp.where(flat_mask > 0, flat_children, n)
+            flat_amax = amax.reshape((-1,) + amax.shape[2:])
+            a = a.at[tgt].set(
+                jnp.where(
+                    flat_mask[:, None, None, None] > 0, flat_amax, a[tgt]
+                )
+            )
+
+        # root decision + per-category joint log prob
+        root_scores = freqs.astype(dtype)[None, None, :] * d[schedule.root]
+        root_state = jnp.argmax(root_scores, axis=-1).astype(
+            jnp.int32
+        )                                                      # (K, sites)
+        lj = (
+            jnp.log(jnp.maximum(jnp.max(root_scores, axis=-1), tiny))
+            + logscale[schedule.root]
+        )                                                      # (K, sites)
+
+        # backtrack pre-order: children read their parent's chosen state
+        states = jnp.zeros((n + 1, k, sites), jnp.int32)
+        states = states.at[schedule.root].set(root_state)
+        for lvl in range(schedule.n_levels - 1, -1, -1):
+            nodes = schedule.level_nodes[lvl]
+            children = schedule.level_children[lvl]
+            mask = schedule.level_childmask[lvl]
+            ps = states[nodes]                      # (W, K, sites)
+            ca = a[children]                        # (W, C, K, sites, S)
+            child_state = jnp.take_along_axis(
+                ca, ps[:, None, :, :, None], axis=-1
+            )[..., 0]                               # (W, C, K, sites)
+            flat_children = children.reshape(-1)
+            flat_mask = mask.reshape(-1)
+            tgt = jnp.where(flat_mask > 0, flat_children, n)
+            flat_vals = child_state.reshape((-1,) + child_state.shape[2:])
+            states = states.at[tgt].set(
+                jnp.where(flat_mask[:, None, None] > 0, flat_vals,
+                          states[tgt])
+            )
+
+        # per-site winning category: max_k log(w_k) + log joint_k
+        score_k = jnp.log(cat_weights.astype(dtype))[:, None] + lj
+        best_k = jnp.argmax(score_k, axis=0)                    # (sites,)
+        log_prob = jnp.max(score_k, axis=0)
+        internal = slice(schedule.n_leaves, schedule.n_real_nodes)
+        sel = jnp.take_along_axis(
+            states[internal], best_k[None, None, :], axis=1
+        )[:, 0, :]                                              # (I, sites)
+        return sel, log_prob, best_k.astype(jnp.int32)
+
+    if not hasattr(engine, "_joint_anc_jit"):
+        engine._joint_anc_jit = jax.jit(compute)
+    sel, log_prob, best_k = engine._joint_anc_jit(
+        full, engine._leaf_partials, engine._weights
+    )
+    npat = engine._compressed.n_patterns
+    s2p = engine._compressed.site_to_pattern
+    return {
+        "states": np.asarray(sel)[:, :npat][:, s2p],
+        "log_prob": np.asarray(log_prob)[:npat][s2p],
+        "category": np.asarray(best_k)[:npat][s2p],
+    }

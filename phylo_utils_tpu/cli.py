@@ -308,12 +308,36 @@ def cmd_topologies(args) -> int:
         trees, _read_aln(args.alignment), model, ncat=args.ncat,
         dtype=args.dtype,
     )
-    lls = tse.loglikelihoods(_json_params(args.params))
-    print(json.dumps({
-        "logliks": lls.tolist(),
-        "best_index": int(lls.argmax()),
-        "n_trees": len(trees),
-    }))
+    params = _json_params(args.params)
+    out = {"n_trees": len(trees)}
+    if args.test:
+        from phylo_utils_tpu.topology_tests import au_test, kh_test, sh_test
+
+        sw = tse.sitewise_loglikelihoods(params)
+        out["logliks"] = sw.sum(axis=1).tolist()
+        out["best_index"] = int(np.argmax(out["logliks"]))
+        which = (("kh", "sh", "au") if args.test == "all"
+                 else (args.test,))
+        runners = {"kh": kh_test, "sh": sh_test, "au": au_test}
+        def _clean(v):
+            # +-inf (AU's degenerate-BP d statistic) is not valid JSON
+            if isinstance(v, list):
+                return [_clean(x) for x in v]
+            if isinstance(v, float) and not np.isfinite(v):
+                return None
+            return v
+
+        for name in which:
+            res = runners[name](sw, n_boot=args.n_boot, seed=args.seed)
+            out[name] = {
+                k: _clean(v.tolist() if hasattr(v, "tolist") else v)
+                for k, v in res.items()
+            }
+    else:
+        lls = tse.loglikelihoods(params)
+        out["logliks"] = lls.tolist()
+        out["best_index"] = int(lls.argmax())
+    print(json.dumps(out))
     return 0
 
 
@@ -373,6 +397,26 @@ def cmd_ancestral(args) -> int:
         from phylo_utils_tpu.io import write_fasta
 
         write_fasta(seqs, path=args.out_fasta)
+    if args.joint:
+        from phylo_utils_tpu.ancestral import joint_ancestral_states
+
+        joint = joint_ancestral_states(engine, params)
+        out["joint_states"] = joint["states"].tolist()
+        out["joint_log_prob"] = joint["log_prob"].tolist()
+        jseqs = {}
+        for k2 in range(joint["states"].shape[0]):
+            nid = tree.n_leaves + k2
+            label = tree.names[nid] or f"node{nid}"
+            jseqs[label] = "".join(chars[joint["states"][k2]])
+        out["joint_sequences"] = jseqs
+        if args.out_fasta:
+            from phylo_utils_tpu.io import write_fasta
+
+            write_fasta(
+                jseqs, path=args.out_fasta + ".joint"
+                if not args.out_fasta.endswith(".joint")
+                else args.out_fasta,
+            )
     if args.full:
         out["posteriors"] = post.tolist()
     if args.ncat > 1:
@@ -697,6 +741,10 @@ def main(argv=None) -> int:
     p.add_argument("--ncat", type=int, default=1)
     p.add_argument("--params", help="JSON params")
     p.add_argument("--dtype", default=None)
+    p.add_argument("--test", choices=["kh", "sh", "au", "all"],
+                   help="RELL topology significance test(s) to run")
+    p.add_argument("--n-boot", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_topologies)
 
     p = sub.add_parser("search", help="greedy NNI/SPR tree search")
@@ -716,6 +764,10 @@ def main(argv=None) -> int:
                    help="emit full posterior tensors (large)")
     p.add_argument("--out-fasta", dest="out_fasta",
                    help="write MAP ancestral sequences as FASTA here")
+    p.add_argument("--joint", action="store_true",
+                   help="also run JOINT ML reconstruction (Pupko 2000 "
+                        "max-product DP); with --out-fasta the joint "
+                        "sequences go to <out>.joint")
     p.set_defaults(fn=cmd_ancestral)
 
     p = sub.add_parser("bootstrap", help="bootstrap logL replicates")

@@ -47,11 +47,20 @@ def _canonical_dtype(dtype):
     return jnp.dtype(jnp.result_type(float))  # honors jax_enable_x64
 
 
-def rate_categories(engine, params, dtype):
+def rate_categories(engine, params, dtype, rates=None):
     """(rates, cat_weights) for the engine's RATE mixture (gamma/FreeRate/
     none). Shared by ``mixture_rates_and_p`` and engines whose P(t) varies
-    per edge (branch models) but still carry gamma rate heterogeneity."""
+    per edge (branch models) but still carry gamma rate heterogeneity.
+
+    ``rates``: precomputed category rates (host-cached by parameter value,
+    see ``LikelihoodEngine.model_rates``) — skips the on-device Newton
+    gamma-quantile inversion on the per-eval path. Only valid for the
+    equal-weight gamma mixture (FreeRate weights are free parameters).
+    """
     ncat = engine.ncat
+    if rates is not None and ncat > 1:
+        rates = jnp.asarray(rates, dtype)
+        return rates, jnp.full((ncat,), 1.0 / ncat, dtype)
     if ncat > 1 and getattr(engine, "rate_model", "gamma") == "free":
         cat_weights = params["cat_weights"].astype(dtype)
         cat_weights = cat_weights / jnp.sum(cat_weights)
@@ -73,7 +82,7 @@ def rate_categories(engine, params, dtype):
     return rates, cat_weights
 
 
-def mixture_rates_and_p(engine, params, dtype, eig=None):
+def mixture_rates_and_p(engine, params, dtype, eig=None, rates=None):
     """Shared mixture construction: (rates, cat_weights, p, freqs).
 
     Single source of truth for the rate-category vector (gamma or FreeRate),
@@ -92,12 +101,18 @@ def mixture_rates_and_p(engine, params, dtype, eig=None):
     needs no eigh JVP); model-parameter gradients must use the eig=None
     path (Daleckii-Krein custom JVP).
     """
-    rates, cat_weights = rate_categories(engine, params, dtype)
+    rates, cat_weights = rate_categories(engine, params, dtype, rates=rates)
     t = params["branch_lengths"].astype(dtype)
     ts = t[:, None] * rates[None, :]                       # (n_nodes, K)
     if eig is not None:
         freqs = eig.freqs.astype(dtype)
-        p = transition_matrices(eig, ts)
+        # Reconstruct P directly in the engine's COMPUTE dtype: exp(lambda
+        # t) stays in `dtype` (f64 under the precision plan — the
+        # coherent-error source) while the spectral-mode matmul runs in
+        # f32 for f32 engines. Cuts the emulated-f64 reconstruct and the
+        # (edges, K, S, S) downcast out of the per-eval path (round-3
+        # VERDICT item 3: P-build dominated single-stream latency).
+        p = transition_matrices(eig, ts, out_dtype=engine.dtype)
     elif engine.model.reversible:
         # degeneracy-safe custom-JVP path (ops.pmatrix docstring)
         sym, freqs = engine.model.build_parts(params["model"], dtype=dtype)
@@ -293,12 +308,19 @@ class LikelihoodEngine:
         self._jit_fn_eig = jax.jit(
             lambda p, eig, lp, w: self._loglik_fn(p, lp, w, eig=eig)
         )
+        self._jit_fn_eig_rates = jax.jit(
+            lambda p, eig, rates, lp, w: self._loglik_fn(
+                p, lp, w, eig=eig, rates=rates
+            )
+        )
         self._jit_grad = jax.jit(jax.grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0]))
         self._jit_vag = jax.jit(
             jax.value_and_grad(lambda p, lp, w: self._loglik_fn(p, lp, w)[0])
         )
         self._eig_cache_key = None
         self._eig_cache = None
+        self._rates_cache_key = None
+        self._rates_cache = None
 
     def model_eigen(self, full_params):
         """Eigen system for ``full_params['model']``, cached on the host by
@@ -319,6 +341,39 @@ class LikelihoodEngine:
             self._eig_cache = self.model.eigen(full_params["model"], dtype=rdt)
             self._eig_cache_key = key
         return self._eig_cache
+
+    def model_rates(self, full_params):
+        """Discrete-gamma category rates for ``full_params['alpha']``,
+        cached on the host by parameter VALUE (companion to
+        ``model_eigen``): the PAML-style quantile inversion is a Newton
+        loop of many tiny device ops — real latency on the single-stream
+        eval path, pure waste when alpha is frozen (branch-length
+        optimization, distances, tree search, bootstrap). Returns None
+        when this engine's rates are not a pure function of alpha
+        (FreeRate / no rate heterogeneity / subclass mixtures)."""
+        if (
+            self.ncat <= 1
+            or getattr(self, "rate_model", "gamma") != "gamma"
+            or "alpha" not in full_params
+            # subclasses with their own mixture/likelihood plumbing don't
+            # take the precomputed-rates kwarg — only the base engine's
+            # unmodified path may use the cache
+            or type(self)._mixture_tensors is not LikelihoodEngine._mixture_tensors
+            or type(self)._loglik_fn is not LikelihoodEngine._loglik_fn
+        ):
+            return None
+        key = (np.asarray(full_params["alpha"]).tobytes(), self.ncat,
+               self.median)
+        if key != self._rates_cache_key:
+            rdt = self._reduce_dtype
+            self._rates_cache = jax.device_get(
+                discrete_gamma(
+                    jnp.asarray(full_params["alpha"], rdt), self.ncat,
+                    self.median,
+                )
+            )
+            self._rates_cache_key = key
+        return jnp.asarray(self._rates_cache, self._reduce_dtype)
 
     # -- parameters ---------------------------------------------------------
 
@@ -355,23 +410,27 @@ class LikelihoodEngine:
 
     # -- core computation ----------------------------------------------------
 
-    def _mixture_tensors(self, params, dtype, eig=None):
+    def _mixture_tensors(self, params, dtype, eig=None, rates=None):
         """Hook: (rates, cat_weights, p, freqs) for this engine's mixture.
 
         ``p`` is the (n_nodes, K, S, S) batch of per-edge-per-category
         transition matrices. Subclasses whose P(t) varies per EDGE as well
         as per category (branch models: per-edge omega classes) override
         only this — pruning, scaling, mixing, gradients, sharding,
-        ancestral posteriors all flow through it unchanged."""
-        return mixture_rates_and_p(self, params, dtype, eig=eig)
+        ancestral posteriors all flow through it unchanged. (Overrides may
+        omit the ``rates`` precompute hook; the base engine only forwards
+        it when set, and only for the plain gamma mixture.)"""
+        return mixture_rates_and_p(self, params, dtype, eig=eig, rates=rates)
 
-    def _loglik_fn(self, params, leaf_partials, weights, eig=None):
+    def _loglik_fn(self, params, leaf_partials, weights, eig=None,
+                   rates=None):
         dtype = self.dtype
         rdt = getattr(self, "_reduce_dtype", dtype)
         # P(t), rates, weights, freqs built in the high-precision dtype;
         # only the pruning pass itself runs in `dtype`.
+        kw = {"rates": rates} if rates is not None else {}
         _, cat_weights, p, freqs = self._mixture_tensors(params, rdt,
-                                                         eig=eig)
+                                                         eig=eig, **kw)
         pinv = params.get("pinv") if self.invariant_sites else None
         inv = (
             invariant_site_likelihood(leaf_partials.astype(rdt), freqs)
@@ -396,10 +455,16 @@ class LikelihoodEngine:
     # -- public API ----------------------------------------------------------
 
     def _eval(self, full):
-        """(total, sitewise) via the cached-eigen fast path when available."""
+        """(total, sitewise) via the cached-eigen (+ cached gamma rates)
+        fast path when available."""
         eig = self.model_eigen(full)
         if eig is None:
             return self._jit_fn(full, self._leaf_partials, self._weights)
+        rates = self.model_rates(full)
+        if rates is not None:
+            return self._jit_fn_eig_rates(
+                full, eig, rates, self._leaf_partials, self._weights
+            )
         return self._jit_fn_eig(
             full, eig, self._leaf_partials, self._weights
         )
@@ -433,20 +498,22 @@ class LikelihoodEngine:
         """
         full = self._full_params(params)
         eig = self.model_eigen(full)
+        rates = self.model_rates(full)
         bl = jnp.asarray(branch_length_sets, self.dtype)
         if not hasattr(self, "_jit_many"):
-            def many(full, eig, bl, lp, w):
+            def many(full, eig, rates, bl, lp, w):
                 def one(b):
                     p2 = dict(full)
                     p2["branch_lengths"] = b
-                    return self._loglik_fn(p2, lp, w, eig=eig)[0]
+                    return self._loglik_fn(p2, lp, w, eig=eig,
+                                           rates=rates)[0]
 
                 return jax.vmap(one)(bl)
 
             self._jit_many = jax.jit(many)
         return np.asarray(
             self._jit_many(
-                full, eig, bl, self._leaf_partials, self._weights
+                full, eig, rates, bl, self._leaf_partials, self._weights
             )
         )
 

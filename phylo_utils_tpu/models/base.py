@@ -37,6 +37,13 @@ class Eigen(NamedTuple):
     ivecs: Optional[jnp.ndarray]   # (S, S) = V^-1
     freqs: jnp.ndarray             # (S,)
     q: jnp.ndarray                 # (S, S) normalized rate matrix
+    # Precomputed spectral reconstruction modes:
+    # recon[k, i, j] = V[i, k] * Vi[k, j], so
+    # P(t) = sum_k e^{lambda_k t} recon[k] — ONE small matmul
+    # (edges*cats, S) @ (S, S*S) per evaluation instead of a 3-operand
+    # einsum. Computed once with the eigendecomposition (it shares the
+    # eigen system's lifetime and cache); None for non-reversible models.
+    recon: Optional[jnp.ndarray] = None
 
 
 def normalize_q(q: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
@@ -118,7 +125,8 @@ def eigen_reversible(
         w, u = jnp.linalg.eigh(b)
     v = u / sqrtp[:, None]
     vi = u.T * sqrtp[None, :]
-    return Eigen(evals=w, evecs=v, ivecs=vi, freqs=freqs, q=q)
+    recon = v.T[:, :, None] * vi[:, None, :]       # (S modes, S, S)
+    return Eigen(evals=w, evecs=v, ivecs=vi, freqs=freqs, q=q, recon=recon)
 
 
 def stationary_from_q(q: jnp.ndarray) -> jnp.ndarray:

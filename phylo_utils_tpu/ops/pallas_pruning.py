@@ -925,8 +925,17 @@ def _pallas_forward(
     cmax = children.shape[1]
     static = n_internal <= STATIC_UNROLL_MAX
     # classic whole-tree scratch when it fits; otherwise the O(depth)
-    # slot-reuse kernel (big trees)
-    use_slots = (
+    # slot-reuse kernel (big trees). PHYLO_FORCE_STREAM=1 forces the
+    # HBM-streaming slot kernel even when the classic block fits —
+    # measurement knob for wide-state (codon) configs where the P input
+    # block dominates VMEM and per-node DMA granularity may beat the
+    # block-pipelined copy (round-3 VERDICT item 6 experiment).
+    force_stream = (
+        os.environ.get("PHYLO_FORCE_STREAM", "0") == "1"
+        and slot_data is not None
+        and not static
+    )
+    use_slots = force_stream or (
         slot_data is not None
         and _working_bytes(LANE, n_nodes, n_leaves, s_pad, "fwd")
         > VMEM_BUDGET
@@ -945,7 +954,7 @@ def _pallas_forward(
     s_tot = fold * s_pad
     use_stream = False
     if use_slots:
-        use_stream = (
+        use_stream = force_stream or (
             _working_bytes(
                 LANE, n_nodes, n_leaves, s_pad, "slot", slot_data[5]
             )

@@ -53,8 +53,22 @@ def extend_p_identity(p: jnp.ndarray, n_total: int) -> jnp.ndarray:
     return jnp.concatenate([p, eye], axis=-4)
 
 
-def transition_matrices(eig: Eigen, t: jnp.ndarray) -> jnp.ndarray:
-    """P(t) for a batch of times. t: (...,) -> P: (..., S, S)."""
+def transition_matrices(
+    eig: Eigen, t: jnp.ndarray, out_dtype=None
+) -> jnp.ndarray:
+    """P(t) for a batch of times. t: (...,) -> P: (..., S, S).
+
+    ``out_dtype``: dtype of the RECONSTRUCT step (and the returned P).
+    Latency lever for f32 engines under x64 (round-3): the eigenvalue
+    exponentials e^{lambda t} stay in ``t``'s dtype (f64 — the exp is the
+    coherent-error source: a biased e^{lambda t} acts like a systematic
+    branch-length perturbation across every site), but the spectral-mode
+    matmul runs in ``out_dtype`` (f32), whose rounding is incoherent
+    across P entries and vanishes in the pattern sum. This removes the
+    emulated-f64 reconstruct AND the separate downcast of the full
+    (edges, K, S, S) tensor from the per-evaluation path. Measured parity
+    impact on the 64-taxon GTR+Gamma4 bench config: see PARITY.md.
+    """
     t = jnp.asarray(t)
     if eig.evals is None:
         qt = eig.q * t[..., None, None]
@@ -62,13 +76,26 @@ def transition_matrices(eig: Eigen, t: jnp.ndarray) -> jnp.ndarray:
         p = jax.vmap(jax.scipy.linalg.expm)(flat)
         # same nonnegativity clamp as the eigen path below: f32
         # scaling-and-squaring can also round tiny entries negative
-        return jnp.maximum(p.reshape(t.shape + eig.q.shape), 0.0)
+        p = jnp.maximum(p.reshape(t.shape + eig.q.shape), 0.0)
+        return p if out_dtype is None else p.astype(out_dtype)
     # exp(lambda * t): (..., S)
     ew = jnp.exp(eig.evals * t[..., None])
-    # (V * ew) @ Vi, batched over leading dims of t
-    p = jnp.einsum(
-        "ik,...k,kj->...ij", eig.evecs, ew, eig.ivecs, precision=_HI
-    )
+    if eig.recon is not None:
+        recon = eig.recon
+        if out_dtype is not None:
+            ew = ew.astype(out_dtype)
+            recon = recon.astype(out_dtype)
+        # P(t) = sum_k e^{lambda_k t} * recon[k]: one (batch, S) x
+        # (S, S*S) contraction — the modes are precomputed with the eigen
+        # system, so the per-eval work is a single small matmul
+        p = jnp.einsum("...k,kij->...ij", ew, recon, precision=_HI)
+    else:
+        # (V * ew) @ Vi, batched over leading dims of t
+        p = jnp.einsum(
+            "ik,...k,kj->...ij", eig.evecs, ew, eig.ivecs, precision=_HI
+        )
+        if out_dtype is not None:
+            p = p.astype(out_dtype)
     # True transition probabilities are >= 0, but the f32 eigen
     # reconstruction rounds tiny off-diagonals slightly negative for
     # near-zero t (measured -3.8e-7 for the 61-state codon model), which

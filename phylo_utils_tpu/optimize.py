@@ -229,6 +229,11 @@ def fit(
     eig = None
     if "model" not in free_tops and hasattr(engine, "model_eigen"):
         eig = engine.model_eigen(base)
+    # alpha frozen too -> gamma rates are a constant of the fit: skip the
+    # per-step on-device quantile inversion (host-cached like the eigen)
+    rates = None
+    if "alpha" not in free_tops and hasattr(engine, "model_rates"):
+        rates = engine.model_rates(base)
 
     # Data arrays are threaded through the jitted steps as ARGUMENTS, not
     # closure constants: globally-sharded (multi-host) leaf partials span
@@ -240,8 +245,13 @@ def fit(
     def make_loss(lp, w):
         def loss_fn(raw):
             params = _merge_params(frozen, untransform_params(raw))
+            kw = {}
             if eig is not None:
-                total, _ = engine._loglik_fn(params, lp, w, eig=eig)
+                kw["eig"] = eig
+            if rates is not None:
+                kw["rates"] = rates
+            if kw:
+                total, _ = engine._loglik_fn(params, lp, w, **kw)
             else:
                 total, _ = engine._loglik_fn(params, lp, w)
             # fixed loss dtype: an f32 engine under x64 otherwise feeds an

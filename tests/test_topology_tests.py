@@ -1,4 +1,4 @@
-"""KH/SH topology tests on RELL resampling."""
+"""KH/SH/AU topology tests on RELL resampling."""
 import jax
 import numpy as np
 import pytest
@@ -6,7 +6,12 @@ import pytest
 from phylo_utils_tpu import models
 from phylo_utils_tpu.batched import TopologySetEngine
 from phylo_utils_tpu.simulate import simulate_alignment
-from phylo_utils_tpu.topology_tests import kh_test, rell_logliks, sh_test
+from phylo_utils_tpu.topology_tests import (
+    au_test,
+    kh_test,
+    rell_logliks,
+    sh_test,
+)
 from phylo_utils_tpu.trees import nni_neighbors, random_tree
 
 
@@ -48,3 +53,31 @@ def test_kh_and_sh_reject_bad_trees_keep_truth(sitewise_matrix):
     # SH is more conservative than KH (>= p-values up to MC noise)
     assert (sh["pvalue"] >= kh["pvalue"] - 0.1).all()
     assert (kh["delta"] >= 0).all() and kh["delta"][0] == 0
+
+
+def test_au_test_supports_truth_rejects_bad(sitewise_matrix):
+    au = au_test(sitewise_matrix, n_boot=600, seed=4)
+    assert au["best"] == 0
+    assert np.all((au["pvalue"] >= 0) & (au["pvalue"] <= 1))
+    # the generating tree is not rejected; its BP mass dominates
+    assert au["pvalue"][0] > 0.5
+    assert au["bp"][0] > 0.5
+    # clearly worse topologies are rejected at 5%
+    assert (au["pvalue"][1:] < 0.05).any()
+    # BP at r=1 sums to ~1 over the candidate set
+    assert au["bp"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_au_test_near_tied_rows():
+    """Two statistically indistinguishable rows split the BP mass;
+    neither is rejected, and a strictly dominated third tree gets
+    p ~ 0. (EXACT ties break deterministically to the lower index in
+    argmax, so the tie is jittered at the per-site noise floor.)"""
+    rng = np.random.default_rng(0)
+    row = rng.normal(-3.0, 1.0, size=400)
+    sw = np.stack([row, row + rng.normal(0, 0.05, size=400),
+                   row - 0.5])
+    au = au_test(sw, n_boot=400, seed=1)
+    assert au["pvalue"][0] > 0.2 and au["pvalue"][1] > 0.2
+    assert au["pvalue"][2] < 0.01
+    assert au["bp"][2] == 0.0
