@@ -14,18 +14,26 @@ The only cross-device communication is the final logL psum (and its
 gradient), so efficiency should be near 1 whenever per-device work amortizes
 dispatch overhead.
 
-CPU-mesh pinning (round 3): all virtual host devices share ONE XLA
-threadpool, so an unpinned N-device run contends for the host's cores and
-the efficiency number measures OVERSUBSCRIPTION, not communication
-(round-2 artifact: 0.79 at 2 devices on 4 cores). Measured on this host,
-a single device is FASTER on one core (180k patterns/s) than with the
-4-core threadpool (113k) at this problem size. `--pin` (default on the
-cpu backend) therefore runs each device count in a subprocess under
-`taskset -c 0..N-1` — exactly one core per device — so cores/device is
-constant across rows and the remaining efficiency loss is the psum +
-per-dispatch sharding overhead, which a separate psum-only microbenchmark
-quantifies (`psum_us_per_call`). Raw unpinned rows are still emitted
-(`pinned: false`) for transparency.
+CPU-mesh pinning and why wall-clock rows CANNOT isolate communication
+here (round 3): all virtual host devices share ONE XLA threadpool, and
+XLA:CPU greedily parallelizes a SINGLE device's program across every
+visible core — so any taskset layout makes the 1-device ideal and the
+N-device measurement use different cores-per-program, and the rows
+measure cache/threadpool geometry, not psum. Measured demonstrations on
+this 4-core host (64 taxa, 2048 patterns/device): 1 device reads 45.2k
+patterns/s on 1 core but 72.0k on 2 cores (intra-op threading), and the
+2-devices-on-3-cores point is SUPERLINEAR against the 1-core baseline
+(104.0k = 1.15x of 2x45.2k) — both impossible under a communication
+interpretation. The pinned subprocess rows (`taskset -c 0..N`, one core
+per device plus a dispatcher core, `pinned: true`) are therefore
+reported for transparency only.
+
+The artifact's communication evidence is instead isolated BY
+CONSTRUCTION: `measure_psum` times the same tiny shard_map program with
+and without the scalar psum under identical dispatch conditions —
+`psum_net_us` is the collective + cross-device sync cost per call, to be
+compared against the multi-millisecond per-call compute at production
+shard sizes (see SCALING_r03.json analysis).
 """
 from __future__ import annotations
 
@@ -73,9 +81,14 @@ def measure(n_devices: int, patterns_per_device: int, n_taxa: int,
     return int(engine._weights.shape[0]) / dt
 
 
-def measure_psum(n_devices: int, iters: int = 50) -> float:
-    """Microseconds per call for the harness's ONLY collective: one scalar
-    psum over the mesh (what the sharded logL reduction lowers to)."""
+def measure_psum(n_devices: int, iters: int = 50) -> dict:
+    """Per-call cost of the harness's ONLY collective, isolated BY
+    CONSTRUCTION: the same tiny shard_map program is timed WITH the
+    scalar psum (what the sharded logL reduction lowers to) and WITHOUT
+    it (per-shard local sum, no communication). The difference is the
+    collective + cross-device sync cost under identical dispatch
+    conditions — wall-clock weak-scaling rows on a shared-core host
+    cannot isolate this (see module docstring)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -85,25 +98,46 @@ def measure_psum(n_devices: int, iters: int = 50) -> float:
     mesh = make_mesh(jax.devices()[:n_devices])
 
     @jax.jit
-    def reduced(x):
+    def with_psum(x):
         f = jax.shard_map(
             lambda v: jax.lax.psum(jnp.sum(v), "sites"),
             mesh=mesh, in_specs=P("sites"), out_specs=P(),
         )
         return f(x)
 
+    @jax.jit
+    def without_psum(x):
+        f = jax.shard_map(
+            lambda v: jnp.sum(v, keepdims=True),
+            mesh=mesh, in_specs=P("sites"), out_specs=P("sites"),
+        )
+        return f(x)
+
     x = jnp.arange(n_devices * 8, dtype=jnp.float32)
-    jax.block_until_ready(reduced(x))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = reduced(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e6
+
+    def timed(fn):
+        jax.block_until_ready(fn(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(x)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters * 1e6)
+        return best
+
+    t_psum = timed(with_psum)
+    t_local = timed(without_psum)
+    return {
+        "psum_us_per_call": round(t_psum, 1),
+        "dispatch_only_us_per_call": round(t_local, 1),
+        "psum_net_us": round(max(t_psum - t_local, 0.0), 1),
+    }
 
 
 def _run_pinned(n: int, args) -> dict:
-    """One device-count point in a subprocess pinned to cores 0..n-1 with
-    exactly n virtual devices: cores/device == 1 for every row."""
+    """One device-count point in a subprocess pinned to cores 0..n (one
+    core per device plus a dispatcher core, capped at the host's cores)."""
     env = dict(
         os.environ,
         PYTHONPATH="",
@@ -111,8 +145,9 @@ def _run_pinned(n: int, args) -> dict:
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
     )
+    top = min(n, (os.cpu_count() or 1) - 1)
     cmd = [
-        "taskset", "-c", f"0-{n - 1}" if n > 1 else "0",
+        "taskset", "-c", f"0-{top}" if top > 0 else "0",
         sys.executable, os.path.abspath(__file__),
         "--single", str(n),
         "--patterns-per-device", str(args.patterns_per_device),
@@ -142,12 +177,13 @@ def main():
 
         n = args.single
         pps = measure(n, args.patterns_per_device, args.taxa, args.grad)
-        print(json.dumps({
+        row = {
             "devices": n,
             "patterns_per_s": round(pps, 1),
-            "psum_us_per_call": round(measure_psum(n), 1),
             "platform": jax.default_backend(),
-        }))
+        }
+        row.update(measure_psum(n))
+        print(json.dumps(row))
         return
 
     import jax
@@ -171,7 +207,7 @@ def main():
                 taxa=args.taxa,
                 measuring="grad" if args.grad else "forward",
                 pinned=True,
-                cores_per_device=1,
+                cores=f"0-{min(n, n_cores - 1)}",
             )
             print(json.dumps(row))
 

@@ -43,6 +43,7 @@ __all__ = [
     "ml_distance_matrix",
     "brent_minimize",
     "golden_section",
+    "parametric_bootstrap",
 ]
 
 _HI = lax.Precision.HIGHEST
@@ -725,3 +726,74 @@ def ml_distance_matrix(
     out[ii, jj] = ts
     out[jj, ii] = ts
     return out
+
+
+def parametric_bootstrap(
+    engine,
+    params: Optional[Mapping] = None,
+    n_replicates: int = 100,
+    seed: int = 0,
+    free: Optional[Tuple[str, ...]] = None,
+    max_steps: int = 200,
+    pruner: str = "xla",
+    **fit_kwargs,
+):
+    """Parametric bootstrap of the ML estimates (seq-gen + refit).
+
+    Simulates ``n_replicates`` alignments of the original length under
+    the engine's model AT ``params`` (pass the MLE from ``fit``), refits
+    each replicate starting from those values, and returns the sampling
+    distribution of the estimates — the finite-sample complement to the
+    asymptotic ``standard_errors`` (observed Fisher information), and the
+    standard way to expose estimator bias.
+
+    Returns a dict with "replicates" (a params PyTree whose leaves are
+    stacked (n_replicates, ...) arrays), "mean"/"se" (per-leaf summary),
+    and "loglik" per replicate. Base ``LikelihoodEngine`` only (mixture /
+    branch-model engines have their own simulators; see
+    simulate.simulate_mixture_alignment / simulate_branch_alignment).
+    """
+    import jax as _jax
+
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    full = engine._full_params(params)
+    tree_mle = engine.tree.with_lengths(
+        np.asarray(full["branch_lengths"], np.float64)
+    )
+    n_sites = int(round(float(np.asarray(engine._compressed.weights).sum())))
+    sim_params = {
+        k: np.asarray(v) for k, v in dict(full.get("model", {})).items()
+    }
+    if "alpha" in full:
+        sim_params["alpha"] = np.asarray(full["alpha"])
+    pinv = float(full["pinv"]) if "pinv" in full else 0.0
+
+    reps = []
+    lls = []
+    for i in range(n_replicates):
+        aln = simulate_alignment(
+            _jax.random.key(seed + i), tree_mle, engine.model, n_sites,
+            params=sim_params, ncat=engine.ncat, pinv=pinv,
+            median=engine.median,
+        )
+        rep_engine = type(engine)(
+            tree_mle, aln, engine.model, ncat=engine.ncat,
+            invariant_sites=engine.invariant_sites, median=engine.median,
+            dtype=engine.dtype, pruner=pruner,
+        )
+        res = fit(rep_engine, params0=full, free=free,
+                  max_steps=max_steps, **fit_kwargs)
+        reps.append(res.params)
+        lls.append(res.loglik)
+
+    stacked = _jax.tree.map(lambda *xs: np.stack(
+        [np.asarray(x, np.float64) for x in xs]), *reps)
+    mean = _jax.tree.map(lambda a: a.mean(axis=0), stacked)
+    se = _jax.tree.map(lambda a: a.std(axis=0, ddof=1), stacked)
+    return {
+        "replicates": stacked,
+        "mean": mean,
+        "se": se,
+        "loglik": np.asarray(lls),
+    }
