@@ -164,6 +164,7 @@ def main():
             "step_ms": round(dt * 1e3, 3),
             "n_patterns": int(engine._weights.shape[0]),
             "pruner": args.pruner,
+            "device": str(jax.devices()[0]),
         }))
 
     # 5: gradient-based optimization, 128 taxa, sites sharded over devices
@@ -209,6 +210,7 @@ def main():
         "pruner": args.pruner,
         "n_devices": len(jax.devices()),
         "sharded": sharding is not None,
+        "device": str(jax.devices()[0]),
         "notes": (
             f"config5 runs value_and_grad through the {args.pruner!r} "
             "pruner (fused Pallas backward when 'pallas') with "

@@ -465,8 +465,24 @@ def cmd_build_tree(args) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write(text + "\n")
-    print(json.dumps({"tree": text, "loglik": ll, "method":
-                      "nj+" + args.moves if args.refine else "nj"}))
+    out = {"tree": text, "loglik": ll,
+           "method": "nj+" + args.moves if args.refine else "nj"}
+    if args.bootstrap:
+        from phylo_utils_tpu.supports import bootstrap_tree_support
+
+        bs = bootstrap_tree_support(
+            tree, aln, model, n_reps=args.bootstrap,
+            params=_json_params(args.params), consensus=True,
+        )
+        out["bootstrap_support"] = {
+            str(int(e)): float(s)
+            for e, s in zip(bs["edges"], bs["support"])
+        }
+        out["consensus_tree"] = write_newick(bs["consensus"])
+        if args.out:
+            with open(args.out + ".consensus", "w") as f:
+                f.write(out["consensus_tree"] + "\n")
+    print(json.dumps(out))
     return 0
 
 
@@ -787,6 +803,10 @@ def main(argv=None) -> int:
                    help="NNI/SPR hill-climb from the NJ tree")
     p.add_argument("--moves", default="nni", choices=["nni", "spr", "both"])
     p.add_argument("--out", help="write newick here")
+    p.add_argument("--bootstrap", type=int, default=0, metavar="B",
+                   help="B Felsenstein bootstrap replicates: per-edge "
+                        "supports + majority-rule consensus tree "
+                        "(written to <out>.consensus)")
     p.set_defaults(fn=cmd_build_tree)
 
     p = sub.add_parser("serve", help="HTTP inference server for one engine")

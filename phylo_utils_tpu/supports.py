@@ -168,6 +168,7 @@ def bootstrap_tree_support(
     params: Optional[Mapping] = None,
     seed: int = 0,
     dtype=None,
+    consensus: bool = False,
 ) -> Dict:
     """Felsenstein bootstrap supports via distance/NJ replicate trees.
 
@@ -179,7 +180,9 @@ def bootstrap_tree_support(
     ``tree``'s internal edges (as unrooted bipartitions) re-appears.
 
     Returns ``{"edges": node ids, "support": (E,) fractions,
-    "n_reps": B}``. Classic nonparametric supports — complementary to the
+    "n_reps": B}``; with ``consensus=True`` also the majority-rule
+    consensus Tree of the replicate NJ trees (internal labels carry
+    percent support, lengths are split means). Classic nonparametric supports — complementary to the
     likelihood-based ``alrt_supports``.
     """
     import jax
@@ -246,14 +249,19 @@ def bootstrap_tree_support(
         edge_split.pop(max(rk), None)
     edges = sorted(edge_split)
     counts = {e: 0 for e in edges}
+    rep_trees = []
     for b in range(n_reps):
         d = np.zeros((n, n))
         d[ii, jj] = ts[b]
         d[jj, ii] = ts[b]
         rep = neighbor_joining(d, list(leaf_names))
+        rep_trees.append(rep)
         rep_splits = ptrees._splits(rep)
         for e in edges:
             if edge_split[e] in rep_splits:
                 counts[e] += 1
     support = np.asarray([counts[e] / n_reps for e in edges])
-    return {"edges": edges, "support": support, "n_reps": n_reps}
+    out = {"edges": edges, "support": support, "n_reps": n_reps}
+    if consensus:
+        out["consensus"] = ptrees.majority_rule_consensus(rep_trees)
+    return out

@@ -31,6 +31,8 @@ __all__ = [
     "nni_neighbors",
     "spr_neighbors",
     "robinson_foulds",
+    "branch_score_distance",
+    "majority_rule_consensus",
     "reroot",
     "midpoint_root",
     "tree_ascii",
@@ -461,6 +463,123 @@ def robinson_foulds(t1: Tree, t2: Tree, normalized: bool = False) -> float:
         return float(rf)
     denom = len(s1) + len(s2)
     return rf / denom if denom else 0.0
+
+
+def _split_lengths(tree: Tree) -> Dict[frozenset, float]:
+    """Every unrooted edge's canonical bipartition -> branch length.
+
+    Includes trivial (leaf) splits. On a rooted binary tree the two root
+    children carry complementary clusters — canonicalization maps both to
+    the same split and their lengths SUM, which is exactly the single
+    unrooted edge they jointly represent."""
+    all_names = frozenset(tree.leaf_names)
+    anchor = min(all_names)
+    below: Dict[int, frozenset] = {}
+    out: Dict[frozenset, float] = {}
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            below[node] = frozenset((tree.names[node],))
+        else:
+            below[node] = frozenset().union(*(below[c] for c in kids))
+        if node != tree.root:
+            s = below[node]
+            side = s if anchor not in s else all_names - s
+            if side and len(side) < len(all_names):
+                out[side] = out.get(side, 0.0) + float(tree.lengths[node])
+    return out
+
+
+def branch_score_distance(t1: Tree, t2: Tree) -> float:
+    """Kuhner-Felsenstein (1994) branch-score distance: sqrt of the sum
+    of squared branch-length differences over the union of bipartitions
+    (a split absent from a tree contributes length 0). Unlike RF this is
+    continuous in the branch lengths; BSD(t, t) == 0 under rerooting."""
+    if set(t1.leaf_names) != set(t2.leaf_names):
+        raise ValueError("trees have different taxon sets")
+    m1, m2 = _split_lengths(t1), _split_lengths(t2)
+    total = 0.0
+    for s in set(m1) | set(m2):
+        d = m1.get(s, 0.0) - m2.get(s, 0.0)
+        total += d * d
+    return float(np.sqrt(total))
+
+
+def majority_rule_consensus(
+    trees: Sequence[Tree], min_freq: float = 0.5
+) -> Tree:
+    """Majority-rule consensus of a tree sample (bootstrap replicates,
+    posterior samples): keeps every non-trivial bipartition appearing in
+    MORE than ``min_freq`` of the input trees (strict majority splits are
+    always pairwise compatible, so the consensus is well-defined for
+    min_freq >= 0.5). Internal node names carry the split's support as an
+    integer percentage; branch lengths are the mean over the trees
+    containing the split (leaf edges: mean over all trees)."""
+    if min_freq < 0.5:
+        raise ValueError("min_freq < 0.5 can yield incompatible splits")
+    trees = list(trees)
+    if not trees:
+        raise ValueError("no trees given")
+    taxa = set(trees[0].leaf_names)
+    for t in trees[1:]:
+        if set(t.leaf_names) != taxa:
+            raise ValueError("trees have different taxon sets")
+    n = len(trees)
+    counts: Dict[frozenset, int] = {}
+    lensum: Dict[frozenset, float] = {}
+    for t in trees:
+        m = _split_lengths(t)
+        for s, ln in m.items():
+            lensum[s] = lensum.get(s, 0.0) + ln
+        for s in _splits(t):
+            counts[s] = counts.get(s, 0) + 1
+    kept = [s for s, c in counts.items() if c / n > min_freq]
+    kept.sort(key=len)                       # children before parents
+    anchor = min(taxa)
+
+    def mean_len(side: frozenset, present: int) -> float:
+        return lensum.get(side, 0.0) / max(present, 1)
+
+    builder = TreeBuilder()
+    node_of: Dict[frozenset, int] = {}
+    claimed: Dict = {}                        # leaf/split -> parent split
+    for s in kept:
+        kids = []
+        for leaf in sorted(s):
+            if leaf not in claimed:
+                side = (
+                    frozenset((leaf,))
+                    if leaf != anchor
+                    else frozenset(taxa - {leaf})
+                )
+                kids.append(
+                    builder.add_node(leaf, mean_len(side, n), ())
+                )
+                claimed[leaf] = s
+        for s2 in kept:
+            if s2 is not s and s2 in node_of and s2 < s \
+                    and claimed.get(s2) is None:
+                kids.append(node_of[s2])
+                claimed[s2] = s
+        support = round(100.0 * counts[s] / n)
+        node_of[s] = builder.add_node(
+            str(support), mean_len(s, counts[s]), kids
+        )
+        claimed.setdefault(s, None)
+    root_kids = []
+    for leaf in sorted(taxa):
+        if leaf not in claimed:
+            side = (
+                frozenset((leaf,))
+                if leaf != anchor
+                else frozenset(taxa - {leaf})
+            )
+            root_kids.append(builder.add_node(leaf, mean_len(side, n), ()))
+    for s in kept:
+        if claimed.get(s) is None:
+            root_kids.append(node_of[s])
+    root = builder.add_node("", None, root_kids)
+    return builder.build(root)
 
 
 def reroot(tree: Tree, node: int, fraction: float = 0.5) -> Tree:
