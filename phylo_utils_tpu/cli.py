@@ -472,11 +472,15 @@ def cmd_build_tree(args) -> int:
 
         bs = bootstrap_tree_support(
             tree, aln, model, n_reps=args.bootstrap,
-            params=_json_params(args.params), consensus=True,
+            params=_json_params(args.params), consensus=True, tbe=True,
         )
         out["bootstrap_support"] = {
             str(int(e)): float(s)
             for e, s in zip(bs["edges"], bs["support"])
+        }
+        out["tbe_support"] = {
+            str(int(e)): float(s)
+            for e, s in zip(bs["edges"], bs["tbe"])
         }
         out["consensus_tree"] = write_newick(bs["consensus"])
         if args.out:

@@ -16,6 +16,8 @@ POST /gradient          {"params": {...}?}         -> {"gradient": {...}}
 POST /fit               {"params": ..., "max_steps": n, "free": [...]}
 POST /bootstrap         {"n": 100, "seed": 0}      -> {"logliks": [...]}
 POST /partitions        {"params": {...}?}         -> {"partitions": {...}}
+POST /ancestral         {"params": ...?, "joint": bool} -> MAP/joint states
+POST /site_rates        {"params": {...}?}         -> posterior-mean rates
                         (PartitionedEngine only; engines that lack an
                         endpoint's method return a clean 501)
 """
@@ -100,6 +102,28 @@ class EngineServer:
                 }
             if route == "/gradient":
                 return {"gradient": _tree_to_json(engine.gradient(params))}
+            if route == "/ancestral":
+                from phylo_utils_tpu.ancestral import (
+                    ancestral_posteriors,
+                    joint_ancestral_states,
+                )
+
+                if body.get("joint"):
+                    joint = joint_ancestral_states(engine, params)
+                    return {
+                        "states": joint["states"].tolist(),
+                        "log_prob": joint["log_prob"].tolist(),
+                        "category": joint["category"].tolist(),
+                    }
+                post = ancestral_posteriors(engine, params)
+                return {
+                    "map_states": post.argmax(axis=2).tolist(),
+                    "max_posterior": post.max(axis=2).tolist(),
+                }
+            if route == "/site_rates":
+                from phylo_utils_tpu.ancestral import site_rates
+
+                return {"site_rates": site_rates(engine, params).tolist()}
             if route == "/bootstrap":
                 if not hasattr(engine, "bootstrap_loglikelihoods"):
                     raise NotImplementedError(

@@ -24,7 +24,7 @@ import numpy as np
 from phylo_utils_tpu import trees as ptrees
 
 __all__ = ["nni_alternatives_by_edge", "alrt_supports",
-           "bootstrap_tree_support"]
+           "bootstrap_tree_support", "transfer_bootstrap_supports"]
 
 
 def nni_alternatives_by_edge(tree: ptrees.Tree):
@@ -169,6 +169,7 @@ def bootstrap_tree_support(
     seed: int = 0,
     dtype=None,
     consensus: bool = False,
+    tbe: bool = False,
 ) -> Dict:
     """Felsenstein bootstrap supports via distance/NJ replicate trees.
 
@@ -182,7 +183,9 @@ def bootstrap_tree_support(
     Returns ``{"edges": node ids, "support": (E,) fractions,
     "n_reps": B}``; with ``consensus=True`` also the majority-rule
     consensus Tree of the replicate NJ trees (internal labels carry
-    percent support, lengths are split means). Classic nonparametric supports — complementary to the
+    percent support, lengths are split means); with ``tbe=True`` also
+    per-edge Transfer Bootstrap Expectation supports (see
+    ``transfer_bootstrap_supports``). Classic nonparametric supports — complementary to the
     likelihood-based ``alrt_supports``.
     """
     import jax
@@ -262,6 +265,100 @@ def bootstrap_tree_support(
                 counts[e] += 1
     support = np.asarray([counts[e] / n_reps for e in edges])
     out = {"edges": edges, "support": support, "n_reps": n_reps}
+    if tbe:
+        out["tbe"] = transfer_bootstrap_supports(
+            tree, rep_trees, edges=edges
+        )["support"]
     if consensus:
         out["consensus"] = ptrees.majority_rule_consensus(rep_trees)
     return out
+
+
+def _edge_indicators(tree: ptrees.Tree, leaf_index: Dict[str, int]):
+    """(E, L) bool indicator matrix over internal edges + the edge list."""
+    below: Dict[int, np.ndarray] = {}
+    rows = []
+    edges = []
+    n_l = len(leaf_index)
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            v = np.zeros(n_l, bool)
+            v[leaf_index[tree.names[node]]] = True
+            below[node] = v
+            continue
+        v = np.zeros(n_l, bool)
+        for c in kids:
+            v |= below[c]
+        below[node] = v
+        if node != tree.root and 1 < int(v.sum()) < n_l - 1:
+            rows.append(v)
+            edges.append(node)
+    if rows:
+        return np.stack(rows), edges
+    return np.zeros((0, n_l), bool), edges
+
+
+def transfer_bootstrap_supports(
+    tree,
+    replicate_trees,
+    edges=None,
+) -> Dict:
+    """Transfer Bootstrap Expectation (TBE; Lemoine et al. 2018, Nature
+    556:452): per reference edge b with lighter side size p,
+    ``1 - mean_replicates( delta(b, T*) ) / (p - 1)`` where delta is the
+    minimum transfer distance from b to ANY edge of the replicate
+    (capped at p-1, the leaf-edge bound). Recovers the classical
+    Felsenstein proportion on cherries (p = 2) and degrades gracefully
+    on deep edges of large taxon sets where FBP collapses to 0.
+
+    ``tree``: reference topology (Tree or newick str);
+    ``replicate_trees``: iterable of Trees over the same taxa;
+    ``edges``: optional node-id list to report (default: all internal
+    edges, bifurcating-root duplicate removed). Returns {"edges",
+    "support", "n_reps"}.
+    """
+    from phylo_utils_tpu import io as pio
+
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    leaf_index = {n: i for i, n in enumerate(sorted(tree.leaf_names))}
+    n_l = len(leaf_index)
+    ind, edge_ids = _edge_indicators(tree, leaf_index)
+    if edges is not None:
+        # preserve the CALLER's edge order so support rows align
+        pos = {e: i for i, e in enumerate(edge_ids)}
+        keep = [pos[e] for e in edges if e in pos]
+        ind = ind[keep]
+        edge_ids = [edge_ids[i] for i in keep]
+    else:
+        # bifurcating root: its two child edges are one unrooted split
+        rk = tree.children[tree.root]
+        if len(rk) == 2:
+            drop = max(rk)
+            keep = [i for i, e in enumerate(edge_ids) if e != drop]
+            ind, edge_ids = ind[keep], [edge_ids[i] for i in keep]
+    sizes = ind.sum(axis=1)
+    p = np.minimum(sizes, n_l - sizes)            # lighter side (E,)
+    cap = np.maximum(p - 1, 1)
+    reps = list(replicate_trees)
+    delta_sum = np.zeros(len(edge_ids))
+    for rep in reps:
+        if set(rep.leaf_names) != set(tree.leaf_names):
+            raise ValueError("replicate tree has a different taxon set")
+        rind, _ = _edge_indicators(rep, leaf_index)
+        if rind.shape[0] == 0:
+            delta = np.minimum(cap, p - 1)        # only leaf-edge bound
+        else:
+            sz = rind.sum(axis=1)                  # (E',)
+            ov = ind.astype(np.int64) @ rind.T.astype(np.int64)  # (E, E')
+            ham = sizes[:, None] + sz[None, :] - 2 * ov
+            ham = np.minimum(ham, n_l - ham)       # complement side
+            delta = np.minimum(ham.min(axis=1), p - 1)
+        delta_sum += np.minimum(delta, cap)
+    support = 1.0 - (delta_sum / max(len(reps), 1)) / cap
+    return {
+        "edges": edge_ids,
+        "support": support,
+        "n_reps": len(reps),
+    }

@@ -124,3 +124,16 @@ def test_concurrent_requests(server):
         t.join()
     assert len(results) == 8
     assert len({round(r, 6) for r in results}) == 1
+
+
+def test_ancestral_and_site_rates_endpoints(server):
+    srv, engine = server
+    anc = _post(srv, "/ancestral")
+    n_internal = engine.tree.n_nodes - engine.tree.n_leaves
+    assert len(anc["map_states"]) == n_internal
+    assert len(anc["map_states"][0]) == 60
+    joint = _post(srv, "/ancestral", {"joint": True})
+    assert len(joint["states"]) == n_internal
+    assert len(joint["log_prob"]) == 60
+    rates = _post(srv, "/site_rates")["site_rates"]
+    assert len(rates) == 60 and all(r > 0 for r in rates)
