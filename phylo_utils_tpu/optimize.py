@@ -436,6 +436,52 @@ def _branch_lnl_derivs(
     return lnl, jnp.sum(weights * d1), jnp.sum(weights * d2)
 
 
+def _hessian_fd_of_gradient(negll, point, leaves, treedef, sizes,
+                            rel_h: Optional[float] = None):
+    """Observed information by central differences of the exact gradient:
+    H[:, i] ~= (grad(x + h e_i) - grad(x - h e_i)) / 2h. Accurate to
+    O(h^2) with exact scores; used only where jax.hessian cannot
+    differentiate twice (see caller). The default step is eps^(1/3) of
+    the session compute dtype (~6e-6 in f64, ~5e-3 in f32 — an f32 run
+    needs the much larger step or gradient roundoff swamps the
+    difference)."""
+    if rel_h is None:
+        rel_h = float(
+            np.finfo(np.dtype(jnp.result_type(float))).eps ** (1.0 / 3.0)
+        )
+    grad_fn = jax.jit(jax.grad(negll))
+    flat = np.concatenate(
+        [np.ravel(np.asarray(x, np.float64)) for x in leaves]
+    )
+    n = flat.size
+
+    def unflatten(vec):
+        out = []
+        off = 0
+        for x, sz in zip(leaves, sizes):
+            out.append(
+                jnp.asarray(vec[off:off + sz].reshape(np.shape(x)))
+            )
+            off += sz
+        return jax.tree.unflatten(treedef, out)
+
+    def gflat(vec):
+        g = grad_fn(unflatten(vec))
+        return np.concatenate(
+            [np.ravel(np.asarray(x, np.float64))
+             for x in jax.tree.leaves(g)]
+        )
+
+    h = np.zeros((n, n))
+    for i in range(n):
+        step = rel_h * max(abs(flat[i]), 1e-2)
+        vp, vm = flat.copy(), flat.copy()
+        vp[i] += step
+        vm[i] -= step
+        h[:, i] = (gflat(vp) - gflat(vm)) / (2.0 * step)
+    return h
+
+
 def fisher_covariance(
     engine,
     params: Mapping,
@@ -459,19 +505,29 @@ def fisher_covariance(
     point = jax.tree.map(
         lambda x: jnp.asarray(x, jnp.result_type(float)), point
     )
-    hess = jax.hessian(negll)(point)
     leaves, treedef = jax.tree.flatten(point)
     sizes = [int(np.size(x)) for x in leaves]
     n = sum(sizes)
-    hrows = jax.tree.leaves(hess)
-    idx = 0
-    blocks = [[None] * len(leaves) for _ in range(len(leaves))]
-    for i in range(len(leaves)):
-        for j in range(len(leaves)):
-            blk = np.asarray(hrows[idx], np.float64)
-            blocks[i][j] = blk.reshape(sizes[i], sizes[j])
-            idx += 1
-    h = np.block(blocks)
+    try:
+        hess = jax.hessian(negll)(point)
+        hrows = jax.tree.leaves(hess)
+        idx = 0
+        blocks = [[None] * len(leaves) for _ in range(len(leaves))]
+        for i in range(len(leaves)):
+            for j in range(len(leaves)):
+                blk = np.asarray(hrows[idx], np.float64)
+                blocks[i][j] = blk.reshape(sizes[i], sizes[j])
+                idx += 1
+        h = np.block(blocks)
+    except NotImplementedError:
+        # second-order autodiff is unavailable through some primitives
+        # (e.g. the gamma-quantile inversion: jax has no rule for
+        # differentiating `igamma_grad_a`, so a free `alpha` breaks
+        # jax.hessian). Fall back to central finite differences OF THE
+        # EXACT GRADIENT — the standard "numerical observed information
+        # from analytic scores" construction (codeml does the same with
+        # numerical first derivatives on top).
+        h = _hessian_fd_of_gradient(negll, point, leaves, treedef, sizes)
     h = 0.5 * (h + h.T)
     finite = np.isfinite(h).all(axis=0) & np.isfinite(h).all(axis=1)
     cov = np.full((n, n), np.nan)

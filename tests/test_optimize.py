@@ -250,6 +250,33 @@ def test_fit_dotted_free_keys():
         fit(eng, free=("shared", "shared.kappa"), max_steps=1)
 
 
+def test_standard_errors_with_free_alpha_fd_fallback():
+    """jax.hessian cannot differentiate twice through the gamma-quantile
+    inversion (no rule for igamma_grad_a); with alpha free the Fisher
+    information must fall back to central differences of the EXACT
+    gradient and still produce finite, consistent SEs."""
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.optimize import standard_errors
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    truth = parse_newick("((a:0.12,b:0.18):0.1,(c:0.25,d:0.08):0.15);")
+    aln = simulate_alignment(jax.random.key(7), truth, models.K80, 400,
+                             params={"kappa": 3.0, "alpha": 0.6}, ncat=4)
+    eng = LikelihoodEngine(truth, aln, models.K80, ncat=4)
+    res = fit(eng, max_steps=250)
+    se = standard_errors(eng, res.params)      # alpha free -> FD path
+    assert np.isfinite(float(se["alpha"])) and float(se["alpha"]) > 0
+    assert np.isfinite(float(se["model"]["kappa"]))
+    # the FD Hessian must agree with the exact one on the alpha-free
+    # sub-problem (same engine/params, alpha frozen)
+    se_exact = standard_errors(eng, res.params,
+                               free=("branch_lengths", "model"))
+    se_fd_k = float(se["model"]["kappa"])
+    se_ex_k = float(se_exact["model"]["kappa"])
+    # covariance with/without alpha differs slightly; same scale
+    assert 0.5 * se_ex_k < se_fd_k < 2.0 * se_ex_k
+
+
 def test_standard_errors_match_parametric_bootstrap():
     """Fisher-information SEs (exact Hessian) track parametric-bootstrap
     SEs for kappa and pendant branch lengths; the unused root entry is
