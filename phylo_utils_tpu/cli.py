@@ -298,6 +298,21 @@ def cmd_distances(args) -> int:
     return 0
 
 
+def cmd_consense(args) -> int:
+    """Majority-rule consensus of a newick tree sample."""
+    from phylo_utils_tpu.io import parse_newick_forest, write_newick
+    from phylo_utils_tpu.trees import majority_rule_consensus
+
+    trees = parse_newick_forest(args.trees)
+    cons = majority_rule_consensus(trees, min_freq=args.min_freq)
+    text = write_newick(cons)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    print(json.dumps({"n_trees": len(trees), "consensus": text}))
+    return 0
+
+
 def cmd_topologies(args) -> int:
     from phylo_utils_tpu.batched import TopologySetEngine
     from phylo_utils_tpu.io import parse_newick_forest
@@ -751,6 +766,15 @@ def main(argv=None) -> int:
     p.add_argument("--params", help="JSON model params")
     p.add_argument("--format", default="json", choices=["json", "phylip"])
     p.set_defaults(fn=cmd_distances)
+
+    p = sub.add_parser("consense",
+                       help="majority-rule consensus of a tree sample")
+    p.add_argument("--trees", required=True,
+                   help="newick file with multiple ';'-separated trees")
+    p.add_argument("--min-freq", type=float, default=0.5,
+                   help="keep splits in MORE than this fraction (>=0.5)")
+    p.add_argument("--out", help="write consensus newick here")
+    p.set_defaults(fn=cmd_consense)
 
     p = sub.add_parser("topologies",
                        help="score a set of candidate trees in one program")

@@ -36,6 +36,7 @@ __all__ = [
     "transform_params",
     "untransform_params",
     "fit",
+    "fit_multistart",
     "FitResult",
     "standard_errors",
     "fisher_covariance",
@@ -434,6 +435,40 @@ def _branch_lnl_derivs(
     d1 = f1 / f
     d2 = f2 / f - d1 * d1
     return lnl, jnp.sum(weights * d1), jnp.sum(weights * d2)
+
+
+def fit_multistart(
+    engine,
+    params0: Optional[Mapping] = None,
+    n_starts: int = 4,
+    perturb: float = 0.5,
+    seed: int = 0,
+    **fit_kwargs,
+) -> FitResult:
+    """Multi-start ML fit: run ``fit`` from the given/default start plus
+    ``n_starts - 1`` randomized starts (Gaussian noise of scale
+    ``perturb`` in the unconstrained space, so positivity/simplex
+    constraints hold automatically) and return the best FitResult.
+    Guards against local optima in mixture weights / rate parameters;
+    branch-length surfaces for a fixed topology are usually unimodal."""
+    base = engine._full_params(params0)
+    rng = np.random.default_rng(seed)
+    best: Optional[FitResult] = None
+    for i in range(n_starts):
+        if i == 0:
+            start = base
+        else:
+            raw = transform_params(base)
+            noisy = jax.tree.map(
+                lambda x: np.asarray(x, np.float64)
+                + rng.normal(0.0, perturb, np.shape(x)),
+                raw,
+            )
+            start = untransform_params(noisy)
+        res = fit(engine, start, **fit_kwargs)
+        if best is None or res.loglik > best.loglik:
+            best = res
+    return best
 
 
 def _hessian_fd_of_gradient(negll, point, leaves, treedef, sizes,

@@ -330,3 +330,18 @@ def test_chunked_fit_returns_optimized_params_f32():
     # and decisively better than the start
     start_ll = eng.loglikelihood()
     assert res10.loglik > start_ll + 1.0
+
+
+def test_fit_multistart_at_least_single_start():
+    from phylo_utils_tpu.optimize import fit_multistart
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    tree = random_tree(6, seed=2)
+    aln = simulate_alignment(jax.random.key(3), tree, models.HKY85, 200,
+                             params={"kappa": 3.0})
+    eng = LikelihoodEngine(tree, aln, models.HKY85)
+    single = fit(eng, max_steps=120)
+    multi = fit_multistart(eng, n_starts=3, max_steps=120, seed=1)
+    assert multi.loglik >= single.loglik - 1e-6
+    # perturbed starts stay in the constrained domain (kappa > 0)
+    assert float(multi.params["model"]["kappa"]) > 0
