@@ -192,8 +192,11 @@ def main():
     n_cores = os.cpu_count() or 1
     scales = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
 
-    # pinned rows: cores/device == 1, so efficiency isolates the psum +
-    # sharded-dispatch overhead instead of host oversubscription
+    # pinned rows: n compute cores + 1 shared dispatcher core (capped at
+    # the host's core count). NOTE the extra core also feeds XLA intra-op
+    # threading, so the 1-device baseline is inflated and the efficiency
+    # column remains geometry-confounded — reported for transparency
+    # only; the communication evidence is psum_net_us (module docstring).
     if jax.default_backend() == "cpu" and not args.no_pin:
         base = None
         for n in [s for s in scales if s <= n_cores]:

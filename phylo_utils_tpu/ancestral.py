@@ -243,11 +243,17 @@ def joint_ancestral_states(
     single assignment of states to ALL internal nodes jointly maximizing
     P(states, data) per site. Rate mixtures are handled by running the
     DP per category and selecting, per site, the (category, assignment)
-    pair maximizing w_k * P(states, data | r_k).
+    pair maximizing w_k * P(states, data | r_k). For ``invariant_sites``
+    engines the +I component competes too: its weight is ``pinv`` (the
+    gamma categories get ``(1 - pinv) * w_k``), its transition matrices
+    are the identity, so its best assignment is the single state x
+    maximizing pi_x * prod_leaves partial[x] (−inf on sites no single
+    state can explain).
 
     Returns {"states": (n_internal, n_sites) int32 — ordered by internal
     node id, root last; "log_prob": (n_sites,) joint log P(states, data);
-    "category": (n_sites,) winning rate-category index}.
+    "category": (n_sites,) winning rate-category index, where the value
+    ``ncat`` denotes the invariant (+I) component}.
     """
     schedule = engine.schedule
     full = engine._full_params(params)
@@ -327,14 +333,44 @@ def joint_ancestral_states(
             )
 
         # per-site winning category: max_k log(w_k) + log joint_k
-        score_k = jnp.log(cat_weights.astype(dtype))[:, None] + lj
+        log_w = jnp.log(cat_weights.astype(dtype))[:, None]
+        pinv = (
+            full.get("pinv") if getattr(engine, "invariant_sites", False)
+            else None
+        )
+        if pinv is not None:
+            pinv = jnp.asarray(pinv, dtype)
+            log_w = log_w + jnp.log1p(-pinv)
+        score_k = log_w + lj
         best_k = jnp.argmax(score_k, axis=0)                    # (sites,)
         log_prob = jnp.max(score_k, axis=0)
         internal = slice(schedule.n_leaves, schedule.n_real_nodes)
         sel = jnp.take_along_axis(
             states[internal], best_k[None, None, :], axis=1
         )[:, 0, :]                                              # (I, sites)
-        return sel, log_prob, best_k.astype(jnp.int32)
+        best_k = best_k.astype(jnp.int32)
+        if pinv is not None:
+            # +I component: identity P forces every node to one state x;
+            # joint prob = pinv * pi_x * prod_leaves partial[l, s, x]
+            prod = jnp.prod(leaf_partials.astype(dtype), axis=0)  # (sites,S)
+            inv_scores = freqs.astype(dtype)[None, :] * prod
+            inv_state = jnp.argmax(inv_scores, axis=-1).astype(jnp.int32)
+            inv_max = jnp.max(inv_scores, axis=-1)
+            inv_lp = jnp.where(
+                inv_max > 0.0,
+                jnp.log(pinv) + jnp.log(jnp.maximum(inv_max, tiny)),
+                -jnp.inf,
+            )
+            inv_wins = inv_lp > log_prob
+            n_int = schedule.n_real_nodes - schedule.n_leaves
+            sel = jnp.where(
+                inv_wins[None, :],
+                jnp.broadcast_to(inv_state[None, :], (n_int, sel.shape[1])),
+                sel,
+            )
+            log_prob = jnp.maximum(log_prob, inv_lp)
+            best_k = jnp.where(inv_wins, jnp.int32(k), best_k)
+        return sel, log_prob, best_k
 
     if not hasattr(engine, "_joint_anc_jit"):
         engine._joint_anc_jit = jax.jit(compute)

@@ -427,11 +427,9 @@ def cmd_ancestral(args) -> int:
         if args.out_fasta:
             from phylo_utils_tpu.io import write_fasta
 
-            write_fasta(
-                jseqs, path=args.out_fasta + ".joint"
-                if not args.out_fasta.endswith(".joint")
-                else args.out_fasta,
-            )
+            # ALWAYS a distinct path: the marginal MAP FASTA already
+            # went to args.out_fasta itself
+            write_fasta(jseqs, path=args.out_fasta + ".joint")
     if args.full:
         out["posteriors"] = post.tolist()
     if args.ncat > 1:

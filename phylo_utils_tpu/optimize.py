@@ -443,6 +443,7 @@ def fit_multistart(
     n_starts: int = 4,
     perturb: float = 0.5,
     seed: int = 0,
+    free: Optional[Tuple[str, ...]] = None,
     **fit_kwargs,
 ) -> FitResult:
     """Multi-start ML fit: run ``fit`` from the given/default start plus
@@ -450,22 +451,33 @@ def fit_multistart(
     ``perturb`` in the unconstrained space, so positivity/simplex
     constraints hold automatically) and return the best FitResult.
     Guards against local optima in mixture weights / rate parameters;
-    branch-length surfaces for a fixed topology are usually unimodal."""
+    branch-length surfaces for a fixed topology are usually unimodal.
+
+    Only the FREE parameters are perturbed: with ``free`` given, frozen
+    parameters stay exactly at their ``params0`` values in every start
+    (otherwise the 'frozen' values would be randomized too and the
+    best-of-N comparison would span different constrained problems).
+    """
     base = engine._full_params(params0)
+    if free is None:
+        free_names = tuple(base.keys())
+    else:
+        free_names = tuple(free)
+    frozen, start_free = _split_free(base, free_names)
     rng = np.random.default_rng(seed)
     best: Optional[FitResult] = None
     for i in range(n_starts):
         if i == 0:
             start = base
         else:
-            raw = transform_params(base)
+            raw = transform_params(start_free)
             noisy = jax.tree.map(
                 lambda x: np.asarray(x, np.float64)
                 + rng.normal(0.0, perturb, np.shape(x)),
                 raw,
             )
-            start = untransform_params(noisy)
-        res = fit(engine, start, **fit_kwargs)
+            start = _merge_params(frozen, untransform_params(noisy))
+        res = fit(engine, start, free=free, **fit_kwargs)
         if best is None or res.loglik > best.loglik:
             best = res
     return best
@@ -848,6 +860,14 @@ def parametric_bootstrap(
 
     from phylo_utils_tpu.simulate import simulate_alignment
 
+    if getattr(engine, "rate_model", "gamma") != "gamma":
+        raise ValueError(
+            "parametric_bootstrap supports the (equal-weight) gamma rate "
+            "mixture only: simulate_alignment cannot generate under "
+            f"rate_model={engine.rate_model!r} (FreeRate rates/weights), "
+            "so replicates would silently be simulated under a default "
+            "gamma model"
+        )
     full = engine._full_params(params)
     tree_mle = engine.tree.with_lengths(
         np.asarray(full["branch_lengths"], np.float64)

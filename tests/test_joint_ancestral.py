@@ -106,6 +106,73 @@ def test_joint_log_prob_bounded_by_marginal_likelihood():
         assert agree.mean() > 0.9
 
 
+def test_joint_with_invariant_sites_matches_brute_force():
+    """+I engines: the invariant component (identity P, weight pinv)
+    competes in the joint maximization; gamma categories carry weight
+    (1-pinv)*w_k. Category == ncat flags +I wins. Checked against
+    exhaustive enumeration over (component, assignment)."""
+    tree = parse_newick(NWK)
+    aln = {  # several constant-'A' columns so +I actually wins some
+        "a": "ACGTAAGTGGAATTCCGGTA",
+        "b": "ACGTAGCAGGAATCCCGGTA",
+        "c": "AGGTAAGAGTATTTCCGCTA",
+        "d": "ACGAAAGTATAATTGCGGTA",
+    }
+    ncat, pinv = 2, 0.3
+    engine = LikelihoodEngine(tree, aln, models.HKY85, ncat=ncat,
+                              invariant_sites=True, dtype="float64")
+    params = {"model": {"kappa": 2.5}, "alpha": 0.7, "pinv": pinv}
+    res = joint_ancestral_states(engine, params)
+
+    m = oracle.hky85(2.5, [0.25] * 4)
+    rates = oracle.discrete_gamma(0.7, ncat)
+    charmap = {"A": 0, "C": 1, "G": 2, "T": 3}
+    obs = np.array([[charmap[c] for c in aln[n]] for n in tree.leaf_names])
+    n_nodes = len(tree.parent)
+    n_leaves = tree.n_leaves
+    internals = list(range(n_leaves, n_nodes))
+    root = n_nodes - 1
+    n_sites = obs.shape[1]
+    best_lp = np.full(n_sites, -np.inf)
+    best_states = np.zeros((len(internals), n_sites), int)
+    best_cat = np.zeros(n_sites, int)
+    for k, r in enumerate(rates):
+        p_edge = [scipy.linalg.expm(m.q * tree.lengths[v] * r)
+                  for v in range(n_nodes)]
+        for assign in itertools.product(range(4), repeat=len(internals)):
+            st = dict(zip(internals, assign))
+            lp = np.full(
+                n_sites,
+                np.log((1 - pinv) / ncat) + np.log(m.freqs[st[root]]),
+            )
+            for v in range(n_nodes):
+                if v == root:
+                    continue
+                par = st[tree.parent[v]]
+                lp += np.log(p_edge[v][par, obs[v]] if v < n_leaves
+                             else p_edge[v][par, st[v]])
+            b = lp > best_lp
+            best_lp = np.where(b, lp, best_lp)
+            best_cat = np.where(b, k, best_cat)
+            for i, v in enumerate(internals):
+                best_states[i] = np.where(b, st[v], best_states[i])
+    for x in range(4):
+        ok = (obs == x).all(axis=0)
+        lp = np.where(ok, np.log(pinv) + np.log(m.freqs[x]), -np.inf)
+        b = lp > best_lp
+        best_lp = np.where(b, lp, best_lp)
+        best_cat = np.where(b, ncat, best_cat)
+        for i in range(len(internals)):
+            best_states[i] = np.where(b, x, best_states[i])
+
+    np.testing.assert_allclose(res["log_prob"], best_lp, rtol=1e-8)
+    np.testing.assert_array_equal(res["states"], best_states)
+    np.testing.assert_array_equal(res["category"], best_cat)
+    assert (res["category"] == ncat).any()        # +I actually won sites
+    sw = engine.sitewise_loglikelihoods(params)
+    assert (res["log_prob"] <= sw + 1e-9).all()
+
+
 def test_site_rates_orders_conserved_vs_variable():
     """Posterior-mean rates: a constant column must get a lower rate
     estimate than a maximally-variable column."""
