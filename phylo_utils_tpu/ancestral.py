@@ -65,14 +65,47 @@ def _down_pass(schedule: PruningSchedule, p, leaf_partials):
     return buf, logscale
 
 
+def _check_engine_supported(engine, what: str) -> None:
+    """Engines with bespoke likelihood plumbing that do NOT expose the
+    ``_mixture_tensors`` hook (PartitionedEngine, TopologySetEngine)
+    can't drive the two-pass machinery — fail with a clear message
+    instead of a KeyError deep in the base hook."""
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+
+    cls = type(engine)
+    mt = getattr(cls, "_mixture_tensors", None)
+    ll = getattr(cls, "_loglik_fn", None)
+    if mt is None or (
+        ll is not LikelihoodEngine._loglik_fn
+        and mt is LikelihoodEngine._mixture_tensors
+    ):
+        raise NotImplementedError(
+            f"{what} needs the engine's _mixture_tensors hook; "
+            f"{type(engine).__name__} has its own likelihood plumbing "
+            "without one (run the analysis per partition / per topology "
+            "on its underlying engines instead)"
+        )
+
+
+def _per_cat_freqs(freqs, k, dtype):
+    """Frequencies normalized to shape (K, S): base engines supply (S,)
+    (shared across categories), model-mixture engines supply (K, S)."""
+    f = jnp.asarray(freqs, dtype)
+    if f.ndim == 1:
+        f = jnp.broadcast_to(f[None, :], (k, f.shape[0]))
+    return f
+
+
 def _up_pass(schedule: PruningSchedule, p, down, freqs):
-    """Outside likelihoods out[v] for every node, pre-order, rescaled."""
+    """Outside likelihoods out[v] for every node, pre-order, rescaled.
+    ``freqs``: (S,) shared or (K, S) per-category."""
     dtype = down.dtype
     n = schedule.n_nodes
     k, sites, s = down.shape[1], down.shape[2], down.shape[3]
+    fk = _per_cat_freqs(freqs, k, dtype)
     out = jnp.zeros((n + 1, k, sites, s), dtype)
     out = out.at[schedule.root].set(
-        jnp.broadcast_to(freqs.astype(dtype)[None, None, :], (k, sites, s))
+        jnp.broadcast_to(fk[:, None, :], (k, sites, s))
     )
     tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
     # reverse level order: parents' out is ready before their children's
@@ -130,16 +163,20 @@ def ancestral_posteriors(
     (``engine.tree`` ids ``n_leaves..n_nodes-1``; the last row is the root),
     expanded to per-site (not per-pattern) positions, normalized over states.
     """
+    _check_engine_supported(engine, "ancestral_posteriors")
     schedule = engine.schedule
     full = engine._full_params(params)
     dtype = engine.dtype
 
     def compute(full, leaf_partials, weights):
         # engine hook: per-edge-per-category P and the mixture weights —
-        # branch-model engines (per-edge omega classes) plug in here too
+        # branch-model and model-mixture engines plug in here too (the
+        # latter supply per-category (K, S) frequencies)
         _, cat_weights, p, freqs = engine._mixture_tensors(full, dtype)
+        k = p.shape[1]
+        fk = _per_cat_freqs(freqs, k, dtype)
         down, logscale = _down_pass(schedule, p, leaf_partials)
-        out = _up_pass(schedule, p, down, freqs)
+        out = _up_pass(schedule, p, down, fk)
         # binarization pseudo-nodes (ids >= n_real_nodes) are not tree
         # nodes — report posteriors for real internal nodes only
         internal = slice(schedule.n_leaves, schedule.n_real_nodes)
@@ -150,16 +187,50 @@ def ancestral_posteriors(
         )
         # per-site category posterior from the root reduction
         root_lik = jnp.einsum(
-            "ksi,i->ks", down[schedule.root], freqs.astype(dtype),
-            precision=_HI,
+            "ksi,ki->ks", down[schedule.root], fk, precision=_HI,
         )
         sc = logscale[schedule.root]
         m = jnp.max(sc, axis=0)
         gam = cat_weights[:, None] * root_lik * jnp.exp(sc - m[None, :])
-        gam = gam / jnp.sum(gam, axis=0, keepdims=True)   # (K, sites)
-        return jnp.einsum(
+        g_tot = jnp.sum(gam, axis=0)                       # (sites,)
+        gam = gam / g_tot[None, :]                         # (K, sites)
+        post = jnp.einsum(
             "iksj,ks->isj", per_cat, gam, precision=_HI
         )                                           # (I, sites, S)
+        pinv = (
+            full.get("pinv")
+            if getattr(engine, "invariant_sites", False)
+            else None
+        )
+        if pinv is not None:
+            # mix in the +I component: all nodes share one state x with
+            # posterior ~ pinv * pi_bar_x * prod_leaves partial[x];
+            # its per-site mixing weight beta against the variable part
+            # (weight (1-pinv) * e^m * sum_k gam_k) is computed in log
+            # space (e^m under/overflows directly)
+            pinv = jnp.asarray(pinv, dtype)
+            prod = jnp.prod(leaf_partials.astype(dtype), axis=0)  # (s,S)
+            fbar = jnp.einsum("k,ki->i", cat_weights, fk)
+            inv_unnorm = fbar[None, :] * prod                     # (s,S)
+            inv_tot = jnp.sum(inv_unnorm, axis=-1)                # (s,)
+            log_var = jnp.log1p(-pinv) + m + jnp.log(
+                jnp.maximum(g_tot, jnp.finfo(dtype).tiny)
+            )
+            log_inv = jnp.where(
+                inv_tot > 0,
+                jnp.log(pinv)
+                + jnp.log(jnp.where(inv_tot > 0, inv_tot, 1.0)),
+                -jnp.inf,
+            )
+            beta = jax.nn.sigmoid(log_inv - log_var)              # (s,)
+            post_inv = inv_unnorm / jnp.maximum(
+                inv_tot, jnp.finfo(dtype).tiny
+            )[:, None]                                            # (s,S)
+            post = (
+                (1.0 - beta)[None, :, None] * post
+                + beta[None, :, None] * post_inv[None, :, :]
+            )
+        return post
 
     # cache the compiled program per engine (jit on a fresh closure would
     # recompile the two-pass pruning program on every call)
@@ -174,14 +245,16 @@ def site_rate_posteriors(
     engine, params: Optional[Mapping] = None
 ) -> np.ndarray:
     """Posterior probability of each rate category per site: (n_sites, K)."""
+    _check_engine_supported(engine, "site_rate_posteriors")
     full = engine._full_params(params)
     dtype = engine.dtype
 
     def compute(full, leaf_partials, weights):
         _, cat_weights, p, freqs = engine._mixture_tensors(full, dtype)
+        fk = _per_cat_freqs(freqs, p.shape[1], dtype)
         root_partials, root_logscale = engine._prune(p, leaf_partials)
         lik = jnp.einsum(
-            "ksi,i->ks", root_partials, freqs.astype(dtype), precision=_HI
+            "ksi,ki->ks", root_partials, fk, precision=_HI
         )
         m = jnp.max(root_logscale, axis=0)
         gam = cat_weights[:, None] * lik * jnp.exp(root_logscale - m[None, :])
@@ -255,6 +328,7 @@ def joint_ancestral_states(
     "category": (n_sites,) winning rate-category index, where the value
     ``ncat`` denotes the invariant (+I) component}.
     """
+    _check_engine_supported(engine, "joint_ancestral_states")
     schedule = engine.schedule
     full = engine._full_params(params)
     dtype = engine.dtype
@@ -302,7 +376,8 @@ def joint_ancestral_states(
             )
 
         # root decision + per-category joint log prob
-        root_scores = freqs.astype(dtype)[None, None, :] * d[schedule.root]
+        fk = _per_cat_freqs(freqs, k, dtype)
+        root_scores = fk[:, None, :] * d[schedule.root]
         root_state = jnp.argmax(root_scores, axis=-1).astype(
             jnp.int32
         )                                                      # (K, sites)
@@ -351,9 +426,10 @@ def joint_ancestral_states(
         best_k = best_k.astype(jnp.int32)
         if pinv is not None:
             # +I component: identity P forces every node to one state x;
-            # joint prob = pinv * pi_x * prod_leaves partial[l, s, x]
+            # joint prob = pinv * pi_bar_x * prod_leaves partial[l, s, x]
             prod = jnp.prod(leaf_partials.astype(dtype), axis=0)  # (sites,S)
-            inv_scores = freqs.astype(dtype)[None, :] * prod
+            fbar = jnp.einsum("k,ki->i", cat_weights.astype(dtype), fk)
+            inv_scores = fbar[None, :] * prod
             inv_state = jnp.argmax(inv_scores, axis=-1).astype(jnp.int32)
             inv_max = jnp.max(inv_scores, axis=-1)
             inv_lp = jnp.where(

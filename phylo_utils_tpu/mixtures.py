@@ -104,8 +104,13 @@ class ModelMixtureEngine(LikelihoodEngine):
         cat_weights = params["cat_weights"].astype(self.dtype)
         return params["mixture"], cat_weights / jnp.sum(cat_weights)
 
-    def _loglik_fn(self, params, leaf_partials, weights):
-        dtype = self.dtype
+    def _mixture_tensors(self, params, dtype, eig=None, rates=None):
+        """Per-category P and PER-CATEGORY frequencies.
+
+        Shared by ``_loglik_fn``, ``category_posteriors``, and the
+        ancestral/posterior machinery (ancestral.py), which detects the
+        (K, S)-shaped ``freqs`` and contracts root reductions with
+        per-category frequencies ('ksi,ki->ks')."""
         mixture, cat_weights = self._category_model_params(params)
         t = params["branch_lengths"].astype(dtype)           # (n_nodes,)
 
@@ -119,6 +124,12 @@ class ModelMixtureEngine(LikelihoodEngine):
         )(sym_k, freqs_k)                                    # (K, n_nodes, S, S)
         p = jnp.swapaxes(p_k, 0, 1)                          # (n_nodes, K, S, S)
         p = extend_p_identity(p, self.schedule.n_nodes)
+        return (jnp.ones((self.ncat,), dtype),
+                cat_weights.astype(dtype), p, freqs_k.astype(dtype))
+
+    def _loglik_fn(self, params, leaf_partials, weights):
+        dtype = self.dtype
+        _, cat_weights, p, freqs_k = self._mixture_tensors(params, dtype)
         root_partials, root_logscale = self._prune(p, leaf_partials)
         # mixture root reduction with PER-CATEGORY frequencies
         site_lik = jnp.einsum(
@@ -153,16 +164,7 @@ class ModelMixtureEngine(LikelihoodEngine):
         dtype = self.dtype
 
         def compute(full, leaf_partials):
-            mixture, cat_weights = self._category_model_params(full)
-            t = full["branch_lengths"].astype(dtype)
-            sym_k, freqs_k = jax.vmap(
-                lambda cp: self.model.build(**cp)
-            )(mixture)
-            p_k = jax.vmap(
-                lambda s, f: p_matrices_reversible(s, f, t)
-            )(sym_k, freqs_k)
-            p = jnp.swapaxes(p_k, 0, 1)
-            p = extend_p_identity(p, self.schedule.n_nodes)
+            _, cat_weights, p, freqs_k = self._mixture_tensors(full, dtype)
             root_partials, root_logscale = self._prune(p, leaf_partials)
             lik = jnp.einsum("ksi,ki->ks", root_partials,
                              freqs_k.astype(dtype))
