@@ -30,10 +30,10 @@ from phylo_utils_tpu.ops.pruning import (
 )
 
 __all__ = ["ModelMixtureEngine", "M1aEngine", "M2aEngine",
-           "M7Engine", "M8Engine",
+           "M7Engine", "M8Engine", "M8aEngine",
            "omega_posteriors", "beb_site_posteriors",
            "beb_site_posteriors_m8",
-           "positive_selection_test", "m1a_m2a_test"]
+           "positive_selection_test", "m1a_m2a_test", "m8_m8a_test"]
 
 
 def _stack_params(param_dicts: Sequence[Mapping], dtype) -> Dict:
@@ -380,11 +380,47 @@ class M8Engine(M7Engine):
         return om, w
 
 
+class M8aEngine(M8Engine):
+    """M8a (Swanson et al. 2003; Wong et al. 2004): the M8 null with the
+    extra class's omega FIXED at 1 — Beta(p, q) plus a neutral class of
+    proportion 1 - p0. The M8-vs-M8a comparison (``m8_m8a_test``) is the
+    recommended boundary-aware positive-selection LRT: under the null
+    omega_s sits ON the omega = 1 boundary, so the statistic follows the
+    1/2 chi2_0 + 1/2 chi2_1 mixture, not a plain chi2_1."""
+
+    _EXTRA_KEYS = ("p0",)
+
+    def _extra_defaults(self) -> Dict:
+        return {"p0": 0.9}
+
+    def _class_omegas_weights(self, params):
+        om, _ = M7Engine._class_omegas_weights(self, params)
+        p0 = jnp.clip(params["p0"].astype(self.dtype), 1e-6, 1.0 - 1e-6)
+        om = jnp.concatenate([om, jnp.ones((1,), self.dtype)])
+        w = jnp.concatenate([
+            jnp.full((self.n_beta,), 1.0 / self.n_beta, self.dtype) * p0,
+            (1.0 - p0)[None],
+        ])
+        return om, w
+
+
 def positive_selection_test(ll_m7: float, ll_m8: float) -> Dict:
     """M7-vs-M8 LRT for positive selection (2 extra params -> df=2)."""
     from phylo_utils_tpu.model_selection import likelihood_ratio_test
 
     return likelihood_ratio_test(ll_m7, ll_m8, df=2)
+
+
+def m8_m8a_test(ll_m8a: float, ll_m8: float) -> Dict:
+    """M8-vs-M8a LRT with the boundary-mixture null: under M8a the extra
+    class's omega is pinned AT the omega = 1 boundary, so
+    2(lnL_M8 - lnL_M8a) ~ 1/2 chi2_0 + 1/2 chi2_1 (codeml practice;
+    Self & Liang 1987). Returns {"statistic", "pvalue"}."""
+    from scipy.stats import chi2
+
+    stat = 2.0 * (ll_m8 - ll_m8a)
+    p = 0.5 * float(chi2.sf(max(stat, 0.0), 1)) if stat > 0 else 1.0
+    return {"statistic": float(stat), "pvalue": p}
 
 
 def m1a_m2a_test(ll_m1a: float, ll_m2a: float) -> Dict:

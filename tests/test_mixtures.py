@@ -251,3 +251,30 @@ def test_beb_m8_site_scan():
     assert np.all((p_pos >= 0) & (p_pos <= 1.0 + 1e-9))
     assert p_pos[120:].mean() > p_pos[:120].mean() + 0.2
     assert mean_w[120:].mean() > mean_w[:120].mean() + 0.5
+
+
+def test_m8a_nests_in_m8_and_boundary_test():
+    """M8a == M8 with the extra class's omega pinned at 1; the
+    M8-vs-M8a LRT uses the boundary mixture null (p = 0.5*chi2_1 tail)."""
+    from phylo_utils_tpu.mixtures import M8aEngine, M8Engine, m8_m8a_test
+
+    tree = random_tree(5, seed=4)
+    aln = simulate_alignment(
+        jax.random.key(9), tree, models.GY94, 60, params={"omega": 0.3}
+    )
+    m8a = M8aEngine(tree, aln, ncat=4)
+    full = m8a._full_params(None)
+    om, w = m8a._class_omegas_weights(full)
+    assert float(om[-1]) == 1.0
+    assert "omega_delta" not in full
+    np.testing.assert_allclose(float(np.sum(np.asarray(w))), 1.0,
+                               atol=1e-12)
+    ll_a = m8a.loglikelihood()
+    m8 = M8Engine(tree, aln, ncat=4)
+    ll_8 = m8.loglikelihood({"omega_delta": 1e-8})
+    assert abs(ll_a - ll_8) < 1e-6          # exact nesting at the boundary
+    t = m8_m8a_test(ll_a, ll_a + 3.0)
+    from scipy.stats import chi2
+
+    assert t["pvalue"] == pytest.approx(0.5 * chi2.sf(6.0, 1))
+    assert m8_m8a_test(ll_a, ll_a)["pvalue"] == 1.0
