@@ -400,7 +400,21 @@ class LikelihoodEngine:
         full = self.default_params()
         if params:
             for k, v in params.items():
+                if k not in full:
+                    # typos would otherwise be SILENTLY ignored (the key
+                    # is stored but nothing reads it) — e.g. "aplha"
+                    raise ValueError(
+                        f"unknown parameter {k!r} for this engine; "
+                        f"available: {sorted(full.keys())}"
+                    )
                 if k == "model":
+                    unknown = set(v) - set(full["model"])
+                    if unknown:
+                        raise ValueError(
+                            f"unknown model parameter(s) {sorted(unknown)} "
+                            f"for {self.model.name}; available: "
+                            f"{sorted(full['model'].keys())}"
+                        )
                     full["model"] = {**full["model"], **{
                         kk: jnp.asarray(vv, self.dtype) for kk, vv in v.items()
                     }}

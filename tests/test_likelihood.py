@@ -303,3 +303,21 @@ def test_eigen_tied_degenerate_structure_finite_and_accurate():
     m = oracle.gtr(list(prm["rates"]), list(prm["freqs"]))
     gold = oracle.loglikelihood(tree, aln, m)
     assert abs(ll - gold) < 1e-8 * abs(gold)
+
+
+def test_unknown_parameter_keys_raise():
+    """Typos in params must raise, not be silently ignored."""
+    import pytest as _pytest
+
+    tree = random_tree(4, seed=0)
+    rng = np.random.default_rng(0)
+    aln = {n: "".join(rng.choice(list("ACGT"), size=30))
+           for n in tree.leaf_names}
+    eng = LikelihoodEngine(tree, aln, models.HKY85, ncat=4)
+    with _pytest.raises(ValueError, match="unknown parameter 'aplha'"):
+        eng.loglikelihood({"aplha": 0.7})
+    with _pytest.raises(ValueError, match="unknown model parameter"):
+        eng.loglikelihood({"model": {"kapa": 2.0}})
+    # valid keys still work
+    assert np.isfinite(eng.loglikelihood({"alpha": 0.7,
+                                          "model": {"kappa": 2.0}}))
