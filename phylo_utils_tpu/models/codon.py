@@ -27,6 +27,7 @@ __all__ = [
     "MG94",
     "code_tables",
     "codon_index",
+    "dn_ds_by_branch",
     "empirical_codon_frequencies",
     "f3x4_frequencies",
     "make_gy94",
@@ -333,3 +334,69 @@ MG94 = make_mg94("standard")
 
 
 GY94 = make_gy94("standard")
+
+
+def dn_ds_by_branch(model: Model, params=None, branch_lengths=None,
+                    code: str = None):
+    """codeml-style dN/dS decomposition of branch lengths.
+
+    Given a GY94/MG94-family model at ``params`` and branch lengths in
+    expected substitutions per CODON, computes the standard Goldman–Yang
+    accounting: S and N mutational-opportunity site counts (from the
+    omega = 1 model, scaled so S + N = 3 per codon), the expected
+    synonymous/nonsynonymous substitution counts per branch, and
+    dS = syn/(S/3 · t-units), dN = nonsyn/(N/3 · t-units) — the numbers
+    codeml prints per branch. By construction dN/dS == omega for these
+    models (asserted-by-test invariant).
+
+    Returns a dict of numpy arrays: {"t", "dN", "dS", "S", "N",
+    "omega"}; with ``branch_lengths=None`` the per-unit rates only.
+    """
+    if code is None:
+        alpha = model.alphabet
+        code = "standard" if alpha == "codon" else alpha.split(":", 1)[1]
+    single, _, nonsyn = _build_structure(code)
+    syn = single * (1.0 - nonsyn)
+
+    from phylo_utils_tpu.models.base import build_rate_matrix
+
+    full = {**model.defaults(jnp.float64), **{
+        k: jnp.asarray(v, jnp.float64) for k, v in (params or {}).items()
+    }}
+
+    def flows(p):
+        parts = model.build(**p)
+        sym, freqs = parts
+        q = np.asarray(build_rate_matrix(sym, freqs), np.float64)
+        pi = np.asarray(freqs, np.float64)
+        rho_n = float(np.sum(pi[:, None] * q * nonsyn))
+        rho_s = float(np.sum(pi[:, None] * q * syn))
+        return rho_n, rho_s
+
+    rho_n, rho_s = flows(full)
+    p1 = dict(full)
+    p1["omega"] = jnp.asarray(1.0, jnp.float64)
+    rho_n1, rho_s1 = flows(p1)
+    # mutational-opportunity sites per codon (omega = 1 flows), S + N = 3
+    s_sites = 3.0 * rho_s1 / (rho_s1 + rho_n1)
+    n_sites = 3.0 - s_sites
+    out = {
+        "S": s_sites,
+        "N": n_sites,
+        "omega": float(np.asarray(full["omega"])),
+        "rho_N": rho_n,
+        "rho_S": rho_s,
+    }
+    if branch_lengths is not None:
+        t = np.asarray(branch_lengths, np.float64)
+        # expected subs per codon on the branch, split by type
+        en = t * rho_n
+        es = t * rho_s
+        out.update(
+            t=t,
+            dN=en / (n_sites / 3.0),
+            dS=es / (s_sites / 3.0),
+            expected_nonsyn_subs=en,
+            expected_syn_subs=es,
+        )
+    return out

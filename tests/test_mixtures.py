@@ -278,3 +278,25 @@ def test_m8a_nests_in_m8_and_boundary_test():
 
     assert t["pvalue"] == pytest.approx(0.5 * chi2.sf(6.0, 1))
     assert m8_m8a_test(ll_a, ll_a)["pvalue"] == 1.0
+
+
+def test_dn_ds_by_branch_invariants():
+    """Goldman-Yang dN/dS accounting: dN/dS == omega by construction,
+    S + N == 3 sites per codon, and expected syn+nonsyn subs == t."""
+    from phylo_utils_tpu.models.codon import dn_ds_by_branch, make_gy94
+
+    m = make_gy94()
+    res = dn_ds_by_branch(m, {"omega": 0.4, "kappa": 3.0},
+                          branch_lengths=[0.1, 0.5])
+    np.testing.assert_allclose(res["dN"] / res["dS"], 0.4, rtol=1e-10)
+    assert res["S"] + res["N"] == pytest.approx(3.0, abs=1e-12)
+    np.testing.assert_allclose(
+        res["expected_nonsyn_subs"] + res["expected_syn_subs"], res["t"]
+    )
+    # neutral model: dN == dS
+    neutral = dn_ds_by_branch(m, {"omega": 1.0}, branch_lengths=[0.3])
+    assert neutral["dN"][0] == pytest.approx(neutral["dS"][0], rel=1e-10)
+    # alternative genetic code resolves its masks from the model alphabet
+    m2 = make_gy94("vertebrate_mito")
+    r2 = dn_ds_by_branch(m2, {"omega": 2.0}, branch_lengths=[0.2])
+    np.testing.assert_allclose(r2["dN"] / r2["dS"], 2.0, rtol=1e-10)
