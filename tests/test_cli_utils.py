@@ -413,3 +413,67 @@ def test_cli_ancestral_fasta(small_inputs, tmp_path, capsys):
     seqs = read_fasta(anc)
     assert all(len(s) == 10 and set(s) <= set("ACGT")
                for s in seqs.values())
+
+
+def test_cli_topologies_test_flag(small_inputs, tmp_path, capsys):
+    tree, fasta = small_inputs
+    trees = tmp_path / "cands.nwk"
+    trees.write_text(
+        "((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);\n"
+        "((a:0.1,c:0.2):0.05,(b:0.3,d:0.15):0.07);\n"
+    )
+    rc = main(["topologies", "--trees", str(trees), "--alignment", fasta,
+               "--model", "K80", "--test", "all", "--n-boot", "200"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for name in ("kh", "sh", "au"):
+        assert len(out[name]["pvalue"]) == 2
+    assert out["best_index"] in (0, 1)
+
+
+def test_cli_consense(tmp_path, capsys):
+    trees = tmp_path / "sample.nwk"
+    trees.write_text(
+        "((a:1,b:1):1,(c:1,d:1):1,e:1);\n"
+        "((a:1,b:1):1,(c:1,e:1):1,d:1);\n"
+        "((a:1,b:1):1,(c:1,d:1):1,e:1);\n"
+    )
+    out_path = tmp_path / "cons.nwk"
+    rc = main(["consense", "--trees", str(trees), "--out", str(out_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_trees"] == 3
+    assert out_path.read_text().strip() == out["consensus"]
+    # the 2/3-majority cd split survives with its support label
+    assert "67" in out["consensus"]
+
+
+def test_cli_build_tree_bootstrap(small_inputs, tmp_path, capsys):
+    _, fasta = small_inputs
+    out_path = tmp_path / "t.nwk"
+    rc = main(["build-tree", "--alignment", fasta, "--model", "JC69",
+               "--bootstrap", "10", "--out", str(out_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["bootstrap_support"]) == set(out["tbe_support"])
+    assert (tmp_path / "t.nwk.consensus").exists()
+    for v in out["tbe_support"].values():
+        assert 0.0 <= v <= 1.0
+
+
+def test_cli_ancestral_joint(small_inputs, tmp_path, capsys):
+    tree, fasta = small_inputs
+    out_fa = tmp_path / "anc.fa"
+    rc = main(["ancestral", "--tree", tree, "--alignment", fasta,
+               "--model", "HKY85", "--ncat", "2", "--joint",
+               "--out-fasta", str(out_fa)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "joint_sequences" in out and "map_sequences" in out
+    assert out_fa.exists() and (tmp_path / "anc.fa.joint").exists()
+    # marginal and joint FASTAs are DISTINCT files with same taxa set
+    import re
+
+    marg = set(re.findall(r">(\S+)", out_fa.read_text()))
+    joint = set(re.findall(r">(\S+)", (tmp_path / "anc.fa.joint").read_text()))
+    assert marg == joint and len(marg) == 3
