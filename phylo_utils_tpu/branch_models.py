@@ -42,6 +42,7 @@ __all__ = [
     "BranchModelEngine",
     "BranchSiteAEngine",
     "branch_site_test",
+    "beb_branch_site",
     "mark_branches",
     "mark_clade",
     "free_ratio_classes",
@@ -448,3 +449,158 @@ def branch_site_test(tree, alignment, foreground, model=None,
         "alt": alt_fit, "null": null_fit, "lrt": lrt,
         "alt_engine": alt, "null_engine": null,
     }
+
+
+def _branch_site_pair_logliks(engine: "BranchSiteAEngine", full, pairs,
+                              chunk: int = 32):
+    """Sitewise LOG-likelihoods for (omega_background, omega_foreground)
+    pairs: (n_pairs, n_patterns). Each chunk of pairs rides the pruning
+    pass's category axis in ONE dispatch; kappa/codon frequencies and
+    branch lengths stay at ``full``'s values (the MLEs, codeml's BEB
+    convention)."""
+    dtype = engine.dtype
+
+    def compute(full, leaf_partials, om_pairs):
+        t = full["branch_lengths"].astype(dtype)
+        k = om_pairs.shape[0]
+        # build one model per pair-slot omega (background and foreground
+        # builds share kappa/freqs)
+        stacked = {
+            kk: jnp.broadcast_to(
+                jnp.asarray(vv, dtype)[None, ...],
+                (2 * k,) + jnp.shape(jnp.asarray(vv)),
+            )
+            for kk, vv in full["shared"].items()
+        }
+        stacked["omega"] = om_pairs.T.reshape(-1).astype(dtype)  # back*k+fore*k
+        sym_u, freqs_u = jax.vmap(
+            lambda cp: engine.model.build(**cp)
+        )(stacked)
+        p_u = jax.vmap(
+            lambda sy, f: p_matrices_reversible(sy, f, t)
+        )(sym_u, freqs_u)                               # (2k, E, S, S)
+        n_edges = t.shape[0]
+        # per-category per-edge selection: background rows are u-slots
+        # [0, k), foreground rows [k, 2k)
+        cat_idx = jnp.arange(k)
+        midx = jnp.where(
+            engine._cls[None, :] == 0,
+            cat_idx[:, None],
+            cat_idx[:, None] + k,
+        )                                                # (k, E)
+        p = p_u[midx, jnp.arange(n_edges)[None, :]]      # (k, E, S, S)
+        p = jnp.swapaxes(p, 0, 1)                        # (E, k, S, S)
+        p = extend_p_identity(p, engine.schedule.n_nodes)
+        root_partials, root_logscale = engine._prune(p, leaf_partials)
+        lik = jnp.einsum("ksi,i->ks", root_partials,
+                         freqs_u[0].astype(dtype))
+        return jnp.log(lik) + root_logscale
+
+    if not hasattr(engine, "_bs_pair_jit"):
+        engine._bs_pair_jit = jax.jit(compute)
+    pairs = np.asarray(pairs, np.float64)
+    out = []
+    for lo in range(0, pairs.shape[0], chunk):
+        block = pairs[lo:lo + chunk]
+        if block.shape[0] < chunk and lo > 0:
+            # pad to the compiled chunk shape; surplus rows discarded
+            pad = np.repeat(block[-1:], chunk - block.shape[0], axis=0)
+            padded = np.concatenate([block, pad])
+            res = engine._bs_pair_jit(full, engine._leaf_partials,
+                                      jnp.asarray(padded))
+            out.append(np.asarray(res, np.float64)[: block.shape[0]])
+        else:
+            res = engine._bs_pair_jit(full, engine._leaf_partials,
+                                      jnp.asarray(block))
+            out.append(np.asarray(res, np.float64))
+    return np.concatenate(out, axis=0)
+
+
+def beb_branch_site(engine: "BranchSiteAEngine",
+                    params: Optional[Mapping] = None, d: int = 10):
+    """Bayes Empirical Bayes site scan for branch-site Model A.
+
+    Yang, Wong & Nielsen (2005) applied to Model A exactly as codeml
+    does for its site classes: integrate the per-site class posteriors
+    over a uniform prior grid on (p0, p1, omega0, omega2) — omega0 at
+    ``d`` midpoints of (0,1), omega2 at ``d`` midpoints of (1,11), and
+    (p0, p1) at the d x d square midpoints folded onto the 2-simplex —
+    weighting each grid point by its posterior given the data. Branch
+    lengths, kappa and codon frequencies stay at their MLEs.
+
+    Returns ``(p_positive, mean_omega_fg)`` per site: the BEB posterior
+    probability that the site is under positive selection ON THE
+    FOREGROUND branches (classes 2a + 2b), and the BEB posterior mean
+    foreground omega.
+    """
+    if not isinstance(engine, BranchSiteAEngine):
+        raise TypeError("beb_branch_site is implemented for "
+                        "BranchSiteAEngine")
+    full = engine._full_params(params)
+    w0 = (np.arange(d) + 0.5) / d                     # omega0 grid
+    w2 = 1.0 + (np.arange(d) + 0.5) * (10.0 / d)      # omega2 grid
+
+    # class sitewise log-liks over the grid:
+    #   class 0  at (w0_i, w0_i)      -> d pairs
+    #   class 1  at (1, 1)            -> 1 pair
+    #   class 2a at (w0_i, w2_j)      -> d*d pairs
+    #   class 2b at (1, w2_j)         -> d pairs
+    pairs = (
+        [(a, a) for a in w0]
+        + [(1.0, 1.0)]
+        + [(a, b) for a in w0 for b in w2]
+        + [(1.0, b) for b in w2]
+    )
+    logf = _branch_site_pair_logliks(engine, full, pairs)
+    n_pat = engine._compressed.n_patterns
+    logf = logf[:, :n_pat]
+    weights = np.asarray(engine._weights, np.float64)[:n_pat]
+    m = logf.max(axis=0)
+    f = np.exp(logf - m[None, :])
+    f0 = f[:d]                                        # (d, P)
+    f1 = f[d]                                         # (P,)
+    f2a = f[d + 1: d + 1 + d * d].reshape(d, d, -1)   # (d, d, P)
+    f2b = f[d + 1 + d * d:]                           # (d, P)
+
+    # folded 2-simplex midpoints for (p0, p1)
+    g0, g1 = np.meshgrid((np.arange(d) + 0.5) / d,
+                         (np.arange(d) + 0.5) / d, indexing="ij")
+    p0g, p1g = g0.ravel().copy(), g1.ravel().copy()
+    over = p0g + p1g > 1.0
+    p0g[over], p1g[over] = 1.0 - p0g[over], 1.0 - p1g[over]
+    p2g = 1.0 - p0g - p1g
+    denom = np.maximum(p0g + p1g, 1e-30)
+    w2a = p2g * p0g / denom
+    w2b = p2g * p1g / denom
+
+    log_post = np.empty((d, d, p0g.shape[0]))
+    for i in range(d):
+        for j in range(d):
+            lik = (p0g[:, None] * f0[i][None, :]
+                   + p1g[:, None] * f1[None, :]
+                   + w2a[:, None] * f2a[i, j][None, :]
+                   + w2b[:, None] * f2b[j][None, :])
+            log_post[i, j] = (weights[None, :] * np.log(lik)).sum(axis=1)
+    lp = log_post - log_post.max()
+    post_g = np.exp(lp)
+    post_g /= post_g.sum()
+
+    acc_pos = np.zeros(n_pat)
+    acc_w = np.zeros(n_pat)
+    for i in range(d):
+        for j in range(d):
+            pg = post_g[i, j]
+            if pg.max() < 1e-12:
+                continue
+            c0 = p0g[:, None] * f0[i][None, :]
+            c1 = p1g[:, None] * f1[None, :]
+            ca = w2a[:, None] * f2a[i, j][None, :]
+            cb = w2b[:, None] * f2b[j][None, :]
+            tot = c0 + c1 + ca + cb
+            acc_pos += pg @ ((ca + cb) / tot)
+            # foreground omega by class: w0_i, 1, w2_j, w2_j
+            acc_w += pg @ (
+                (w0[i] * c0 + c1 + w2[j] * (ca + cb)) / tot
+            )
+    s2p = engine._compressed.site_to_pattern
+    return acc_pos[s2p], acc_w[s2p]

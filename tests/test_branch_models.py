@@ -323,3 +323,34 @@ def test_branch_site_test_power():
     out = branch_site_test(tree, ca, fg, max_steps=200)
     assert out["lrt"]["pvalue"] < 1e-3
     assert 1.0 + float(out["alt"].params["omega2_delta"]) > 2.0
+
+
+def test_beb_branch_site_flags_selected_sites():
+    """Branch-site BEB (Yang-Wong-Nielsen 2005 grid on Model A): sites
+    simulated with omega >> 1 on the FOREGROUND clade only must get
+    higher BEB positive-selection posteriors than sites purifying
+    everywhere."""
+    from phylo_utils_tpu.branch_models import beb_branch_site
+    from phylo_utils_tpu.simulate import simulate_branch_alignment
+
+    tree = random_tree(6, seed=13, mean_brlen=0.35)
+    cls = np.asarray(mark_clade(tree, tree.leaf_names[:2]))
+    n_pur, n_sel = 80, 40
+    aln_pur = simulate_branch_alignment(
+        jax.random.key(0), tree, models.GY94, cls,
+        [{"omega": 0.05}, {"omega": 0.05}], n_pur, shared={"kappa": 2.0},
+    )
+    aln_sel = simulate_branch_alignment(
+        jax.random.key(1), tree, models.GY94, cls,
+        [{"omega": 0.05}, {"omega": 6.0}], n_sel, shared={"kappa": 2.0},
+    )
+    aln = {n: aln_pur[n] + aln_sel[n] for n in aln_pur}
+    eng = BranchSiteAEngine(tree, aln, foreground=cls)
+    res = fit(eng, max_steps=150, free=(
+        "branch_lengths", "proportions", "omega0", "omega2_delta",
+    ))
+    p_pos, mean_w = beb_branch_site(eng, res.params, d=4)
+    assert p_pos.shape == (n_pur + n_sel,)       # one entry per codon site
+    assert np.all((p_pos >= 0) & (p_pos <= 1))
+    assert p_pos[-n_sel:].mean() > p_pos[:n_pur].mean() + 0.1
+    assert mean_w[-n_sel:].mean() > mean_w[:n_pur].mean()
