@@ -675,15 +675,21 @@ def cmd_clock_test(args) -> int:
 def cmd_supports(args) -> int:
     """aLRT / SH-aLRT branch supports on a fixed topology."""
     from phylo_utils_tpu.io import write_newick
-    from phylo_utils_tpu.supports import alrt_supports
+    from phylo_utils_tpu.supports import alrt_supports, site_concordance
 
+    scf = None
+    if args.scf:
+        scf = site_concordance(
+            _read_tree(args.tree), _read_aln(args.alignment),
+            n_quartets=args.scf,
+        )
     out = alrt_supports(
         _read_tree(args.tree), _read_aln(args.alignment),
         _get_model(args.model), ncat=args.ncat,
         params=_json_params(args.params), n_boot=args.replicates,
     )
     tree = out["tree"]
-    print(json.dumps({
+    payload = {
         "loglik": out["loglik"],
         "tree": write_newick(tree),
         "edges": [{
@@ -697,7 +703,15 @@ def cmd_supports(args) -> int:
             "sh_alrt": float(sh),
         } for e, s, a, sh in zip(out["edges"], out["stat"], out["alrt"],
                                  out["sh_alrt"])],
-    }))
+    }
+    if scf is not None:
+        payload["scf"] = {
+            str(int(e)): {"scf": float(c), "sdf1": float(d1),
+                          "sdf2": float(d2)}
+            for e, c, d1, d2 in zip(scf["edges"], scf["scf"],
+                                    scf["sdf1"], scf["sdf2"])
+        }
+    print(json.dumps(payload))
     return 0
 
 
@@ -919,6 +933,9 @@ def main(argv=None) -> int:
     p.add_argument("--params", help="JSON model params (held fixed)")
     p.add_argument("--replicates", type=int, default=1000,
                    help="RELL replicates for SH-aLRT")
+    p.add_argument("--scf", type=int, default=0, metavar="Q",
+                   help="also report site concordance factors from Q "
+                        "sampled quartets per branch (IQ-TREE --scf)")
     p.set_defaults(fn=cmd_supports)
 
     args = ap.parse_args(argv)
