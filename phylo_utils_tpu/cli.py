@@ -298,6 +298,28 @@ def cmd_distances(args) -> int:
     return 0
 
 
+def cmd_lmap(args) -> int:
+    """Likelihood mapping: quartet-resolution diagnostic of an alignment."""
+    from phylo_utils_tpu.topology_tests import likelihood_mapping
+
+    model, ncat, _, _ = _parse_model_spec(args.model)
+    if ncat > 1:
+        raise SystemExit("lmap uses a single-rate model (drop +G)")
+    out = likelihood_mapping(
+        _read_aln(args.alignment), model,
+        params=(_json_params(args.params) or {}).get("model"),
+        n_quartets=args.n_quartets, seed=args.seed,
+    )
+    print(json.dumps({
+        "basins": out["basins"].tolist(),
+        "resolved": out["resolved"],
+        "star": out["star"],
+        "n_quartets": int(out["points"].shape[0]),
+        "points": out["points"].round(4).tolist() if args.points else None,
+    }))
+    return 0
+
+
 def cmd_consense(args) -> int:
     """Majority-rule consensus of a newick tree sample."""
     from phylo_utils_tpu.io import parse_newick_forest, write_newick
@@ -778,6 +800,18 @@ def main(argv=None) -> int:
     p.add_argument("--params", help="JSON model params")
     p.add_argument("--format", default="json", choices=["json", "phylip"])
     p.set_defaults(fn=cmd_distances)
+
+    p = sub.add_parser("lmap",
+                       help="likelihood mapping (quartet resolution "
+                            "diagnostic, Strimmer-von Haeseler)")
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--model", default="JC69")
+    p.add_argument("--params", help="JSON params ({'model': {...}})")
+    p.add_argument("--n-quartets", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--points", action="store_true",
+                   help="include the simplex points in the output")
+    p.set_defaults(fn=cmd_lmap)
 
     p = sub.add_parser("consense",
                        help="majority-rule consensus of a tree sample")

@@ -23,7 +23,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["rell_logliks", "kh_test", "sh_test", "au_test"]
+__all__ = ["rell_logliks", "kh_test", "sh_test", "au_test",
+           "likelihood_mapping"]
 
 
 def rell_logliks(
@@ -169,4 +170,127 @@ def au_test(
     return {
         "pvalue": pvals, "bp": bp[r1], "delta": delta, "best": best,
         "d": d, "c": c,
+    }
+
+
+def likelihood_mapping(
+    alignment,
+    model,
+    params: Optional[dict] = None,
+    n_quartets: int = 200,
+    seed: int = 0,
+    steps: int = 60,
+    resolved_threshold: float = 0.95,
+    star_threshold: float = 0.45,
+):
+    """Likelihood mapping (Strimmer & von Haeseler 1997, PNAS 94:6815).
+
+    Samples ``n_quartets`` random 4-taxon subsets; for each, computes the
+    ML log-likelihood of the three possible quartet topologies (five
+    branch lengths optimized per topology) and maps the posterior weight
+    vector onto the 2-simplex. The distribution of points diagnoses how
+    tree-like the alignment is before any tree search.
+
+    TPU-first: all ``3 * n_quartets`` four-taxon likelihood surfaces are
+    optimized SIMULTANEOUSLY in one jitted program — the quartet pruning
+    is written directly as einsums (no schedule machinery needed at this
+    size) and vmapped over (quartet, topology); Adam in the softplus
+    branch-length space.
+
+    Returns {"points": (Q, 3) posterior weights ordered (ab|cd, ac|bd,
+    ad|bc) for the sampled taxa (a,b,c,d); "quartets": (Q, 4) taxon
+    indices; "basins": fraction of quartets whose best topology is each
+    pairing; "resolved": fraction with max weight >= resolved_threshold;
+    "star": fraction with max weight <= star_threshold (near the
+    uninformative 1/3 center); "names": taxon order}.
+
+    The resolved/star cutoffs are explicit parameters (reported tools
+    draw finer 7-region pictures; occupancies quoted in practice are the
+    resolved/ambiguous/star fractions these thresholds give).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_utils_tpu.alphabets import encode_alignment
+    from phylo_utils_tpu.ops.pmatrix import transition_matrices
+
+    names, arr = encode_alignment(alignment, model.alphabet,
+                                  dtype=np.float64)
+    n_taxa = arr.shape[0]
+    if n_taxa < 4:
+        raise ValueError("likelihood mapping needs >= 4 taxa")
+    rng = np.random.default_rng(seed)
+    quartets = np.stack([
+        rng.choice(n_taxa, size=4, replace=False)
+        for _ in range(n_quartets)
+    ])                                               # (Q, 4)
+
+    eig = model.eigen(
+        {**model.defaults(jnp.float64), **{
+            k: jnp.asarray(v, jnp.float64)
+            for k, v in (params or {}).items()
+        }},
+        dtype=jnp.float64,
+    )
+    freqs = eig.freqs
+    # (Q, 4, sites, S) leaf conditionals, f32 for speed
+    lp = jnp.asarray(arr, jnp.float32)[jnp.asarray(quartets)]
+    # the three pairings of (a, b, c, d): (ab|cd), (ac|bd), (ad|bc) as
+    # index permutations of the quartet's four rows
+    pairings = jnp.asarray([[0, 1, 2, 3], [0, 2, 1, 3], [0, 3, 1, 2]])
+
+    def quartet_logl(lp4, raw_t):
+        """lp4: (4, sites, S) ordered (a, b | c, d); raw_t: (5,)."""
+        t = jax.nn.softplus(raw_t)
+        p = transition_matrices(eig, t.astype(jnp.float64),
+                                out_dtype=jnp.float32)   # (5, S, S)
+        msg = jnp.einsum("eij,esj->esi", p[:4],
+                         lp4)                            # (4, sites, S)
+        u = msg[0] * msg[1]                              # (sites, S)
+        v = msg[2] * msg[3]
+        pv = jnp.einsum("ij,sj->si", p[4], v)
+        lik = jnp.einsum("i,si->s", freqs.astype(jnp.float32), u * pv)
+        return jnp.sum(jnp.log(jnp.maximum(lik, 1e-35)))
+
+    def optimized_logl(lp4):
+        import optax
+
+        opt = optax.adam(0.1)
+        raw0 = jnp.full((5,), 0.0, jnp.float32)          # softplus ~ 0.69
+        state0 = opt.init(raw0)
+
+        def step(carry, _):
+            raw, st = carry
+            ll, g = jax.value_and_grad(
+                lambda r: -quartet_logl(lp4, r)
+            )(raw)
+            upd, st = opt.update(g, st, raw)
+            return (optax.apply_updates(raw, upd), st), -ll
+
+        (raw, _), lls = jax.lax.scan(step, (raw0, state0), None,
+                                     length=steps)
+        return jnp.maximum(quartet_logl(lp4, raw), jnp.max(lls))
+
+    @jax.jit
+    def run(lp):
+        def one_quartet(lp4):
+            return jax.vmap(
+                lambda perm: optimized_logl(lp4[perm])
+            )(pairings)                                  # (3,)
+
+        return jax.vmap(one_quartet)(lp)                 # (Q, 3)
+
+    lls = np.asarray(run(lp), np.float64)
+    m = lls.max(axis=1, keepdims=True)
+    w = np.exp(lls - m)
+    points = w / w.sum(axis=1, keepdims=True)            # (Q, 3)
+    best = points.argmax(axis=1)
+    pmax = points.max(axis=1)
+    return {
+        "points": points,
+        "quartets": quartets,
+        "basins": np.bincount(best, minlength=3) / n_quartets,
+        "resolved": float((pmax >= resolved_threshold).mean()),
+        "star": float((pmax <= star_threshold).mean()),
+        "names": names,
     }

@@ -81,3 +81,24 @@ def test_au_test_near_tied_rows():
     assert au["pvalue"][0] > 0.2 and au["pvalue"][1] > 0.2
     assert au["pvalue"][2] < 0.01
     assert au["bp"][2] == 0.0
+
+
+def test_likelihood_mapping_clean_vs_noise():
+    from phylo_utils_tpu.topology_tests import likelihood_mapping
+
+    tree = random_tree(10, seed=5, mean_brlen=0.15)
+    aln = simulate_alignment(jax.random.key(3), tree, models.K80, 800,
+                             params={"kappa": 3.0})
+    out = likelihood_mapping(aln, models.K80, params={"kappa": 3.0},
+                             n_quartets=30, seed=1, steps=50)
+    assert out["points"].shape == (30, 3)
+    np.testing.assert_allclose(out["points"].sum(axis=1), 1.0, atol=1e-6)
+    assert out["basins"].sum() == pytest.approx(1.0)
+    assert out["resolved"] > 0.5          # tree-like signal
+
+    rng = np.random.default_rng(0)
+    noise = {n: "".join(rng.choice(list("ACGT"), size=800))
+             for n in tree.leaf_names}
+    out2 = likelihood_mapping(noise, models.K80, n_quartets=30, seed=1,
+                              steps=50)
+    assert out2["resolved"] < out["resolved"] - 0.3
