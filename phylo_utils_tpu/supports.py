@@ -25,7 +25,7 @@ from phylo_utils_tpu import trees as ptrees
 
 __all__ = ["nni_alternatives_by_edge", "alrt_supports",
            "bootstrap_tree_support", "transfer_bootstrap_supports",
-           "site_concordance"]
+           "site_concordance", "gene_concordance"]
 
 
 def nni_alternatives_by_edge(tree: ptrees.Tree):
@@ -113,7 +113,8 @@ def alrt_supports(
     edges = sorted(by_edge)
     if not edges:
         return {"edges": [], "stat": np.zeros(0), "alrt": np.zeros(0),
-                "sh_alrt": np.zeros(0), "loglik": ll0, "tree": tree}
+                "sh_alrt": np.zeros(0), "abayes": np.zeros(0),
+                "loglik": ll0, "tree": tree}
     alts = [t for e in edges for t in by_edge[e]]
     owners = np.asarray([e for e in edges for _ in by_edge[e]])
 
@@ -151,11 +152,23 @@ def alrt_supports(
     # a negative observed delta (alternative better) is zero support
     alrt = np.where(stat <= 0.0, 0.0, alrt)
     sh = np.where(stat <= 0.0, 0.0, sh)
+    # aBayes (Anisimova et al. 2011): posterior of the current config
+    # among the three NNI resolutions under a uniform prior = softmax of
+    # the three logLs (the base tree's plus the two best alternatives)
+    abayes = np.empty(len(edges))
+    for i, e in enumerate(edges):
+        rows = np.nonzero(owners == e)[0]
+        alt_lls = np.sort(lls[rows])[::-1][:2]      # two NNI resolutions
+        trio = np.concatenate([[ll0], alt_lls])
+        m0 = trio.max()
+        w = np.exp(trio - m0)
+        abayes[i] = float(w[0] / w.sum())
     return {
         "edges": edges,
         "stat": stat,
         "alrt": np.asarray(alrt),
         "sh_alrt": np.asarray(sh),
+        "abayes": abayes,
         "loglik": ll0,
         "tree": tree,
     }
@@ -482,3 +495,57 @@ def site_concordance(
         "sdf2": np.asarray(sdf2),
         "n_decisive": np.asarray(ndec),
     }
+
+
+def gene_concordance(tree, gene_trees) -> Dict:
+    """Gene concordance factors (gCF; Minh, Hahn & Lanfear 2020): for
+    every internal branch of ``tree``, the percentage of ``gene_trees``
+    (single-locus estimates, any source) that contain the branch's
+    bipartition, counted over the genes whose taxon set covers both
+    sides (missing-taxon gene trees are skipped per branch). The
+    model-free companion of ``site_concordance``.
+
+    Returns {"edges", "gcf" (percent), "n_informative" (genes counted
+    per branch)}.
+    """
+    from phylo_utils_tpu import io as pio
+
+    if isinstance(tree, str):
+        tree = pio.parse_newick(tree)
+    leaf_index = {n: i for i, n in enumerate(sorted(tree.leaf_names))}
+    ind, edge_ids = _edge_indicators(tree, leaf_index)
+    rk = tree.children[tree.root]
+    if len(rk) == 2:
+        keep = [i for i, e in enumerate(edge_ids) if e != max(rk)]
+        ind, edge_ids = ind[keep], [edge_ids[i] for i in keep]
+    all_names = frozenset(tree.leaf_names)
+    anchor = min(all_names)
+    ref_splits = []
+    for row in ind:
+        side = frozenset(
+            nm for nm, i in leaf_index.items() if row[i]
+        )
+        ref_splits.append(side if anchor not in side
+                          else all_names - side)
+    counts = np.zeros(len(edge_ids))
+    informative = np.zeros(len(edge_ids))
+    for g in gene_trees:
+        if isinstance(g, str):
+            g = pio.parse_newick(g)
+        gset = set(g.leaf_names)
+        gsplits = set(ptrees._splits(g))
+        for i, sp in enumerate(ref_splits):
+            a = sp & gset
+            b = (all_names - sp) & gset
+            if len(a) < 2 or len(b) < 2:
+                continue                      # gene can't inform this edge
+            informative[i] += 1
+            # restrict the reference split to the gene's taxa and
+            # canonicalize against the gene's own anchor
+            ganchor = min(gset)
+            cand = a if ganchor not in a else frozenset(gset) - a
+            if cand in gsplits:
+                counts[i] += 1
+    gcf = np.where(informative > 0, 100.0 * counts /
+                   np.maximum(informative, 1), np.nan)
+    return {"edges": edge_ids, "gcf": gcf, "n_informative": informative}

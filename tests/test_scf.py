@@ -44,3 +44,35 @@ def test_scf_handles_gaps_and_protein():
     assert len(out["edges"]) >= 2
     assert (out["scf"] >= 0).all() and (out["scf"] <= 100).all()
     assert (out["n_decisive"] > 0).all()
+
+
+def test_gene_concordance_and_abayes():
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.supports import alrt_supports, gene_concordance
+    from phylo_utils_tpu.trees import nni_neighbors
+
+    ref = parse_newick(
+        "(((a:1,b:1):1,(c:1,d:1):1):1,((e:1,f:1):1,g:1):1);"
+    )
+    # unanimous gene trees -> gCF 100 everywhere
+    out = gene_concordance(ref, [ref, ref, ref])
+    assert len(out["edges"]) >= 3
+    np.testing.assert_allclose(out["gcf"], 100.0)
+    # one conflicting gene lowers at least one edge; counts stay coherent
+    out2 = gene_concordance(ref, [ref, ref, nni_neighbors(ref)[0]])
+    assert (out2["gcf"] <= 100.0).all()
+    assert (out2["gcf"] < 100.0).any()
+    assert (out2["n_informative"] == 3).all()
+    # gene missing taxa: edges it cannot inform keep their counts
+    sub = parse_newick("(((a:1,b:1):1,(c:1,d:1):1):1,e:1);")
+    out3 = gene_concordance(ref, [ref, sub])
+    assert (out3["n_informative"] >= 1).all()
+    assert (out3["n_informative"] <= 2).all()
+
+    # aBayes rides alrt_supports: high for well-supported edges
+    tree = random_tree(6, seed=2, mean_brlen=0.3)
+    aln = simulate_alignment(jax.random.key(7), tree, models.JC69, 800)
+    sup = alrt_supports(tree, aln, models.JC69)
+    assert sup["abayes"].shape == (len(sup["edges"]),)
+    assert ((sup["abayes"] >= 0) & (sup["abayes"] <= 1)).all()
+    assert sup["abayes"].mean() > 0.6
