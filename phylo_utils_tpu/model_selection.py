@@ -17,7 +17,8 @@ from phylo_utils_tpu.likelihood import LikelihoodEngine
 from phylo_utils_tpu.optimize import fit
 
 __all__ = ["count_free_parameters", "compare_models", "ModelFit",
-           "likelihood_ratio_test"]
+           "likelihood_ratio_test", "goldman_cox_test",
+           "unconstrained_loglikelihood"]
 
 
 _MODEL_K = {
@@ -122,4 +123,90 @@ def likelihood_ratio_test(
         "statistic": float(stat),
         "df": int(df),
         "pvalue": float(chi2.sf(max(stat, 0.0), df)),
+    }
+
+
+def unconstrained_loglikelihood(engine) -> float:
+    """Multinomial unconstrained maximum: sum_p n_p log(n_p / N) over
+    site patterns — the best any iid-sites model could do. The gap to
+    the model's logL is the Goldman (1993) adequacy statistic."""
+    w = np.asarray(engine._compressed.weights, np.float64)
+    w = w[: engine._compressed.n_patterns]
+    n = w.sum()
+    return float(np.sum(w * np.log(w / n)))
+
+
+def goldman_cox_test(
+    engine,
+    params: Optional[Mapping] = None,
+    n_replicates: int = 50,
+    seed: int = 0,
+    refit: bool = True,
+    max_steps: int = 150,
+    **fit_kwargs,
+) -> Dict:
+    """Goldman-Cox model-adequacy test (Goldman 1993, J Mol Evol 36:182).
+
+    The statistic is delta = lnL_unconstrained - lnL_model (how far the
+    model falls short of the multinomial ceiling). Its null distribution
+    is built by parametric bootstrap: simulate ``n_replicates``
+    alignments under the fitted model, refit each (``refit=False``
+    evaluates at the generating values instead — faster, slightly
+    conservative), and recompute delta. p-value = fraction of replicate
+    deltas >= the observed one; a small p means the model is an
+    inadequate description of the data even if it is the best of the
+    candidates compared.
+
+    Base ``LikelihoodEngine`` with the gamma/no-rate mixture only (the
+    same scope as ``optimize.parametric_bootstrap``).
+    """
+    import jax as _jax
+
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.simulate import simulate_alignment
+
+    if getattr(engine, "rate_model", "gamma") != "gamma":
+        raise ValueError("goldman_cox_test supports gamma-rate engines "
+                         "only (see parametric_bootstrap)")
+    full = engine._full_params(params)
+    ll_model = engine.loglikelihood(full)
+    delta_obs = unconstrained_loglikelihood(engine) - ll_model
+
+    tree_mle = engine.tree.with_lengths(
+        np.asarray(full["branch_lengths"], np.float64)
+    )
+    n_sites = int(round(float(np.asarray(engine._compressed.weights).sum())))
+    sim_params = {
+        k: np.asarray(v) for k, v in dict(full.get("model", {})).items()
+    }
+    if "alpha" in full:
+        sim_params["alpha"] = np.asarray(full["alpha"])
+    pinv = float(full["pinv"]) if "pinv" in full else 0.0
+
+    deltas = np.empty(n_replicates)
+    for i in range(n_replicates):
+        aln = simulate_alignment(
+            _jax.random.key(seed + i), tree_mle, engine.model, n_sites,
+            params=sim_params, ncat=engine.ncat, pinv=pinv,
+            median=engine.median,
+        )
+        rep = type(engine)(
+            tree_mle, aln, engine.model, ncat=engine.ncat,
+            invariant_sites=engine.invariant_sites, median=engine.median,
+            dtype=engine.dtype,
+        )
+        if refit:
+            res = fit(rep, params0=full, max_steps=max_steps,
+                      **fit_kwargs)
+            ll_rep = res.loglik
+        else:
+            ll_rep = rep.loglikelihood(full)
+        deltas[i] = unconstrained_loglikelihood(rep) - ll_rep
+    pvalue = float((deltas >= delta_obs).mean())
+    return {
+        "delta": float(delta_obs),
+        "null_deltas": deltas,
+        "pvalue": pvalue,
+        "loglik": float(ll_model),
+        "unconstrained": float(unconstrained_loglikelihood(engine)),
     }

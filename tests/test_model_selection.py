@@ -53,3 +53,37 @@ def test_likelihood_ratio_test():
     assert out["pvalue"] < 1e-4
     flat = likelihood_ratio_test(-1000.0, -1000.0, df=2)
     assert flat["pvalue"] == pytest.approx(1.0)
+
+
+def test_goldman_cox_adequacy():
+    """Goldman-Cox parametric-bootstrap adequacy: the generating model
+    is not rejected; a badly misspecified one (ignoring strong rate
+    heterogeneity) is."""
+    import jax
+
+    from phylo_utils_tpu.model_selection import (
+        goldman_cox_test,
+        unconstrained_loglikelihood,
+    )
+    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(6, seed=3, mean_brlen=0.2)
+    aln = simulate_alignment(jax.random.key(2), tree, models.HKY85, 400,
+                             params={"kappa": 3.0})
+    eng = LikelihoodEngine(tree, aln, models.HKY85)
+    mle = fit(eng, max_steps=200)
+    res = goldman_cox_test(eng, mle.params, n_replicates=10, refit=True,
+                           max_steps=120, seed=1)
+    assert res["unconstrained"] >= res["loglik"]
+    assert res["pvalue"] > 0.1            # generating family: adequate
+
+    aln2 = simulate_alignment(jax.random.key(4), tree, models.HKY85, 800,
+                              params={"kappa": 3.0, "alpha": 0.2}, ncat=4)
+    eng2 = LikelihoodEngine(tree, aln2, models.JC69)
+    mle2 = fit(eng2, max_steps=150)
+    res2 = goldman_cox_test(eng2, mle2.params, n_replicates=10,
+                            refit=False, seed=1)
+    assert res2["pvalue"] <= 0.1          # misspecified: rejected
+    assert res2["delta"] > res["delta"]
