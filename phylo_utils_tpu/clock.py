@@ -28,13 +28,15 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from phylo_utils_tpu.likelihood import LikelihoodEngine, mixture_rates_and_p
 from phylo_utils_tpu.trees import Tree
 
-__all__ = ["ClockEngine", "clock_test", "node_height_errors"]
+__all__ = ["ClockEngine", "clock_test", "node_height_errors",
+           "penalized_likelihood_dating"]
 
 
 def _clock_structure(tree: Tree):
@@ -321,3 +323,147 @@ def node_height_errors(engine: ClockEngine,
     se = np.sqrt(var)
     return {int(nid): float(se[k])
             for k, nid in enumerate(engine._internal_ids)}
+
+
+def penalized_likelihood_dating(
+    tree: Tree,
+    n_sites: int,
+    root_age: float = 1.0,
+    lam: float = 1.0,
+    steps: int = 2000,
+    lr: float = 0.02,
+    seed: int = 0,
+):
+    """Penalized-likelihood divergence dating (Sanderson 2002, MBE 19:101
+    — the r8s/ape-chronos semiparametric method).
+
+    Takes a fitted PHYLOGRAM (branch lengths in expected substitutions
+    per site) and estimates node AGES plus per-edge substitution rates
+    by maximizing a Poisson likelihood of the per-branch substitution
+    counts ``n_e = b_e * n_sites`` against ``r_e * d_e * n_sites``
+    (``d_e`` = branch duration from the age assignment), minus
+    ``lam * (sum over parent-child edge pairs of (r_child - r_parent)^2
+    + Var(rates at the root))`` — Sanderson's autocorrelation penalty.
+    Large ``lam`` approaches a strict clock; small ``lam`` lets rates
+    vary freely (ages then identified only by the penalty).
+
+    Ages are parameterized exactly like ``ClockEngine`` (root age times
+    per-node fractions, monotone by construction) with the root age
+    FIXED at ``root_age`` (relative dating; rescale or calibrate
+    afterwards). Optimized by Adam in one jitted ``lax.scan``.
+
+    Returns {"ages": {node id: age}, "rates": (n_nodes,) per-edge rates
+    (root entry 0), "chronogram": Tree with branch lengths in time
+    units, "objective": final penalized logL}.
+    """
+    import optax
+
+    (internal_ids, anc, parent_slot, is_internal, node_slot,
+     root_slot) = _clock_structure(tree)
+    n_int = len(internal_ids)
+    h0 = _initial_heights(tree)
+    h0_int = np.maximum(h0[internal_ids], 1e-6)
+    # initial fractions from the ultrametricized input heights
+    fr0 = []
+    for k, nid in enumerate(internal_ids):
+        if k == root_slot:
+            continue
+        par = int(tree.parent[int(nid)])
+        fr0.append(
+            min(max(h0_int[k] / max(h0[par], 1e-9), 1e-3), 1.0 - 1e-3)
+        )
+    fr0 = np.asarray(fr0, np.float64)
+    # initial common rate: total path length / root age
+    r0 = max(float(h0[tree.root]) / max(root_age, 1e-9), 1e-6)
+
+    counts = np.asarray(tree.lengths, np.float64) * n_sites  # n_e
+    counts = jnp.asarray(counts)
+    root = tree.root
+    nonroot = jnp.asarray(
+        [i for i in range(tree.n_nodes) if i != root], jnp.int32
+    )
+    parent_of = jnp.asarray(
+        [int(tree.parent[i]) if tree.parent[i] != -1 else 0
+         for i in range(tree.n_nodes)], jnp.int32
+    )
+    is_root_child = jnp.asarray(
+        [1.0 if int(tree.parent[i]) == root else 0.0
+         for i in range(tree.n_nodes)]
+    )
+    anc_j = jnp.asarray(anc)
+    parent_slot_j = jnp.asarray(parent_slot)
+    node_slot_j = jnp.asarray(node_slot)
+    is_internal_j = jnp.asarray(is_internal)
+
+    def durations(raw_f):
+        f = jax.nn.sigmoid(raw_f)
+        if n_int > 1:
+            h = root_age * jnp.exp(anc_j @ jnp.log(f))
+        else:
+            h = jnp.full((1,), root_age)
+        node_h = is_internal_j * h[node_slot_j]
+        parent_h = h[jnp.clip(parent_slot_j, 0, None)]
+        return jnp.maximum(parent_h - node_h, 1e-9), h
+
+    def objective(params):
+        raw_f, log_r = params
+        d, _ = durations(raw_f)
+        r = jnp.exp(log_r)
+        mu = r * d * n_sites
+        pois = jnp.sum(
+            (counts[nonroot] * jnp.log(mu[nonroot]) - mu[nonroot])
+        )
+        # autocorrelation penalty over parent-child edge pairs (both
+        # non-root edges) + variance of the root's children's rates
+        child_mask = jnp.asarray(
+            [1.0 if (tree.parent[i] != -1
+                     and tree.parent[int(i)] != root) else 0.0
+             for i in range(tree.n_nodes)]
+        )
+        diff = (r - r[parent_of]) ** 2 * child_mask
+        rc = is_root_child
+        nrc = jnp.sum(rc)
+        mean_rc = jnp.sum(r * rc) / nrc
+        var_rc = jnp.sum(rc * (r - mean_rc) ** 2) / nrc
+        return pois - lam * n_sites * (jnp.sum(diff) + var_rc)
+
+    raw0 = (
+        jnp.asarray(np.log(fr0 / (1 - fr0))),
+        jnp.full((tree.n_nodes,), np.log(r0)),
+    )
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(raw0):
+        state0 = opt.init(raw0)
+
+        def step(carry, _):
+            raw, st = carry
+            val, g = jax.value_and_grad(
+                lambda q: -objective(q)
+            )(raw)
+            upd, st = opt.update(g, st, raw)
+            return (optax.apply_updates(raw, upd), st), -val
+
+        (raw, _), trace = jax.lax.scan(step, (raw0, state0), None,
+                                       length=steps)
+        return raw, trace
+
+    raw, trace = run(raw0)
+    d, h = durations(raw[0])
+    d = np.asarray(d)
+    h = np.asarray(h)
+    rates = np.array(jnp.exp(raw[1]))
+    rates[root] = 0.0
+    ages = {int(nid): float(h[k]) for k, nid in enumerate(internal_ids)}
+    for i in range(tree.n_leaves):
+        ages[i] = 0.0
+    chron = tree.with_lengths(np.where(
+        np.arange(tree.n_nodes) == root, 0.0, d
+    ))
+    return {
+        "ages": ages,
+        "rates": rates,
+        "chronogram": chron,
+        "objective": float(np.asarray(trace)[-1]),
+    }

@@ -165,3 +165,46 @@ def test_node_height_errors():
         boots.append(e2.node_heights(r2.params)[truth.root])
     ratio = se[truth.root] / np.std(boots)
     assert 0.3 < ratio < 3.0, (se[truth.root], np.std(boots))
+
+
+def test_penalized_likelihood_dating_recovers_ages():
+    """Sanderson-2002 PL dating: exact age recovery on a strict-clock
+    phylogram; high age correlation when per-edge rates vary
+    (lognormal) and the autocorrelation penalty must disentangle
+    rate from time."""
+    from phylo_utils_tpu.clock import (
+        _initial_heights,
+        penalized_likelihood_dating,
+    )
+    from phylo_utils_tpu.trees import random_tree
+
+    base = random_tree(10, seed=7, mean_brlen=0.1)
+    h = _initial_heights(base)
+    true_dur = np.zeros(base.n_nodes)
+    for i in range(base.n_nodes):
+        p = int(base.parent[i])
+        if p != -1:
+            true_dur[i] = h[p] - h[i]
+    root_age = h[base.root]
+    internal = range(base.n_leaves, base.n_nodes)
+    tru = np.array([h[n] for n in internal])
+
+    out = penalized_likelihood_dating(
+        base.with_lengths(true_dur), n_sites=2000, root_age=root_age,
+        lam=1.0,
+    )
+    est = np.array([out["ages"][int(n)] for n in internal])
+    assert (np.abs(est - tru) / root_age).max() < 0.05
+    r = out["rates"][out["rates"] > 0]
+    assert abs(r.mean() - 1.0) < 0.1              # strict clock: rate 1
+    # chronogram edge lengths are the durations; root age preserved
+    assert out["ages"][base.root] == pytest.approx(root_age)
+
+    rng = np.random.default_rng(1)
+    rates_true = np.exp(rng.normal(0, 0.3, base.n_nodes))
+    out2 = penalized_likelihood_dating(
+        base.with_lengths(true_dur * rates_true), n_sites=2000,
+        root_age=root_age, lam=0.5,
+    )
+    est2 = np.array([out2["ages"][int(n)] for n in internal])
+    assert np.corrcoef(est2, tru)[0, 1] > 0.9
