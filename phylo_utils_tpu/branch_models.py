@@ -255,8 +255,12 @@ class BranchModelEngine(LikelihoodEngine):
         return params
 
     def _full_params(self, params: Optional[Mapping]) -> Dict:
+        from phylo_utils_tpu.likelihood import validate_param_keys
+
         full = self.default_params()
         if params:
+            validate_param_keys(params, full, type(self).__name__,
+                                nested="shared")
             for k, v in params.items():
                 if k in ("shared", "classes"):
                     full[k] = {**full[k], **{
@@ -364,8 +368,12 @@ class BranchSiteAEngine(LikelihoodEngine):
         return params
 
     def _full_params(self, params: Optional[Mapping]) -> Dict:
+        from phylo_utils_tpu.likelihood import validate_param_keys
+
         full = self.default_params()
         if params:
+            validate_param_keys(params, full, type(self).__name__,
+                                nested="shared")
             for k, v in params.items():
                 if k == "shared":
                     full["shared"] = {**full["shared"], **{

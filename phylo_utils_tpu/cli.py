@@ -302,9 +302,12 @@ def cmd_lmap(args) -> int:
     """Likelihood mapping: quartet-resolution diagnostic of an alignment."""
     from phylo_utils_tpu.topology_tests import likelihood_mapping
 
-    model, ncat, _, _ = _parse_model_spec(args.model)
-    if ncat > 1:
-        raise SystemExit("lmap uses a single-rate model (drop +G)")
+    model, ncat, inv, emp = _parse_model_spec(args.model)
+    if ncat > 1 or inv or emp:
+        raise SystemExit(
+            "lmap uses a plain single-rate model (drop +G/+I/+F; pass "
+            "explicit frequencies via --params if needed)"
+        )
     out = likelihood_mapping(
         _read_aln(args.alignment), model,
         params=(_json_params(args.params) or {}).get("model"),
@@ -723,8 +726,10 @@ def cmd_supports(args) -> int:
             "stat": float(s),
             "alrt": float(a),
             "sh_alrt": float(sh),
-        } for e, s, a, sh in zip(out["edges"], out["stat"], out["alrt"],
-                                 out["sh_alrt"])],
+            "abayes": float(ab),
+        } for e, s, a, sh, ab in zip(out["edges"], out["stat"],
+                                     out["alrt"], out["sh_alrt"],
+                                     out["abayes"])],
     }
     if scf is not None:
         payload["scf"] = {

@@ -228,8 +228,12 @@ class ClockEngine(LikelihoodEngine):
         return self.tree.with_lengths(lengths)
 
     def _full_params(self, params: Optional[Mapping]) -> Dict:
+        from phylo_utils_tpu.likelihood import validate_param_keys
+
         full = self.default_params()
         if params:
+            validate_param_keys(params, full, type(self).__name__,
+                                nested="model")
             for k, v in params.items():
                 if k == "model":
                     full["model"] = {**full["model"], **{
@@ -332,7 +336,6 @@ def penalized_likelihood_dating(
     lam: float = 1.0,
     steps: int = 2000,
     lr: float = 0.02,
-    seed: int = 0,
 ):
     """Penalized-likelihood divergence dating (Sanderson 2002, MBE 19:101
     — the r8s/ape-chronos semiparametric method).
@@ -342,8 +345,10 @@ def penalized_likelihood_dating(
     by maximizing a Poisson likelihood of the per-branch substitution
     counts ``n_e = b_e * n_sites`` against ``r_e * d_e * n_sites``
     (``d_e`` = branch duration from the age assignment), minus
-    ``lam * (sum over parent-child edge pairs of (r_child - r_parent)^2
-    + Var(rates at the root))`` — Sanderson's autocorrelation penalty.
+    ``lam * n_sites * (sum over parent-child edge pairs of
+    (r_child - r_parent)^2 + Var(rates at the root))`` — Sanderson's
+    autocorrelation penalty, scaled by the alignment length so ``lam``
+    is a per-site smoothing strength comparable across datasets.
     Large ``lam`` approaches a strict clock; small ``lam`` lets rates
     vary freely (ages then identified only by the penalty).
 
@@ -447,9 +452,11 @@ def penalized_likelihood_dating(
 
         (raw, _), trace = jax.lax.scan(step, (raw0, state0), None,
                                        length=steps)
-        return raw, trace
+        # trace entries are PRE-update objectives; report the objective
+        # AT the returned parameters
+        return raw, objective(raw)
 
-    raw, trace = run(raw0)
+    raw, final_obj = run(raw0)
     d, h = durations(raw[0])
     d = np.asarray(d)
     h = np.asarray(h)
@@ -465,5 +472,5 @@ def penalized_likelihood_dating(
         "ages": ages,
         "rates": rates,
         "chronogram": chron,
-        "objective": float(np.asarray(trace)[-1]),
+        "objective": float(final_obj),
     }

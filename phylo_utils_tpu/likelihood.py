@@ -126,6 +126,27 @@ def mixture_rates_and_p(engine, params, dtype, eig=None, rates=None):
     return rates, cat_weights, p, freqs
 
 
+def validate_param_keys(params, full, where: str,
+                        nested: str = None) -> None:
+    """Raise on unknown top-level parameter names — and, when ``nested``
+    is given, on unknown sub-keys of that nested dict. Shared typo guard
+    for every engine's ``_full_params`` (a misspelled key would otherwise
+    be stored and silently ignored)."""
+    unknown = set(params) - set(full)
+    if unknown:
+        raise ValueError(
+            f"unknown parameter(s) {sorted(unknown)} for {where}; "
+            f"available: {sorted(full.keys())}"
+        )
+    if nested and nested in params:
+        sub_unknown = set(params[nested]) - set(full[nested])
+        if sub_unknown:
+            raise ValueError(
+                f"unknown {nested!r} parameter(s) {sorted(sub_unknown)} "
+                f"for {where}; available: {sorted(full[nested].keys())}"
+            )
+
+
 class LikelihoodEngine:
     """Compiled likelihood/gradient evaluator for one (topology, model) pair.
 

@@ -84,8 +84,12 @@ class ModelMixtureEngine(LikelihoodEngine):
         return params
 
     def _full_params(self, params: Optional[Mapping]) -> Dict:
+        from phylo_utils_tpu.likelihood import validate_param_keys
+
         full = self.default_params()
         if params:
+            validate_param_keys(params, full, type(self).__name__,
+                                nested="mixture")
             for k, v in params.items():
                 if k == "mixture":
                     full["mixture"] = {**full["mixture"], **{
@@ -228,8 +232,12 @@ class SharedOmegaMixtureEngine(ModelMixtureEngine):
         return params
 
     def _full_params(self, params: Optional[Mapping]) -> Dict:
+        from phylo_utils_tpu.likelihood import validate_param_keys
+
         full = self.default_params()
         if params:
+            validate_param_keys(params, full, type(self).__name__,
+                                nested="shared")
             for k, v in params.items():
                 if k == "shared":
                     full["shared"] = {**full["shared"], **{

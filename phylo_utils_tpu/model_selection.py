@@ -162,26 +162,14 @@ def goldman_cox_test(
     """
     import jax as _jax
 
-    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.optimize import fit, simulation_setup
     from phylo_utils_tpu.simulate import simulate_alignment
 
-    if getattr(engine, "rate_model", "gamma") != "gamma":
-        raise ValueError("goldman_cox_test supports gamma-rate engines "
-                         "only (see parametric_bootstrap)")
-    full = engine._full_params(params)
+    full, tree_mle, n_sites, sim_params, pinv = simulation_setup(
+        engine, params, what="goldman_cox_test"
+    )
     ll_model = engine.loglikelihood(full)
     delta_obs = unconstrained_loglikelihood(engine) - ll_model
-
-    tree_mle = engine.tree.with_lengths(
-        np.asarray(full["branch_lengths"], np.float64)
-    )
-    n_sites = int(round(float(np.asarray(engine._compressed.weights).sum())))
-    sim_params = {
-        k: np.asarray(v) for k, v in dict(full.get("model", {})).items()
-    }
-    if "alpha" in full:
-        sim_params["alpha"] = np.asarray(full["alpha"])
-    pinv = float(full["pinv"]) if "pinv" in full else 0.0
 
     deltas = np.empty(n_replicates)
     for i in range(n_replicates):

@@ -354,6 +354,11 @@ def dn_ds_by_branch(model: Model, params=None, branch_lengths=None,
     """
     if code is None:
         alpha = model.alphabet
+        if not str(alpha).startswith("codon"):
+            raise ValueError(
+                "dn_ds_by_branch needs a codon model (GY94/MG94 family); "
+                f"got model {model.name!r} with alphabet {alpha!r}"
+            )
         code = "standard" if alpha == "codon" else alpha.split(":", 1)[1]
     single, _, nonsyn = _build_structure(code)
     syn = single * (1.0 - nonsyn)

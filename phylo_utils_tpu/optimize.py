@@ -831,6 +831,49 @@ def ml_distance_matrix(
     return out
 
 
+def simulation_setup(engine, params, what: str):
+    """(full, tree_at_mle, n_sites, flat sim params, pinv) for
+    simulate-at-the-fitted-model workflows (parametric_bootstrap,
+    goldman_cox_test). Shared so its engine-scope checks stay in one
+    place: only the BASE LikelihoodEngine with the plain gamma/no-rate
+    mixture is supported — mixture/branch/clock engines have their own
+    parameterizations ('shared', hyperparameters, heights) that
+    simulate_alignment cannot consume, and silently simulating under
+    factory defaults would make the bootstrap null meaningless."""
+    from phylo_utils_tpu.likelihood import LikelihoodEngine
+
+    if (
+        type(engine)._loglik_fn is not LikelihoodEngine._loglik_fn
+        or type(engine)._mixture_tensors
+        is not LikelihoodEngine._mixture_tensors
+    ):
+        raise ValueError(
+            f"{what} supports the base LikelihoodEngine only; "
+            f"{type(engine).__name__} has its own parameterization that "
+            "simulate_alignment cannot generate under (simulate with the "
+            "matching simulator — simulate_mixture_alignment / "
+            "simulate_branch_alignment — and drive the analysis manually)"
+        )
+    if getattr(engine, "rate_model", "gamma") != "gamma":
+        raise ValueError(
+            f"{what} supports the (equal-weight) gamma rate mixture "
+            "only: simulate_alignment cannot generate under "
+            f"rate_model={engine.rate_model!r} (FreeRate rates/weights)"
+        )
+    full = engine._full_params(params)
+    tree_mle = engine.tree.with_lengths(
+        np.asarray(full["branch_lengths"], np.float64)
+    )
+    n_sites = int(round(float(np.asarray(engine._compressed.weights).sum())))
+    sim_params = {
+        k: np.asarray(v) for k, v in dict(full.get("model", {})).items()
+    }
+    if "alpha" in full:
+        sim_params["alpha"] = np.asarray(full["alpha"])
+    pinv = float(full["pinv"]) if "pinv" in full else 0.0
+    return full, tree_mle, n_sites, sim_params, pinv
+
+
 def parametric_bootstrap(
     engine,
     params: Optional[Mapping] = None,
@@ -860,25 +903,9 @@ def parametric_bootstrap(
 
     from phylo_utils_tpu.simulate import simulate_alignment
 
-    if getattr(engine, "rate_model", "gamma") != "gamma":
-        raise ValueError(
-            "parametric_bootstrap supports the (equal-weight) gamma rate "
-            "mixture only: simulate_alignment cannot generate under "
-            f"rate_model={engine.rate_model!r} (FreeRate rates/weights), "
-            "so replicates would silently be simulated under a default "
-            "gamma model"
-        )
-    full = engine._full_params(params)
-    tree_mle = engine.tree.with_lengths(
-        np.asarray(full["branch_lengths"], np.float64)
+    full, tree_mle, n_sites, sim_params, pinv = simulation_setup(
+        engine, params, what="parametric_bootstrap"
     )
-    n_sites = int(round(float(np.asarray(engine._compressed.weights).sum())))
-    sim_params = {
-        k: np.asarray(v) for k, v in dict(full.get("model", {})).items()
-    }
-    if "alpha" in full:
-        sim_params["alpha"] = np.asarray(full["alpha"])
-    pinv = float(full["pinv"]) if "pinv" in full else 0.0
 
     reps = []
     lls = []

@@ -435,9 +435,14 @@ def site_concordance(
     all_leaves = set(range(tree.n_leaves))
 
     rng = np.random.default_rng(seed)
+    # a bifurcating root's two child edges are ONE unrooted branch:
+    # report it once, keyed by the lower id (same convention as
+    # gene_concordance / transfer_bootstrap_supports)
+    rk = tree.children[tree.root]
+    skip_dup = max(rk) if len(rk) == 2 else -1
     edges, scf, sdf1, sdf2, ndec = [], [], [], [], []
     for v in range(tree.n_leaves, tree.n_nodes):
-        if v == tree.root:
+        if v == tree.root or v == skip_dup:
             continue
         kids = tree.children[v]
         if len(kids) < 2:
@@ -452,14 +457,18 @@ def site_concordance(
             if len(skids) < 2:
                 continue                   # sibling is a leaf: no quartet
             c_set, d_set = below[skids[0]], below[skids[1]]
+        elif parent == tree.root:
+            # multifurcating (unrooted-style) root: split the remaining
+            # root children into the third/fourth groups
+            c_set = below[sibs[0]]
+            d_set = [x for s in sibs[1:] for x in below[s]]
         else:
             c_set = [x for s in sibs for x in below[s]]
             d_set = sorted(
                 all_leaves - set(below[v]) - set(c_set)
             )
-            if not d_set:                  # parent is the root: use the
-                # sibling split instead (handled above for bifurcating)
-                continue
+        if not c_set or not d_set:
+            continue
         conc = disc1 = disc2 = dec = 0
         for _ in range(n_quartets):
             a = a_set[rng.integers(len(a_set))]

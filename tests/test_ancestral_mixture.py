@@ -176,3 +176,52 @@ def test_partitioned_engine_raises_cleanly():
         ancestral_posteriors(eng)
     with pytest.raises(NotImplementedError):
         joint_ancestral_states(eng)
+
+
+def test_simulation_setup_rejects_non_base_engines():
+    """parametric_bootstrap / goldman_cox_test must refuse engines whose
+    parameterization simulate_alignment can't generate under (review
+    r3b: they used to silently simulate with factory defaults)."""
+    import jax as _jax
+
+    from phylo_utils_tpu.clock import ClockEngine
+    from phylo_utils_tpu.mixtures import M1aEngine
+    from phylo_utils_tpu.model_selection import goldman_cox_test
+    from phylo_utils_tpu.optimize import parametric_bootstrap
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(5, seed=1)
+    caln = simulate_alignment(_jax.random.key(1), tree, models.GY94, 30,
+                              params={"omega": 0.3})
+    daln = simulate_alignment(_jax.random.key(2), tree, models.K80, 60)
+    for eng in (M1aEngine(tree, caln, ncat=1),
+                ClockEngine(tree, daln, models.K80)):
+        with pytest.raises(ValueError, match="base LikelihoodEngine"):
+            parametric_bootstrap(eng, n_replicates=1)
+        with pytest.raises(ValueError, match="base LikelihoodEngine"):
+            goldman_cox_test(eng, n_replicates=1)
+
+
+def test_subclass_full_params_typo_guard():
+    """Every engine family rejects misspelled parameter keys (review
+    r3b: only the base engine validated)."""
+    import jax as _jax
+
+    from phylo_utils_tpu.clock import ClockEngine
+    from phylo_utils_tpu.mixtures import M1aEngine
+    from phylo_utils_tpu.simulate import simulate_alignment
+    from phylo_utils_tpu.trees import random_tree
+
+    tree = random_tree(5, seed=1)
+    caln = simulate_alignment(_jax.random.key(1), tree, models.GY94, 30,
+                              params={"omega": 0.3})
+    daln = simulate_alignment(_jax.random.key(2), tree, models.K80, 60)
+    m1a = M1aEngine(tree, caln, ncat=1)
+    ce = ClockEngine(tree, daln, models.K80)
+    with pytest.raises(ValueError, match="unknown parameter"):
+        m1a._full_params({"hieght": 1.0})
+    with pytest.raises(ValueError, match="unknown parameter"):
+        ce._full_params({"root_hieght": 1.0})
+    with pytest.raises(ValueError, match="unknown 'shared'"):
+        m1a._full_params({"shared": {"kapa": 2.0}})

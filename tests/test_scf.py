@@ -76,3 +76,24 @@ def test_gene_concordance_and_abayes():
     assert sup["abayes"].shape == (len(sup["edges"]),)
     assert ((sup["abayes"] >= 0) & (sup["abayes"] <= 1)).all()
     assert sup["abayes"].mean() > 0.6
+
+
+def test_scf_covers_all_internal_edges_both_rootings():
+    """Regression (code review r3b): trifurcating-root trees lost every
+    root-adjacent branch; bifurcating roots double-reported one branch."""
+    from phylo_utils_tpu.io import parse_newick
+    from phylo_utils_tpu.supports import nni_alternatives_by_edge
+
+    aln = {n: "ACGTACGTACGTACGT" for n in "abcdefgh"}
+    tri = parse_newick(
+        "((a:1,b:1):1,(c:1,d:1):1,((e:1,f:1):1,(g:1,h:1):1):1);"
+    )
+    out = site_concordance(tri, aln, n_quartets=5)
+    assert set(out["edges"]) >= set(nni_alternatives_by_edge(tri))
+    bi = parse_newick(
+        "(((a:1,b:1):1,(c:1,d:1):1):1,((e:1,f:1):1,(g:1,h:1):1):1);"
+    )
+    out2 = site_concordance(bi, aln, n_quartets=5)
+    rk = bi.children[bi.root]
+    assert max(rk) not in out2["edges"]
+    assert len(out2["edges"]) == len(set(out2["edges"]))
