@@ -229,6 +229,21 @@ def cmd_fit(args) -> int:
     }
     if se is not None:
         out["standard_errors"] = se
+    if (
+        str(engine.model.alphabet).startswith("codon")
+        and "omega" in engine.model.param_defaults
+    ):
+        from phylo_utils_tpu.models.codon import dn_ds_by_branch
+
+        dd = dn_ds_by_branch(
+            engine.model,
+            {k: np.asarray(v) for k, v in res.params["model"].items()},
+            branch_lengths=np.asarray(res.params["branch_lengths"]),
+        )
+        out["dn_ds"] = {
+            "omega": dd["omega"], "S": dd["S"], "N": dd["N"],
+            "dN": dd["dN"].tolist(), "dS": dd["dS"].tolist(),
+        }
     print(json.dumps(out))
     return 0
 

@@ -232,6 +232,12 @@ class ClockEngine(LikelihoodEngine):
 
         full = self.default_params()
         if params:
+            if "branch_lengths" in params:
+                # more specific than the generic unknown-key guard
+                raise ValueError(
+                    "ClockEngine derives branch lengths from heights; "
+                    "set root_height / height_fractions instead"
+                )
             validate_param_keys(params, full, type(self).__name__,
                                 nested="model")
             for k, v in params.items():
@@ -240,11 +246,6 @@ class ClockEngine(LikelihoodEngine):
                         kk: jnp.asarray(vv, self.dtype)
                         for kk, vv in v.items()
                     }}
-                elif k == "branch_lengths":
-                    raise ValueError(
-                        "ClockEngine derives branch lengths from heights; "
-                        "set root_height / height_fractions instead"
-                    )
                 else:
                     full[k] = jnp.asarray(v, self.dtype)
         return full
