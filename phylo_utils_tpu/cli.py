@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from typing import Dict, Optional
@@ -23,11 +24,20 @@ MODEL_NAMES = (
 def _get_model(name: str):
     from phylo_utils_tpu import models
 
+    if name.lower().endswith(".dat") or os.sep in name:
+        # a PAML empirical-matrix file (jones.dat, dayhoff.dat, ...)
+        from phylo_utils_tpu.models.protein import empirical_model_from_dat
+
+        try:
+            return empirical_model_from_dat(name)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"cannot load PAML .dat model {name!r}: {e}")
     try:
         return getattr(models, name.upper())
     except AttributeError:
         raise SystemExit(
-            f"unknown model {name!r}; choose from {', '.join(MODEL_NAMES)}"
+            f"unknown model {name!r}; choose from {', '.join(MODEL_NAMES)} "
+            "or a PAML .dat file path"
         )
 
 

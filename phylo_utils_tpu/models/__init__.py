@@ -23,7 +23,11 @@ from phylo_utils_tpu.models.dna import (  # noqa: F401
     GTR,
     UNREST,
 )
-from phylo_utils_tpu.models.protein import LG, WAG  # noqa: F401
+from phylo_utils_tpu.models.protein import (  # noqa: F401
+    LG,
+    WAG,
+    empirical_model_from_dat,
+)
 from phylo_utils_tpu.models.codon import (  # noqa: F401
     GY94,
     MG94,
