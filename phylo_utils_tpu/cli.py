@@ -42,18 +42,22 @@ def _get_model(name: str):
 
 
 def _parse_model_spec(spec: str):
-    """'GTR+G4+I+F' -> (model, ncat, invariant_sites, empirical_freqs).
+    """'GTR+G4+I+F' -> (model, ncat, inv, emp, rate_model).
 
     The ubiquitous model-string convention: +G[n] discrete gamma
-    (default 4 categories), +I invariant sites, +F observed equilibrium
-    frequencies."""
+    (default 4 categories), +R[n] FreeRate (free category rates AND
+    weights; default 4), +I invariant sites, +F observed equilibrium
+    frequencies. +G and +R are mutually exclusive."""
     parts = spec.split("+")
     model = _get_model(parts[0])
-    ncat, inv, emp = 1, False, False
+    ncat, inv, emp, rate_model = 1, False, False, "gamma"
     for flag in parts[1:]:
         up = flag.upper()
         if up.startswith("G"):
             ncat = int(up[1:]) if up[1:] else 4
+        elif up.startswith("R"):
+            ncat = int(up[1:]) if up[1:] else 4
+            rate_model = "free"
         elif up == "I":
             inv = True
         elif up == "F":
@@ -61,9 +65,13 @@ def _parse_model_spec(spec: str):
         else:
             raise SystemExit(
                 f"unknown model-string flag '+{flag}' in {spec!r} "
-                "(supported: +G[n], +I, +F)"
+                "(supported: +G[n], +R[n], +I, +F)"
             )
-    return model, ncat, inv, emp
+    if rate_model == "free" and any(
+        f.upper().startswith("G") for f in parts[1:]
+    ):
+        raise SystemExit(f"{spec!r}: +G and +R are mutually exclusive")
+    return model, ncat, inv, emp, rate_model
 
 
 def _read_tree(arg: str):
@@ -113,8 +121,9 @@ def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--tree", required=True, help="newick file or literal")
     p.add_argument("--alignment", required=True, help="FASTA/PHYLIP file")
     p.add_argument("--model", default="GTR",
-                   help="|".join(MODEL_NAMES) + " with optional +G[n]/+I/+F "
-                        "suffixes (e.g. GTR+G4+I+F)")
+                   help="|".join(MODEL_NAMES) + " with optional "
+                        "+G[n]/+R[n]/+I/+F suffixes (e.g. GTR+G4+I+F, "
+                        "HKY85+R4)")
     p.add_argument("--ncat", type=int, default=1, help="gamma categories")
     # NOTE: the boolean mixture switch is --invariant-sites; --pinv is a
     # FLOAT proportion and only exists on `simulate` (they used to share a
@@ -143,7 +152,8 @@ def _build_engine(args):
         from phylo_utils_tpu.parallel import SiteSharding
 
         sharding = SiteSharding()
-    model, spec_ncat, spec_inv, spec_emp = _parse_model_spec(args.model)
+    model, spec_ncat, spec_inv, spec_emp, rate_model = \
+        _parse_model_spec(args.model)
     # model-string suffixes compose with (and never reduce) the explicit
     # flags: --model GTR+G4+I == --model GTR --ncat 4 --invariant-sites
     args.ncat = max(args.ncat, spec_ncat)
@@ -161,6 +171,7 @@ def _build_engine(args):
         model,
         ncat=args.ncat,
         invariant_sites=args.invariant_sites,
+        rate_model=rate_model,
         dtype=args.dtype,
         sharding=sharding,
         pruner=args.pruner,
@@ -327,10 +338,10 @@ def cmd_lmap(args) -> int:
     """Likelihood mapping: quartet-resolution diagnostic of an alignment."""
     from phylo_utils_tpu.topology_tests import likelihood_mapping
 
-    model, ncat, inv, emp = _parse_model_spec(args.model)
+    model, ncat, inv, emp, _rate_model = _parse_model_spec(args.model)
     if ncat > 1 or inv or emp:
         raise SystemExit(
-            "lmap uses a plain single-rate model (drop +G/+I/+F; pass "
+            "lmap uses a plain single-rate model (drop +G/+R/+I/+F; pass "
             "explicit frequencies via --params if needed)"
         )
     out = likelihood_mapping(

@@ -477,3 +477,27 @@ def test_cli_ancestral_joint(small_inputs, tmp_path, capsys):
     marg = set(re.findall(r">(\S+)", out_fa.read_text()))
     joint = set(re.findall(r">(\S+)", (tmp_path / "anc.fa.joint").read_text()))
     assert marg == joint and len(marg) == 3
+
+
+def test_cli_freerate_model_string(small_inputs, capsys):
+    """'+R[n]' routes rate_model='free' into the engine; fit optimizes
+    the free category rates and weights; +G/+R are mutually exclusive."""
+    tree, fasta = small_inputs
+    rc = main(["loglik", "--tree", tree, "--alignment", fasta,
+               "--model", "HKY85+R3"])
+    assert rc == 0
+    ll_r3 = json.loads(capsys.readouterr().out)["loglik"]
+    assert ll_r3 < 0
+
+    rc = main(["fit", "--tree", tree, "--alignment", fasta,
+               "--model", "HKY85+R3", "--max-steps", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["params"]["rates"]) == 3
+    w = np.asarray(out["params"]["cat_weights"], np.float64)
+    assert w.shape == (3,) and abs(w.sum() - 1.0) < 1e-5
+    assert out["loglik"] >= ll_r3 - 1e-6   # fit never loses likelihood
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["loglik", "--tree", tree, "--alignment", fasta,
+              "--model", "HKY85+G4+R2"])
