@@ -44,34 +44,15 @@ def _get_model(name: str):
 def _parse_model_spec(spec: str):
     """'GTR+G4+I+F' -> (model, ncat, inv, emp, rate_model).
 
-    The ubiquitous model-string convention: +G[n] discrete gamma
-    (default 4 categories), +R[n] FreeRate (free category rates AND
-    weights; default 4), +I invariant sites, +F observed equilibrium
-    frequencies. +G and +R are mutually exclusive."""
-    parts = spec.split("+")
-    model = _get_model(parts[0])
-    ncat, inv, emp, rate_model = 1, False, False, "gamma"
-    for flag in parts[1:]:
-        up = flag.upper()
-        if up.startswith("G"):
-            ncat = int(up[1:]) if up[1:] else 4
-        elif up.startswith("R"):
-            ncat = int(up[1:]) if up[1:] else 4
-            rate_model = "free"
-        elif up == "I":
-            inv = True
-        elif up == "F":
-            emp = True
-        else:
-            raise SystemExit(
-                f"unknown model-string flag '+{flag}' in {spec!r} "
-                "(supported: +G[n], +R[n], +I, +F)"
-            )
-    if rate_model == "free" and any(
-        f.upper().startswith("G") for f in parts[1:]
-    ):
-        raise SystemExit(f"{spec!r}: +G and +R are mutually exclusive")
-    return model, ncat, inv, emp, rate_model
+    Delegates to :func:`phylo_utils_tpu.models.parse_model_spec` (the
+    shared +G[n]/+R[n]/+I/+F convention), resolving the model name with
+    the CLI resolver (which also accepts PAML .dat paths)."""
+    from phylo_utils_tpu.models import parse_model_spec
+
+    try:
+        return parse_model_spec(spec, get_model=_get_model)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _read_tree(arg: str):
@@ -98,6 +79,18 @@ def _json_params(arg: Optional[str]) -> Optional[Dict]:
 def _engine_params(args, engine) -> Optional[Dict]:
     """--params JSON, plus --empirical-freqs observed '+F' frequencies."""
     params = _json_params(args.params) or {}
+    init = getattr(engine, "_partition_init_params", None)
+    if init:
+        # per-partition '+F' observed frequencies; explicit --params wins
+        user_parts = dict(params.get("partitions") or {})
+        for name, pv in init.get("partitions", {}).items():
+            up = dict(user_parts.get(name, {}))
+            um = dict(up.get("model", {}))
+            for k, v in pv["model"].items():
+                um.setdefault(k, v)
+            up["model"] = um
+            user_parts[name] = up
+        params["partitions"] = user_parts
     if getattr(args, "empirical_freqs", False):
         if "freqs" not in engine.model.param_defaults:
             raise SystemExit(
@@ -139,6 +132,10 @@ def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--pruner", default="xla", choices=["xla", "pallas"])
     p.add_argument("--shard-sites", action="store_true",
                    help="shard patterns over all devices")
+    p.add_argument("--partitions", default=None,
+                   help="RAxML/IQ-TREE-style partition file (or NEXUS "
+                        "charsets): per-locus models over one tree; "
+                        "entries without a model use --model")
 
 
 def _build_engine(args):
@@ -146,6 +143,34 @@ def _build_engine(args):
 
     from phylo_utils_tpu.io import load_compressed
     from phylo_utils_tpu.likelihood import LikelihoodEngine
+
+    if getattr(args, "partitions", None):
+        if args.shard_sites:
+            raise SystemExit(
+                "--partitions + --shard-sites is not supported yet "
+                "(partitions dispatch as separate shard-local programs)"
+            )
+        if getattr(args, "empirical_freqs", False):
+            raise SystemExit(
+                "--empirical-freqs is per-partition under --partitions: "
+                "use '+F' in the partition file's model strings"
+            )
+        from phylo_utils_tpu.partition import (
+            PartitionedEngine,
+            partitions_from_file,
+        )
+
+        parts, init = partitions_from_file(
+            args.partitions, _read_aln(args.alignment),
+            default_model=args.model, get_model=_get_model,
+        )
+        engine = PartitionedEngine(
+            _read_tree(args.tree), parts, dtype=args.dtype,
+            pruner=args.pruner,
+        )
+        # stash the +F initial frequencies for _engine_params to merge
+        engine._partition_init_params = init
+        return engine
 
     sharding = None
     if args.shard_sites:
@@ -183,7 +208,14 @@ def cmd_loglik(args) -> int:
     params = engine._full_params(_engine_params(args, engine))
     ll = engine.loglikelihood(params)
     out = {"loglik": ll}
+    if hasattr(engine, "partition_loglikelihoods"):
+        out["partition_logliks"] = engine.partition_loglikelihoods(params)
     if args.sitewise:
+        if hasattr(engine, "partition_loglikelihoods"):
+            raise SystemExit(
+                "--sitewise is not supported with --partitions (use the "
+                "per-partition totals in 'partition_logliks')"
+            )
         out["sitewise"] = engine.sitewise_loglikelihoods(params).tolist()
     print(json.dumps(out))
     return 0
@@ -213,7 +245,11 @@ def cmd_fit(args) -> int:
     free = tuple(args.free.split(",")) if args.free else None
     logger = MetricsLogger(args.metrics, echo=args.verbose)
     t0 = time.perf_counter()
-    n_pat = int(engine._weights.shape[0])
+    n_pat = (
+        int(sum(w.shape[0] for w in engine._weights))
+        if isinstance(engine._weights, tuple)
+        else int(engine._weights.shape[0])
+    )
 
     def callback(step, ll, params):
         logger.log(step, loglik=ll,
@@ -250,14 +286,16 @@ def cmd_fit(args) -> int:
     }
     if se is not None:
         out["standard_errors"] = se
+    model = getattr(engine, "model", None)   # PartitionedEngine has none
     if (
-        str(engine.model.alphabet).startswith("codon")
-        and "omega" in engine.model.param_defaults
+        model is not None
+        and str(model.alphabet).startswith("codon")
+        and "omega" in model.param_defaults
     ):
         from phylo_utils_tpu.models.codon import dn_ds_by_branch
 
         dd = dn_ds_by_branch(
-            engine.model,
+            model,
             {k: np.asarray(v) for k, v in res.params["model"].items()},
             branch_lengths=np.asarray(res.params["branch_lengths"]),
         )

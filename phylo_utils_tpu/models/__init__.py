@@ -58,3 +58,40 @@ def get_model(name: str) -> Model:
         raise ValueError(
             f"unknown model {name!r}; expected one of {sorted(_REGISTRY)}"
         ) from None
+
+
+def parse_model_spec(spec: str, get_model=None):
+    """'GTR+G4+I+F' -> (model, ncat, inv, emp, rate_model).
+
+    The ubiquitous model-string convention shared by the CLI and
+    partition files: +G[n] discrete gamma (default 4 categories), +R[n]
+    FreeRate (free rates and weights; default 4), +I invariant sites,
+    +F observed equilibrium frequencies. +G and +R are mutually
+    exclusive. ``get_model`` resolves the leading model name (defaults
+    to the registry lookup; the CLI passes a resolver that also accepts
+    PAML .dat paths)."""
+    resolve = get_model if get_model is not None else globals()["get_model"]
+    parts = spec.split("+")
+    model = resolve(parts[0])
+    ncat, inv, emp, rate_model = 1, False, False, "gamma"
+    saw_g = False
+    for flag in parts[1:]:
+        up = flag.upper()
+        if up.startswith("G"):
+            ncat = int(up[1:]) if up[1:] else 4
+            saw_g = True
+        elif up.startswith("R"):
+            ncat = int(up[1:]) if up[1:] else 4
+            rate_model = "free"
+        elif up == "I":
+            inv = True
+        elif up == "F":
+            emp = True
+        else:
+            raise ValueError(
+                f"unknown model-string flag '+{flag}' in {spec!r} "
+                "(supported: +G[n], +R[n], +I, +F)"
+            )
+    if rate_model == "free" and saw_g:
+        raise ValueError(f"{spec!r}: +G and +R are mutually exclusive")
+    return model, ncat, inv, emp, rate_model

@@ -26,7 +26,8 @@ from phylo_utils_tpu import trees as ptrees
 from phylo_utils_tpu.likelihood import LikelihoodEngine
 from phylo_utils_tpu.models.base import Model
 
-__all__ = ["Partition", "PartitionedEngine"]
+__all__ = ["Partition", "PartitionedEngine", "partitions_from_file",
+           "codon_position_partitions"]
 
 
 class Partition:
@@ -196,3 +197,92 @@ def codon_position_partitions(
         label = name_prefix + "_pos" + "".join(str(p + 1) for p in g)
         parts.append(Partition(label, sub, model, **kwargs))
     return parts
+
+
+def _expand_ranges(ranges, n_sites: int) -> list:
+    """1-based inclusive (start, end, stride) triples -> sorted 0-based
+    column indices, validated against the alignment width."""
+    cols = []
+    for start, end, stride in ranges:
+        if end > n_sites:
+            raise ValueError(
+                f"site range {start}-{end} exceeds alignment length "
+                f"{n_sites}"
+            )
+        cols.extend(range(start - 1, end, stride))
+    seen = set()
+    out = []
+    for c in cols:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return sorted(out)
+
+
+_DATATYPE_MODELS = {
+    # RAxML-style data-type keywords -> our default model for that type
+    "DNA": "GTR",
+    "AA": "LG",
+    "PROT": "LG",
+    "PROTEIN": "LG",
+}
+
+
+def partitions_from_file(
+    path_or_text: str,
+    alignment: Mapping[str, str],
+    default_model: str = "GTR",
+    get_model=None,
+) -> Tuple[list, Dict]:
+    """Build :class:`Partition` objects from a RAxML/IQ-TREE-style
+    partition file (or NEXUS charsets) over one concatenated alignment.
+
+    Per-partition model strings use the shared +G[n]/+R[n]/+I/+F
+    convention; RAxML data-type keywords (DNA, AA/PROT) map to GTR/LG.
+    Entries without a model (NEXUS charsets) use ``default_model``.
+
+    Returns ``(partitions, init_params)``: ``init_params`` carries the
+    per-partition observed equilibrium frequencies for '+F' entries
+    (frequencies are engine *parameters* here, not Partition state), in
+    the shape ``PartitionedEngine._full_params`` consumes.
+    """
+    from phylo_utils_tpu.alphabets import empirical_frequencies
+    from phylo_utils_tpu.models import parse_model_spec
+
+    specs = pio.parse_partition_file(path_or_text)
+    lens = {len(s) for s in alignment.values()}
+    if len(lens) != 1:
+        raise ValueError("sequences have unequal lengths")
+    (n_sites,) = lens
+    parts = []
+    init: Dict = {}
+    for spec in specs:
+        mstr = spec["model"] or default_model
+        head, _, rest = mstr.partition("+")
+        mapped = _DATATYPE_MODELS.get(head.upper())
+        if mapped:
+            mstr = mapped + (("+" + rest) if rest else "")
+        model, ncat, inv, emp, rate_model = parse_model_spec(
+            mstr, get_model=get_model
+        )
+        cols = _expand_ranges(spec["ranges"], n_sites)
+        sub = {
+            name: "".join(s[i] for i in cols)
+            for name, s in alignment.items()
+        }
+        parts.append(Partition(
+            spec["name"], sub, model, ncat=ncat, invariant_sites=inv,
+            rate_model=rate_model,
+        ))
+        if emp:
+            if "freqs" not in model.param_defaults:
+                raise ValueError(
+                    f"partition {spec['name']!r}: model {model.name!r} "
+                    "has no 'freqs' parameter for '+F'"
+                )
+            init.setdefault("partitions", {})[spec["name"]] = {
+                "model": {"freqs": empirical_frequencies(
+                    sub, model.alphabet, pseudocount=0.5
+                ).tolist()},
+            }
+    return parts, init

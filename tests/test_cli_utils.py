@@ -501,3 +501,33 @@ def test_cli_freerate_model_string(small_inputs, capsys):
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(["loglik", "--tree", tree, "--alignment", fasta,
               "--model", "HKY85+G4+R2"])
+
+
+def test_cli_partitions(small_inputs, tmp_path, capsys):
+    """--partitions FILE drives a PartitionedEngine: total == sum of
+    per-partition logLs; fit improves; incompatible flags rejected."""
+    tree, fasta = small_inputs
+    pfile = tmp_path / "parts.txt"
+    pfile.write_text("HKY85+G2, g1 = 1-5\nGTR, g2 = 6-10\n")
+
+    rc = main(["loglik", "--tree", tree, "--alignment", fasta,
+               "--partitions", str(pfile)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    per = out["partition_logliks"]
+    assert set(per) == {"g1", "g2"}
+    assert abs(out["loglik"] - sum(per.values())) < 1e-4
+
+    rc = main(["fit", "--tree", tree, "--alignment", fasta,
+               "--partitions", str(pfile), "--max-steps", "6"])
+    assert rc == 0
+    fitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fitted["loglik"] >= out["loglik"] - 1e-6
+    assert set(fitted["params"]["partitions"]) == {"g1", "g2"}
+
+    with pytest.raises(SystemExit, match="sitewise"):
+        main(["loglik", "--tree", tree, "--alignment", fasta,
+              "--partitions", str(pfile), "--sitewise"])
+    with pytest.raises(SystemExit, match="per-partition"):
+        main(["loglik", "--tree", tree, "--alignment", fasta,
+              "--partitions", str(pfile), "--empirical-freqs"])

@@ -86,3 +86,74 @@ def test_duplicate_partition_names_rejected(setup):
     tree, parts = setup
     with pytest.raises(ValueError, match="unique"):
         PartitionedEngine(tree, [parts[0], parts[0]])
+
+
+# ---------------------------------------------------------------------------
+# Partition files (RAxML/IQ-TREE lines and NEXUS charsets)
+# ---------------------------------------------------------------------------
+
+def test_parse_partition_file_raxml_and_nexus():
+    from phylo_utils_tpu.io import parse_partition_file
+
+    specs = parse_partition_file(
+        "# comment\n"
+        "DNA, gene1 = 1-500\n"
+        "GTR+G4, gene2 = 501-900\\3, 1000-1100\n"
+        "LG, prot = 1-100\n"
+    )
+    assert [s["name"] for s in specs] == ["gene1", "gene2", "prot"]
+    assert specs[0]["model"] == "DNA"
+    assert specs[1]["ranges"] == [(501, 900, 3), (1000, 1100, 1)]
+
+    nex = parse_partition_file(
+        "#NEXUS\nbegin sets;\n  charset g1 = 1-30;\n"
+        "  charset g2 = 31-60;\nend;\n"
+    )
+    assert [s["name"] for s in nex] == ["g1", "g2"]
+    assert all(s["model"] is None for s in nex)
+
+    with pytest.raises(ValueError, match="missing '='"):
+        parse_partition_file("DNA, gene1 1-500")
+    with pytest.raises(ValueError, match="1-based"):
+        parse_partition_file("DNA, g = 0-10")
+
+
+def test_partitions_from_file_logl_matches_manual_split(setup):
+    """File-driven partitions == manually sliced sub-alignments."""
+    from phylo_utils_tpu.partition import partitions_from_file
+
+    tree, _ = setup
+    aln = _aln(tree, 60, seed=9)
+    parts, init = partitions_from_file(
+        "HKY85+G2, left = 1-30\nGTR, right = 31-60", aln
+    )
+    assert init == {}
+    pe = PartitionedEngine(tree, parts, link_rates=False)
+    ll = pe.loglikelihood()
+
+    manual = [
+        Partition("left", {n: s[:30] for n, s in aln.items()},
+                  models.HKY85, ncat=2),
+        Partition("right", {n: s[30:] for n, s in aln.items()}, models.GTR),
+    ]
+    ll_manual = PartitionedEngine(tree, manual, link_rates=False).loglikelihood()
+    assert abs(ll - ll_manual) < 1e-9
+
+
+def test_partitions_from_file_stride_and_plus_f(setup):
+    """Codon-position strides pick every 3rd column; '+F' entries return
+    observed-frequency init params; out-of-range sites are rejected."""
+    from phylo_utils_tpu.partition import partitions_from_file
+
+    tree, _ = setup
+    aln = _aln(tree, 30, seed=11)
+    parts, init = partitions_from_file(
+        "DNA+F, p12 = 1-30\\3, 2-30\\3\nDNA, p3 = 3-30\\3", aln
+    )
+    assert len(parts[0].alignment[tree.leaf_names[0]]) == 20
+    assert len(parts[1].alignment[tree.leaf_names[0]]) == 10
+    f = np.asarray(init["partitions"]["p12"]["model"]["freqs"])
+    assert f.shape == (4,) and abs(f.sum() - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="exceeds alignment length"):
+        partitions_from_file("DNA, g = 1-31", aln)
