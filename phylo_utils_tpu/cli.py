@@ -160,10 +160,13 @@ def _build_engine(args):
             partitions_from_file,
         )
 
-        parts, init = partitions_from_file(
-            args.partitions, _read_aln(args.alignment),
-            default_model=args.model, get_model=_get_model,
-        )
+        try:
+            parts, init = partitions_from_file(
+                args.partitions, _read_aln(args.alignment),
+                default_model=args.model, get_model=_get_model,
+            )
+        except ValueError as e:
+            raise SystemExit(f"--partitions: {e}")
         engine = PartitionedEngine(
             _read_tree(args.tree), parts, dtype=args.dtype,
             pruner=args.pruner,
@@ -1052,6 +1055,13 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_supports)
 
     args = ap.parse_args(argv)
+    if getattr(args, "dtype", None) == "float64":
+        # float64 silently truncates to f32 unless x64 is enabled; the CLI
+        # is the process entry point, so enabling here is safe (no arrays
+        # have been created yet).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     return args.fn(args)
 
 
