@@ -33,11 +33,11 @@ def _get_model(name: str):
         except (OSError, ValueError) as e:
             raise SystemExit(f"cannot load PAML .dat model {name!r}: {e}")
     try:
-        return getattr(models, name.upper())
-    except AttributeError:
+        return models.get_model(name)
+    except ValueError:
         raise SystemExit(
-            f"unknown model {name!r}; choose from {', '.join(MODEL_NAMES)} "
-            "or a PAML .dat file path"
+            f"unknown model {name!r}; choose from {', '.join(MODEL_NAMES)}, "
+            "MK<k>/ORDERED<k> (morphological), or a PAML .dat file path"
         )
 
 
@@ -136,6 +136,15 @@ def _add_engine_args(p: argparse.ArgumentParser):
                    help="RAxML/IQ-TREE-style partition file (or NEXUS "
                         "charsets): per-locus models over one tree; "
                         "entries without a model use --model")
+    p.add_argument("--asc", default=None,
+                   choices=["lewis", "felsenstein", "stamatakis"],
+                   help="ascertainment-bias correction for variable-sites-"
+                        "only data (Mk matrices, SNPs); felsenstein/"
+                        "stamatakis need --asc-counts")
+    p.add_argument("--asc-counts", default=None,
+                   help="removed constant-site counts: one number "
+                        "(felsenstein) or comma-separated per-state counts "
+                        "(stamatakis)")
 
 
 def _build_engine(args):
@@ -193,17 +202,37 @@ def _build_engine(args):
         aln = load_compressed(args.alignment, model.alphabet)
     else:
         aln = _read_aln(args.alignment)
-    return LikelihoodEngine(
-        _read_tree(args.tree),
-        aln,
-        model,
-        ncat=args.ncat,
-        invariant_sites=args.invariant_sites,
-        rate_model=rate_model,
-        dtype=args.dtype,
-        sharding=sharding,
-        pruner=args.pruner,
-    )
+    cls = LikelihoodEngine
+    extra = {}
+    if getattr(args, "asc", None):
+        from phylo_utils_tpu.ascertainment import AscertainmentEngine
+
+        cls = AscertainmentEngine
+        extra["correction"] = args.asc
+        if args.asc_counts is not None:
+            counts = [float(x) for x in args.asc_counts.split(",")]
+            extra["const_counts"] = (
+                counts[0] if len(counts) == 1 else counts
+            )
+    elif getattr(args, "asc_counts", None):
+        raise SystemExit("--asc-counts requires --asc")
+    try:
+        return cls(
+            _read_tree(args.tree),
+            aln,
+            model,
+            ncat=args.ncat,
+            invariant_sites=args.invariant_sites,
+            rate_model=rate_model,
+            dtype=args.dtype,
+            sharding=sharding,
+            pruner=args.pruner,
+            **extra,
+        )
+    except ValueError as e:
+        if getattr(args, "asc", None):
+            raise SystemExit(f"--asc: {e}")
+        raise
 
 
 def cmd_loglik(args) -> int:

@@ -52,12 +52,21 @@ _REGISTRY = {
 
 
 def get_model(name: str) -> Model:
+    low = name.lower()
     try:
-        return _REGISTRY[name.lower()]
+        return _REGISTRY[low]
     except KeyError:
-        raise ValueError(
-            f"unknown model {name!r}; expected one of {sorted(_REGISTRY)}"
-        ) from None
+        pass
+    # morphological Mk family: MK<k> / ORDERED<k> (e.g. MK4, ORDERED5)
+    for prefix, ordered in (("ordered", True), ("mk", False)):
+        if low.startswith(prefix) and low[len(prefix):].isdigit():
+            from phylo_utils_tpu.models.morphology import mk_model
+
+            return mk_model(int(low[len(prefix):]), ordered=ordered)
+    raise ValueError(
+        f"unknown model {name!r}; expected one of {sorted(_REGISTRY)} "
+        "or MK<k>/ORDERED<k>"
+    )
 
 
 def parse_model_spec(spec: str, get_model=None):
