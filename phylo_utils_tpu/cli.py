@@ -659,6 +659,32 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_partition_finder(args) -> int:
+    from phylo_utils_tpu.io import parse_partition_file
+    from phylo_utils_tpu.model_selection import partition_finder
+    from phylo_utils_tpu.partition import _expand_ranges
+
+    aln = _read_aln(args.alignment)
+    n_sites = len(next(iter(aln.values())))
+    try:
+        specs = parse_partition_file(args.subsets)
+        subsets = {
+            s["name"]: _expand_ranges(s["ranges"], n_sites) for s in specs
+        }
+        res = partition_finder(
+            _read_tree(args.tree), aln, subsets,
+            candidates=args.models.split(",") if args.models else None,
+            criterion=args.criterion, merge=not args.no_merge,
+            max_steps=args.max_steps,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    for row in res["scheme"]:
+        row["n_sites"] = len(row.pop("columns"))
+    print(json.dumps(res))
+    return 0
+
+
 def _codon_freq_setup(aln, method):
     """(params0, base_free) for codon engines: empirical codon frequencies
     held FIXED (codeml's CodonFreq convention) with kappa free, or the
@@ -1008,6 +1034,25 @@ def main(argv=None) -> int:
                    choices=["aic", "aicc", "bic"])
     p.add_argument("--max-steps", type=int, default=200)
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser(
+        "partitionfinder",
+        help="best model per subset + greedy scheme merging "
+             "(PartitionFinder-style)",
+    )
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alignment", required=True)
+    p.add_argument("--subsets", required=True,
+                   help="partition file defining the INITIAL subsets "
+                        "(RAxML lines or NEXUS charsets; models in the "
+                        "file are ignored — selection picks them)")
+    p.add_argument("--models", help="comma list of candidate model strings")
+    p.add_argument("--criterion", default="bic",
+                   choices=["aic", "aicc", "bic"])
+    p.add_argument("--no-merge", action="store_true",
+                   help="only pick per-subset models; skip greedy merging")
+    p.add_argument("--max-steps", type=int, default=200)
+    p.set_defaults(fn=cmd_partition_finder)
 
     p = sub.add_parser(
         "site-test",
