@@ -157,3 +157,68 @@ def test_partitions_from_file_stride_and_plus_f(setup):
 
     with pytest.raises(ValueError, match="exceeds alignment length"):
         partitions_from_file("DNA, g = 1-31", aln)
+
+
+def test_simulate_partitions_rates_and_models():
+    """Partitioned simulation: correct taxa/lengths per partition, and
+    the partition-rate multiplier visibly changes the substitution
+    density (fast partition more variable columns than slow)."""
+    import jax
+
+    from phylo_utils_tpu.models import HKY85, JC69
+    from phylo_utils_tpu.partition import (
+        Partition,
+        PartitionedEngine,
+        simulate_partitions,
+    )
+
+    tree = "((a:0.05,b:0.05):0.02,(c:0.05,d:0.05):0.02);"
+    rng = np.random.default_rng(1)
+    chars = "ACGT"
+
+    def rand_aln(n):
+        m = rng.integers(0, 4, size=(4, n))
+        return {t: "".join(chars[s] for s in m[i])
+                for i, t in enumerate("abcd")}
+
+    parts = [
+        Partition("fast", rand_aln(400), JC69),
+        Partition("slow", rand_aln(300), HKY85, ncat=4),
+    ]
+    eng = PartitionedEngine(tree, parts)
+    sim = simulate_partitions(
+        jax.random.key(0), eng,
+        {"partition_rates": [6.0, 0.2],
+         "partitions": {"slow": {"alpha": 0.9}}},
+    )
+    assert set(sim) == {"fast", "slow"}
+    assert set(sim["fast"]) == set("abcd")
+    assert {len(s) for s in sim["fast"].values()} == {400}
+    assert {len(s) for s in sim["slow"].values()} == {300}
+
+    def var_frac(aln):
+        cols = list(zip(*aln.values()))
+        return np.mean([len(set(c)) > 1 for c in cols])
+
+    assert var_frac(sim["fast"]) > var_frac(sim["slow"]) + 0.1
+
+
+def test_simulate_partitions_rejects_freerate():
+    import jax
+
+    from phylo_utils_tpu.models import JC69
+    from phylo_utils_tpu.partition import (
+        Partition,
+        PartitionedEngine,
+        simulate_partitions,
+    )
+
+    tree = "((a:0.1,b:0.1):0.1,(c:0.1,d:0.1):0.1);"
+    aln = {t: "ACGTACGT" for t in "abcd"}
+    parts = [
+        Partition("x", aln, JC69, ncat=2, rate_model="free"),
+        Partition("y", aln, JC69),
+    ]
+    eng = PartitionedEngine(tree, parts)
+    with pytest.raises(ValueError, match="FreeRate"):
+        simulate_partitions(jax.random.key(0), eng)
