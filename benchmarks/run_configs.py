@@ -163,7 +163,12 @@ def main():
             "patterns_per_s": round(pps, 1),
             "step_ms": round(dt * 1e3, 3),
             "n_patterns": int(engine._weights.shape[0]),
-            "pruner": args.pruner,
+            # the engine's ACTUAL pruner (config1 forces xla for f64
+            # parity regardless of --pruner; a row must not claim
+            # otherwise)
+            "pruner": ("pallas" if engine._pallas_ll is not None
+                       else "xla"),
+            "dtype": str(cfg.get("dtype", "float32")),
             "device": str(jax.devices()[0]),
         }))
 
@@ -215,8 +220,10 @@ def main():
             f"config5 runs value_and_grad through the {args.pruner!r} "
             "pruner (fused Pallas backward when 'pallas') with "
             f"{steps_per_call} L-BFGS steps fused per dispatch; a "
-            "one-chunk warmup fit precedes the timed fit so "
-            "fit_steps_per_s is steady-state (compile-cache hit)"
+            "one-chunk warmup fit precedes the timed fit, and fit() "
+            "caches its traced step/chunk programs on the engine, so "
+            "the timed fit is steady-state (no re-trace, compile-cache "
+            "hit)"
         ),
     }))
     return failures

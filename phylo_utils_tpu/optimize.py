@@ -244,24 +244,6 @@ def fit(
     # (bootstrap) of the same shape.
     data_lp, data_w = engine._leaf_partials, engine._weights
 
-    def make_loss(lp, w):
-        def loss_fn(raw):
-            params = _merge_params(frozen, untransform_params(raw))
-            kw = {}
-            if eig is not None:
-                kw["eig"] = eig
-            if rates is not None:
-                kw["rates"] = rates
-            if kw:
-                total, _ = engine._loglik_fn(params, lp, w, **kw)
-            else:
-                total, _ = engine._loglik_fn(params, lp, w)
-            # fixed loss dtype: an f32 engine under x64 otherwise feeds an
-            # f32 value into optax's f64 linesearch state (lax.cond branch
-            # dtype mismatch inside value_and_grad_from_state)
-            return -total.astype(jnp.result_type(float))
-        return loss_fn
-
     # The unconstrained optimizer vector always lives in the session's
     # widest float: an f32 ENGINE otherwise seeds f32 optax state whose
     # linesearch lax.cond then clashes with the (f64) fresh loss under
@@ -272,47 +254,95 @@ def fit(
         lambda x: x.astype(_opt_dtype), transform_params(start)
     )
 
-    if optimizer is None:
-        optimizer = optax.lbfgs()
-
-        @jax.jit
-        def step(raw, opt_state, lp, w):
-            loss_fn = make_loss(lp, w)
-            vag = optax.value_and_grad_from_state(loss_fn)
-            loss, grads = vag(raw, state=opt_state)
-            updates, opt_state = optimizer.update(
-                grads, opt_state, raw, value=loss, grad=grads,
-                value_fn=loss_fn,
-            )
-            raw = optax.apply_updates(raw, updates)
-            return raw, opt_state, loss
-
+    # step/chunk programs are CACHED on the engine, keyed by the optimizer
+    # and chunk size: tracing an L-BFGS-linesearch chunk through the
+    # pruning pass costs tens of host seconds at 3-digit taxon counts, and
+    # repeated-fit workflows (bootstrap, multistart, Goldman-Cox, the
+    # server) would otherwise pay it per fit() call. Everything that
+    # varies between calls — frozen params, cached eigen/rates, data —
+    # is a jit ARGUMENT, never a closure constant, so a cached program is
+    # valid for any call with the same pytree structures (jax.jit itself
+    # retraces on structure changes).
+    programs = engine.__dict__.setdefault("_fit_programs", {})
+    prog_key = (
+        "lbfgs-default" if optimizer is None else id(optimizer),
+        steps_per_call,
+    )
+    if prog_key in programs:
+        optimizer, step, chunk = programs[prog_key]
     else:
+        default_lbfgs = optimizer is None
+        if default_lbfgs:
+            optimizer = optax.lbfgs()
 
-        @jax.jit
-        def step(raw, opt_state, lp, w):
-            loss, grads = jax.value_and_grad(make_loss(lp, w))(raw)
-            updates, opt_state = optimizer.update(grads, opt_state, raw)
-            raw = optax.apply_updates(raw, updates)
-            return raw, opt_state, loss
+        def make_loss(lp, w, frozen, eig, rates):
+            def loss_fn(raw):
+                params = _merge_params(frozen, untransform_params(raw))
+                kw = {}
+                if eig is not None:
+                    kw["eig"] = eig
+                if rates is not None:
+                    kw["rates"] = rates
+                if kw:
+                    total, _ = engine._loglik_fn(params, lp, w, **kw)
+                else:
+                    total, _ = engine._loglik_fn(params, lp, w)
+                # fixed loss dtype: an f32 engine under x64 otherwise feeds
+                # an f32 value into optax's f64 linesearch state (lax.cond
+                # branch dtype mismatch inside value_and_grad_from_state)
+                return -total.astype(jnp.result_type(float))
+            return loss_fn
+
+        if default_lbfgs:
+            opt = optimizer
+
+            @jax.jit
+            def step(raw, opt_state, lp, w, frozen, eig, rates):
+                loss_fn = make_loss(lp, w, frozen, eig, rates)
+                vag = optax.value_and_grad_from_state(loss_fn)
+                loss, grads = vag(raw, state=opt_state)
+                updates, opt_state = opt.update(
+                    grads, opt_state, raw, value=loss, grad=grads,
+                    value_fn=loss_fn,
+                )
+                raw = optax.apply_updates(raw, updates)
+                return raw, opt_state, loss
+
+        else:
+            opt = optimizer
+
+            @jax.jit
+            def step(raw, opt_state, lp, w, frozen, eig, rates):
+                loss, grads = jax.value_and_grad(
+                    make_loss(lp, w, frozen, eig, rates)
+                )(raw)
+                updates, opt_state = opt.update(grads, opt_state, raw)
+                raw = optax.apply_updates(raw, updates)
+                return raw, opt_state, loss
+
+        chunk = None
+        if steps_per_call > 1:
+            inner = step
+
+            @jax.jit
+            def chunk(raw, opt_state, lp, w, frozen, eig, rates):
+                def body(carry, _):
+                    raw, opt_state = carry
+                    raw, opt_state, loss = inner(
+                        raw, opt_state, lp, w, frozen, eig, rates
+                    )
+                    return (raw, opt_state), loss
+
+                (raw, opt_state), losses = lax.scan(
+                    body, (raw, opt_state), None, length=steps_per_call
+                )
+                # one extra forward so the END-of-chunk raw has a known loss
+                return (raw, opt_state, losses,
+                        make_loss(lp, w, frozen, eig, rates)(raw))
+
+        programs[prog_key] = (optimizer, step, chunk)
 
     opt_state = optimizer.init(raw0)
-
-    if steps_per_call > 1:
-        inner = step
-
-        @jax.jit
-        def chunk(raw, opt_state, lp, w):
-            def body(carry, _):
-                raw, opt_state = carry
-                raw, opt_state, loss = inner(raw, opt_state, lp, w)
-                return (raw, opt_state), loss
-
-            (raw, opt_state), losses = lax.scan(
-                body, (raw, opt_state), None, length=steps_per_call
-            )
-            # one extra forward so the END-of-chunk raw has a known loss
-            return raw, opt_state, losses, make_loss(lp, w)(raw)
 
     # Bookkeeping invariant: step() returns the loss of the raw it was
     # GIVEN, so each recorded (ll, raw) pair must use the pre-step raw.
@@ -357,13 +387,15 @@ def fit(
         if steps_per_call > 1:
             raw_start = raw
             raw, opt_state, losses, end_loss = chunk(
-                raw, opt_state, data_lp, data_w
+                raw, opt_state, data_lp, data_w, frozen, eig, rates
             )
             lls = [-float(x) for x in np.asarray(losses)]
             retained = [(lls[0], raw_start), (-float(end_loss), raw)]
         else:
             raw_start = raw
-            raw, opt_state, loss = step(raw, opt_state, data_lp, data_w)
+            raw, opt_state, loss = step(
+                raw, opt_state, data_lp, data_w, frozen, eig, rates
+            )
             lls = [-float(loss)]
             retained = [(lls[0], raw_start)]
         for ll in lls:

@@ -222,3 +222,34 @@ def test_simulate_partitions_rejects_freerate():
     eng = PartitionedEngine(tree, parts)
     with pytest.raises(ValueError, match="FreeRate"):
         simulate_partitions(jax.random.key(0), eng)
+
+
+def test_partitioned_standard_errors():
+    """standard_errors works through PartitionedEngine: finite positive
+    SEs for shared branch lengths, partition rates, and nested
+    per-partition model parameters."""
+    from phylo_utils_tpu.models import JC69, K80
+    from phylo_utils_tpu.optimize import fit, standard_errors
+    from phylo_utils_tpu.partition import Partition, PartitionedEngine
+
+    rng = np.random.default_rng(7)
+    chars = "ACGT"
+
+    def rand_aln(n):
+        m = rng.integers(0, 4, size=(4, n))
+        return {t: "".join(chars[s] for s in m[i])
+                for i, t in enumerate("abcd")}
+
+    tree = "((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);"
+    eng = PartitionedEngine(tree, [
+        Partition("g1", rand_aln(40), JC69),
+        Partition("g2", rand_aln(30), K80),
+    ])
+    res = fit(eng, max_steps=40)
+    se = standard_errors(eng, res.params)
+    bl = np.asarray(se["branch_lengths"])
+    assert bl.shape == np.asarray(res.params["branch_lengths"]).shape
+    assert np.isfinite(bl[:-1]).all()  # root pseudo-edge may be pinned
+    assert np.isfinite(np.asarray(se["partition_rates"])).all()
+    kappa_se = float(np.asarray(se["partitions"]["g2"]["model"]["kappa"]))
+    assert np.isfinite(kappa_se) and kappa_se > 0
