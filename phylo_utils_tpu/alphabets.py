@@ -25,6 +25,8 @@ __all__ = [
     "BINARY",
     "seq_to_partials",
     "encode_alignment",
+    "recode_alignment",
+    "RECODING_SCHEMES",
 ]
 
 
@@ -191,3 +193,58 @@ def empirical_frequencies(
     if total == 0:
         raise ValueError("no informative characters in alignment")
     return counts / total
+
+
+# Character-recoding schemes for saturation/compositional-bias analyses.
+# Each scheme: (source alphabet, ordered state groups). Recoded characters
+# are the morphological digits '0','1',..., so the result pairs with
+# models.morphology.mk_model(len(groups)); characters whose ambiguity set
+# spans more than one group become '?'.
+RECODING_SCHEMES = {
+    # purine/pyrimidine: removes transition saturation and GC-content bias
+    "ry": ("dna", ("AG", "CT")),
+    # Dayhoff 6-class amino-acid groups (Hrdy et al. / Embley-lab usage)
+    "dayhoff6": (
+        "protein", ("AGPST", "C", "DENQ", "FWY", "HKR", "ILMV")
+    ),
+    # Susko-Roger (2007) 6-class recoding
+    "sr6": ("protein", ("APST", "DENG", "QKR", "MIVL", "WC", "FYH")),
+    # Kosiol-Goldman-Buttimore (2004) 6-class recoding
+    "kgb6": ("protein", ("AGPS", "DENQHKRT", "MIL", "W", "FY", "CV")),
+}
+
+
+def recode_alignment(
+    alignment: Mapping[str, str], scheme: str = "ry"
+) -> Dict[str, str]:
+    """Recode an alignment into grouped states ('0','1',...).
+
+    ``scheme``: one of ``RECODING_SCHEMES`` (case-insensitive). The
+    output uses morphological digit characters, so analyze it with
+    ``mk_model(n_groups)`` (e.g. RY-coded DNA under ``MK2``). A character
+    maps to a group only if its ENTIRE ambiguity set lies inside that
+    group (e.g. IUPAC ``R`` = A/G maps to the purine group under "ry",
+    but ``S`` = C/G becomes '?'); gaps and unknowns stay fully ambiguous
+    as '?'.
+    """
+    try:
+        src_name, groups = RECODING_SCHEMES[scheme.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown recoding scheme {scheme!r}; "
+            f"expected one of {sorted(RECODING_SCHEMES)}"
+        ) from None
+    src = get_alphabet(src_name)
+    state_to_group = {}
+    for g, members in enumerate(groups):
+        for c in members:
+            state_to_group[src.states.index(c)] = g
+    digits = "0123456789"
+    charmap = {}
+    for ch, states in src.charmap.items():
+        gs = {state_to_group[s] for s in states}
+        charmap[ch] = digits[next(iter(gs))] if len(gs) == 1 else "?"
+    out = {}
+    for name, seq in alignment.items():
+        out[name] = "".join(charmap.get(c, "?") for c in seq.upper())
+    return out

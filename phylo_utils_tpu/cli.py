@@ -145,6 +145,10 @@ def _add_engine_args(p: argparse.ArgumentParser):
                    help="removed constant-site counts: one number "
                         "(felsenstein) or comma-separated per-state counts "
                         "(stamatakis)")
+    p.add_argument("--recode", default=None,
+                   help="recode the alignment before analysis: ry (DNA->"
+                        "purine/pyrimidine), dayhoff6/sr6/kgb6 (protein->"
+                        "6 classes); pair with --model MK2 / MK6")
 
 
 def _build_engine(args):
@@ -197,7 +201,14 @@ def _build_engine(args):
     args.invariant_sites = args.invariant_sites or spec_inv
     if spec_emp and hasattr(args, "empirical_freqs"):
         args.empirical_freqs = True
-    if os.path.exists(args.alignment):
+    if getattr(args, "recode", None):
+        from phylo_utils_tpu.alphabets import recode_alignment
+
+        try:
+            aln = recode_alignment(_read_aln(args.alignment), args.recode)
+        except ValueError as e:
+            raise SystemExit(f"--recode: {e}")
+    elif os.path.exists(args.alignment):
         # native C++ FASTA->matrix->compression fast path (falls back inside)
         aln = load_compressed(args.alignment, model.alphabet)
     else:

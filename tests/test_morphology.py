@@ -207,3 +207,37 @@ def test_asc_gradient_matches_finite_difference():
             - eng.loglikelihood({**full, "branch_lengths": dn})
         ) / (2 * eps)
         assert np.asarray(g)[i] == pytest.approx(fd, rel=1e-4, abs=1e-6)
+
+
+def test_recoding_schemes_partition_their_alphabet():
+    from phylo_utils_tpu.alphabets import RECODING_SCHEMES, get_alphabet
+
+    for name, (src, groups) in RECODING_SCHEMES.items():
+        alpha = get_alphabet(src)
+        flat = "".join(groups)
+        assert sorted(flat) == sorted(alpha.states), name
+        assert len(set(flat)) == len(flat), name
+
+
+def test_ry_recoding_and_mk2_engine():
+    from phylo_utils_tpu.alphabets import recode_alignment
+
+    aln = {"a": "ACGRT-SN", "b": "GGTYAACC"}
+    ry = recode_alignment(aln, "RY")
+    assert ry["a"] == "01001???"
+    assert ry["b"] == "00110011"
+    with pytest.raises(ValueError, match="scheme"):
+        recode_alignment(aln, "nope")
+
+    dna = {"a": "ACGTACGTGG", "b": "ACGTTGCAGG",
+           "c": "AGGTACGAGT", "d": "ACGAACGTAT"}
+    eng = LikelihoodEngine(TREE4, recode_alignment(dna, "ry"), mk_model(2))
+    assert np.isfinite(eng.loglikelihood())
+
+
+def test_dayhoff6_recoding_ambiguity():
+    from phylo_utils_tpu.alphabets import recode_alignment
+
+    got = recode_alignment({"a": "ARNDCBZXW*"}, "dayhoff6")
+    # B = N/D both in DENQ -> 2; Z = Q/E both in DENQ -> 2; X/* -> ?
+    assert got["a"] == "042212 2?3?".replace(" ", "")
