@@ -228,22 +228,32 @@ def test_partitioned_standard_errors():
     """standard_errors works through PartitionedEngine: finite positive
     SEs for shared branch lengths, partition rates, and nested
     per-partition model parameters."""
+    import jax
+
     from phylo_utils_tpu.models import JC69, K80
     from phylo_utils_tpu.optimize import fit, standard_errors
-    from phylo_utils_tpu.partition import Partition, PartitionedEngine
+    from phylo_utils_tpu.partition import (
+        Partition,
+        PartitionedEngine,
+        simulate_partitions,
+    )
 
-    rng = np.random.default_rng(7)
-    chars = "ACGT"
-
-    def rand_aln(n):
-        m = rng.integers(0, 4, size=(4, n))
-        return {t: "".join(chars[s] for s in m[i])
-                for i, t in enumerate("abcd")}
-
+    # Tree-like data (simulated under the tree) so the MLE is interior:
+    # uniform-random alignments put the branch-length MLE on the t->inf
+    # saturation plateau, where the observed information is ~0 and SEs
+    # are legitimately infinite.
     tree = "((a:0.1,b:0.2):0.05,(c:0.3,d:0.15):0.07);"
+    sim_eng = PartitionedEngine(tree, [
+        Partition("g1", {t: "A" * 400 for t in "abcd"}, JC69),
+        Partition("g2", {t: "A" * 300 for t in "abcd"}, K80),
+    ])
+    sim = simulate_partitions(
+        jax.random.key(7), sim_eng,
+        {"partitions": {"g2": {"kappa": 4.0}}},
+    )
     eng = PartitionedEngine(tree, [
-        Partition("g1", rand_aln(40), JC69),
-        Partition("g2", rand_aln(30), K80),
+        Partition("g1", sim["g1"], JC69),
+        Partition("g2", sim["g2"], K80),
     ])
     res = fit(eng, max_steps=40)
     se = standard_errors(eng, res.params)
