@@ -362,6 +362,27 @@ def fit(
             resume_from, {"raw": raw0, "opt_state": opt_state}
         )
         raw, opt_state = state["raw"], state["opt_state"]
+    # Signature canonicalization: optimizer.init() yields WEAK-typed
+    # scalar leaves (python-float sentinels such as the zoom linesearch's
+    # inf) whose avals differ from the post-update state. Left alone, the
+    # SECOND device call of the loop below retraces step/chunk under the
+    # strong-typed state and recompiles the whole program MID-FIT
+    # (measured on the axon relay: a ~300 s remote compile inside the
+    # timed loop — round-3 config5 read 1.96 steps/s for exactly this).
+    # Cast every init leaf to the dtype the first update returns, so one
+    # compiled program serves every call. The dtype tree is derived by
+    # eval_shape (trace only, no compile) once per cached program.
+    st_key = ("st_dtypes",) + prog_key
+    st_dtypes = programs.get(st_key)
+    if st_dtypes is None:
+        out_shapes = jax.eval_shape(
+            step, raw0, opt_state, data_lp, data_w, frozen, eig, rates
+        )
+        st_dtypes = jax.tree.map(lambda s: s.dtype, out_shapes[1])
+        programs[st_key] = st_dtypes
+    opt_state = jax.tree.map(
+        lambda x, d: jnp.asarray(x, dtype=d), opt_state, st_dtypes
+    )
     trace = []
     best_trace = -np.inf
     best_ret = -np.inf
