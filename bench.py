@@ -45,8 +45,10 @@ VMAP_OUT = 16           # scan iterations of vmapped batches per dispatch
 # measured: 64 evals/dispatch reads 0.55 ms/eval, 1024 -> 0.17 ms/eval,
 # both the same compute). Latency-style numbers (single-stream scan,
 # fit steps) inherently include a share of that fixed cost.
-VMAP_B_GRAD = 16        # batched value_and_grad per launch
-VMAP_OUT_GRAD = 8
+VMAP_B_GRAD = 64        # batched value_and_grad per launch (r4: raised to
+VMAP_OUT_GRAD = 16      # the forward's 1024-eval amortization — at 128
+                        # evals/dispatch the fixed ~25 ms relay dispatch
+                        # cost was half the measured grad time)
 
 
 def main():
@@ -174,12 +176,19 @@ def main():
         )
         return acc
 
+    # process-unique seed base: the relay memoizes identical dispatches
+    # ACROSS processes too (r4 finding, see the fit-chunk jitter below),
+    # so fixed seeds would let a repeat bench run time cache replays
+    seed_base = float(time.time_ns() % 100_000)
+
     def timed(fn, n_inner, n_reps=3):
-        jax.block_until_ready(fn(params, jnp.float32(0.0)))  # compile+warm
+        jax.block_until_ready(fn(params, jnp.float32(seed_base)))  # warm
         best = float("inf")
         for s in range(1, n_reps + 1):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(params, jnp.float32(s * 1000.0)))
+            jax.block_until_ready(
+                fn(params, jnp.float32(seed_base + s * 1000.0))
+            )
             best = min(best, time.perf_counter() - t0)
         return best / n_inner
 
@@ -210,7 +219,15 @@ def main():
 
     CHUNK = 100
     opt = optax.adam(1e-2)
-    raw0 = transform_params(params)
+    # process-unique start: the relay memoizes identical dispatches ACROSS
+    # processes (measured r4: a repeat bench run read 262k fit steps/s —
+    # the whole measured chunk was a cache replay of the previous run's).
+    # A tiny unique perturbation of the starting point makes every chunk
+    # dispatch this process issues globally fresh.
+    jitter = 1e-7 * float(time.time_ns() % 997)
+    params_j = dict(params)
+    params_j["branch_lengths"] = params["branch_lengths"] * (1.0 + jitter)
+    raw0 = transform_params(params_j)
     opt_state0 = opt.init(raw0)
 
     def loss_fn(raw):

@@ -279,8 +279,11 @@ class LikelihoodEngine:
             # VMEM-sized SEGMENTS (value-only calls still take the fast
             # fused forward) — gradients keep kernel speed at any tree
             # size
+            # diff_leaves=False: engine gradients are w.r.t. params only
+            # (leaf partials are DATA) — the fused backward skips their
+            # cotangent entirely (ops/pallas_pruning._fused_vjp_kernel)
             pll = make_pallas_loglik_fn(
-                self.schedule, n_states=model.n_states
+                self.schedule, n_states=model.n_states, diff_leaves=False
             )
             if sharding is not None:
                 # A pallas_call is opaque to GSPMD; shard_map makes the

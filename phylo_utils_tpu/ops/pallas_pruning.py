@@ -9,7 +9,7 @@ sites, keeping the entire partials buffer in VMEM.
 
 Layout/TPU mapping (SURVEY.md §7 hard part 3):
 - states go on the *sublane* axis padded to 8 (DNA 4->8, protein 20->24);
-  sites go on the *lane* axis in tiles of ``tile`` (default 512). A
+  sites go on the *lane* axis in tiles of ``tile`` (default 2048, VMEM-shrunk per kernel mode). A
   (sites, states) layout would waste 97% of each 128-lane vector on DNA.
 - grid = (site_tiles, rate_categories); each program is independent, so the
   grid parallelizes across both and shards trivially over site-sharded
@@ -761,6 +761,113 @@ def _dynamic_bwd_kernel(
     dleaf_ref[0] = g[0:n_leaves]
 
 
+def _dynamic_bwd2_kernel(
+    # scalar prefetch (SMEM) — PRE-REVERSED (top-down) schedule arrays
+    rorder_ref, rchild_ref, rcount_ref,
+    # tensor inputs (VMEM)
+    p_ref,        # (1, n_nodes, S_pad, S_pad)
+    pt_ref,       # (1, n_nodes, S_pad, S_pad) — P^T; ROOT ROW = IDENTITY
+    buf_ref,      # (1, n_nodes, S_pad, T) — forward partials (rescaled)
+    ls_ref,       # (1, n_nodes, 1, T)     — forward logscale chain
+    gseed_ref,    # (1, 1, S_pad, T) — dL/d(root partials)
+    # outputs (VMEM): dp always; dleaf only when want_dleaf; then scratch
+    *outs_and_scratch,
+    n_leaves: int,
+    n_internal: int,
+    cmax: int,
+    s_pad: int,
+    n_real: int = None,
+    want_dleaf: bool = True,
+):
+    """Deferred-edge reverse walk (r4 redesign of _dynamic_bwd_kernel).
+
+    Math identical to _dynamic_bwd_kernel (rescale divisors constant —
+    exact by logL invariance), restructured around two r4 measurements:
+    (a) MXU dot_generals inside the serial node loop stall it (each
+    (S,T)x(T,S) product serializes against the VPU chain), and (b) any
+    dynamic ``pl.when`` in the loop body costs +73%. So the serial loop
+    propagates cotangents ONLY (pure VPU, branch-free):
+
+      visit n (pre-order):  gy_n = gybuf[n]   (stashed by n's parent)
+        g_n      = P_n^T gy_n                   [root: pt=I ⇒ g=seed]
+        gybuf[c] += g_n * (prod_{c'≠c} y_{c'}) * 2^{-e_n}   per child
+
+    and EVERY dP lands in one batched MXU dot_general epilogue over all
+    nodes at once (the MXU pipelines across the node batch instead of
+    draining per step):
+
+        dP[n] += gybuf[n] buf[n]^T    for all n   [root zeroed by caller]
+        dleaf  = batched P_l^T gybuf[l]           (only when want_dleaf)
+
+    The y_c = P_c x_c sibling recomputes stay in the loop (saveall
+    residuals hold node partials; re-contracting beats saving ys — the
+    measured saveall2 variant cost +57% on the forward half).
+    """
+    if want_dleaf:
+        dp_ref, dleaf_ref, gybuf = outs_and_scratch
+    else:
+        dp_ref, gybuf = outs_and_scratch
+        dleaf_ref = None
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init_dp():
+        dp_ref[...] = jnp.zeros(dp_ref.shape, dp_ref.dtype)
+
+    # accumulate (not overwrite): padding children write masked zeros and
+    # must not clobber a real child's stash written earlier
+    gybuf[...] = jnp.zeros(gybuf.shape, gybuf.dtype)
+    gybuf[rorder_ref[0]] = gseed_ref[0, 0]
+
+    def node_step(i, _):
+        node = rorder_ref[i]
+        count = rcount_ref[i]
+        gy = gybuf[node]                   # (S, T)
+        # root: pt row is the identity (caller glue) ⇒ g = seed exactly
+        gn = _contract(pt_ref[0, node], gy, s_pad, n_real)
+        ys = []
+        sc_sum = None
+        for c in range(cmax):
+            cid = rchild_ref[c, i]
+            valid = c < count
+            y = _contract(p_ref[0, cid], buf_ref[0, cid], s_pad, n_real)
+            y = jnp.where(valid, y, jnp.ones_like(y))
+            ys.append(y)
+            csc = jnp.where(valid, ls_ref[0, cid], 0.0)
+            sc_sum = csc if sc_sum is None else sc_sum + csc
+        # exponent-count units: the difference is an exact f32 integer
+        inv_m = exp2_int(sc_sum - ls_ref[0, node])  # (1, T) = 2^{-e_n}
+        for c in range(cmax):
+            cid = rchild_ref[c, i]
+            valid = c < count
+            sib = None
+            for c2 in range(cmax):
+                if c2 == c:
+                    continue
+                sib = ys[c2] if sib is None else sib * ys[c2]
+            gyc = gn * inv_m if sib is None else gn * sib * inv_m
+            gybuf[cid] += jnp.where(valid, gyc, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_internal, node_step, 0)
+
+    # batched MXU epilogue: dp_n = gy_n x_n^T for every node at once
+    dp_ref[0] += jax.lax.dot_general(
+        gybuf[...], buf_ref[0],
+        (((2,), (2,)), ((0,), (0,))),      # batch nodes, contract sites
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if want_dleaf:
+        # each leaf has exactly one parent edge: dleaf_l = P_l^T gy_l
+        dleaf_ref[0] = jax.lax.dot_general(
+            pt_ref[0, 0:n_leaves], gybuf[0:n_leaves],
+            (((2,), (1,)), ((0,), (0,))),  # batch leaves, contract states
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
 # VMEM budget, empirically calibrated on TPU v5e through the axon relay
 # (2026-08-17): the compiler enforces a 16 MiB "scoped vmem" limit on a
 # kernel's stack allocation (measured: 16.60M rejected, "limit 16.00M"),
@@ -778,7 +885,7 @@ VMEM_BUDGET = int(
 
 def _working_bytes(
     tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str,
-    n_slots: int = 0, n_blocks: int = 1,
+    n_slots: int = 0, n_blocks: int = 1, want_dleaf: bool = True,
 ) -> int:
     """Estimated VMEM bytes of one kernel program (f32).
 
@@ -817,16 +924,31 @@ def _working_bytes(
             + 2 * 16 * s_pad               # seed input x2 (<=16 seeds)
         )
         p_bytes *= 6                       # p, p^T inputs + dp output, each x2
+    elif mode == "bwd2":
+        # deferred-edge reverse (_dynamic_bwd2_kernel): saveall residuals
+        # in, gybuf scratch, batched dp/dleaf epilogue
+        per_site = (
+            2 * n_nodes * s_pad            # buf input x2
+            + 2 * n_nodes                  # logscale input x2
+            + n_nodes * s_pad              # gybuf scratch
+            + (2 * n_leaves * s_pad if want_dleaf else 0)  # dleaf out x2
+            + 2 * s_pad                    # seed input x2
+        )
+        p_bytes *= 6                       # p, p^T inputs + dp output, each x2
     else:
         raise ValueError(mode)
     total = 4 * tile * per_site + p_bytes
-    if mode in ("save", "bwd"):
+    if mode == "bwd":
         # Empirical calibration (TPU v5e, 2026-08-17): Mosaic's scoped-
-        # vmem accounting for these many-blocked kernels runs ~1.9x the
-        # itemized block sum when an outer vmap adds a batch grid axis
-        # (measured 23.4M vs 12.4M itemized on a 197-node protein
+        # vmem accounting for the OLD many-blocked backward runs ~1.9x
+        # the itemized block sum when an outer vmap adds a batch grid
+        # axis (measured 23.4M vs 12.4M itemized on a 197-node protein
         # segment backward). Double the estimate so tile/segment sizing
-        # stays inside the hard 16M limit.
+        # stays inside the hard 16M limit. Re-measured 2026-08-20 for
+        # 'save' and 'bwd2': both ACCEPTED and ran (vmapped B=64) at
+        # itemized 13.5-19.5 MB — the 1.9x factor is bwd-specific, and
+        # dropping it here doubles the grad-path tile (256 -> 1024 on
+        # the flagship; bwd2 0.184 -> 0.101 ms measured).
         total *= 2
     return total
 
@@ -834,13 +956,15 @@ def _working_bytes(
 def _pick_tile(
     tile: int, sites: int, n_nodes: int, n_leaves: int, s_pad: int,
     mode: str = "fwd", n_slots: int = 0, n_blocks: int = 1,
+    want_dleaf: bool = True,
 ) -> int:
     """Shrink the site tile until the kernel's VMEM working set fits."""
     tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
     while tile > LANE:
         if (
             _working_bytes(
-                tile, n_nodes, n_leaves, s_pad, mode, n_slots, n_blocks
+                tile, n_nodes, n_leaves, s_pad, mode, n_slots, n_blocks,
+                want_dleaf,
             )
             <= VMEM_BUDGET
         ):
@@ -1160,7 +1284,7 @@ def _pallas_forward(
 
 def make_pallas_prune_fn(
     schedule: PruningSchedule,
-    tile: int = 4 * LANE,
+    tile: int = 16 * LANE,
     interpret: bool = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Compile a schedule into a fused-Pallas pruning function.
@@ -1373,6 +1497,103 @@ def _backward_call(
     return dp_pad, dleaf_k
 
 
+def _bwd2_call(
+    p_pad, pt_pad, buf_all, ls_all, gseed, *,
+    order, children, counts, n_nodes, n_leaves, tile, interpret,
+    n_real=None, want_dleaf=True,
+):
+    """Deferred-edge reverse walk: returns ``(dp_pad (K, n_nodes, S_pad,
+    S_pad)[, dleaf_k (K, n_leaves, S_pad, sites_pad)])``.
+
+    Same residuals as _backward_call (the classic saveall outputs).
+    ``pt_pad`` must have its ROOT row set to the identity (the kernel
+    reads it to seed g_root = seed exactly); the caller must also zero
+    ``dp_pad[:, root]`` afterwards (the root has no parent edge)."""
+    k, _, s_pad, sites_pad = buf_all.shape
+    n_internal = order.shape[0]
+    cmax = children.shape[1]
+    tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "bwd2",
+                      want_dleaf=want_dleaf)
+    while sites_pad % tile:
+        tile //= 2
+    n_tiles = sites_pad // tile
+
+    kernel = functools.partial(
+        _dynamic_bwd2_kernel,
+        n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+        n_real=n_real, want_dleaf=want_dleaf,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((k, n_nodes, s_pad, s_pad), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, n_nodes, s_pad, s_pad),
+            lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if want_dleaf:
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (k, n_leaves, s_pad, sites_pad), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, n_leaves, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    # grid (k, n_tiles): site tiles iterate FASTEST so the dP output block
+    # accumulates in VMEM across tiles (same layout as _backward_call)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, s_pad),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, s_pad),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_nodes, 1, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s_pad, tile),
+                lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_nodes, s_pad, tile), jnp.float32),    # gybuf
+        ],
+    )
+    # pre-reversed (top-down) schedule arrays — see _dynamic_bwd_kernel NOTE
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(order[::-1].copy()),
+      jnp.asarray(children[::-1].T.copy()),
+      jnp.asarray(counts[::-1].copy()),
+      p_pad, pt_pad, buf_all, ls_all, gseed)
+
+
 def _dfs_internal_post(schedule: PruningSchedule):
     """(DFS post-order list of internal node ids, child map, root)."""
     order, children, counts = _postorder_arrays(schedule)
@@ -1530,9 +1751,10 @@ def _segment_schedules(schedule: PruningSchedule, s_pad: int, budget: int):
 
 def make_pallas_loglik_fn(
     schedule: PruningSchedule,
-    tile: int = 4 * LANE,
+    tile: int = 16 * LANE,
     interpret: bool = None,
     n_states: int = None,
+    diff_leaves: bool = True,
 ):
     """Fused differentiable per-(category, site) log-likelihood.
 
@@ -1560,6 +1782,12 @@ def make_pallas_loglik_fn(
     gradient path's tree-size ceiling — any tree that fits HBM
     differentiates at kernel speed.
 
+    ``diff_leaves=False`` declares leaf partials constant: the backward
+    kernel skips their cotangent entirely (no dleaf output block, no P^T
+    propagation into leaf rows) and the VJP returns zeros for them. Every
+    engine fit/grad workload qualifies (leaves are data); pass True when
+    differentiating w.r.t. leaf partials themselves.
+
     Reference parity: supersedes the Cython sitewise derivative kernels
     (phylo_utils/likcalc.pyx, SURVEY.md §3.3) with exact whole-tree
     gradients.
@@ -1577,7 +1805,7 @@ def make_pallas_loglik_fn(
 
     slot_data = _dfs_slot_schedule(schedule)
 
-    def fast_ll(p_matrices, leaf_partials, freqs):
+    def fast_parts(p_matrices, leaf_partials, freqs):
         root_p, root_sc = _pallas_forward(
             p_matrices, leaf_partials, slot_data=slot_data, **common
         )
@@ -1585,11 +1813,32 @@ def make_pallas_loglik_fn(
         dot = jnp.einsum(
             "ksi,i->ks", root_p.astype(rdt), freqs, precision=_hi
         )
-        return jnp.log(dot) + root_sc.astype(rdt)
+        return dot, root_sc.astype(rdt), root_p
+
+    def fast_ll(p_matrices, leaf_partials, freqs):
+        dot, root_sc, _ = fast_parts(p_matrices, leaf_partials, freqs)
+        return jnp.log(dot) + root_sc
+
+    # deferred-edge reverse (bwd2: serial loop = pure-VPU cotangent
+    # propagation, ALL dp's in one batched MXU epilogue) when its working
+    # set fits; PHYLO_DEFERRED_VJP=0 forces the classic per-node reverse
+    # (_backward_call), =1 forces bwd2 (measurement knobs)
+    bwd2_env = os.environ.get("PHYLO_DEFERRED_VJP", "auto")
+
+    def _use_bwd2(s_pad):
+        return bwd2_env != "0" and (
+            bwd2_env == "1"
+            or _working_bytes(LANE, n_nodes, n_leaves, s_pad, "bwd2",
+                              want_dleaf=diff_leaves)
+            <= VMEM_BUDGET
+        )
 
     whole_tree = n_states is None or (
         pallas_supported(schedule, n_states, "save")
-        and pallas_supported(schedule, n_states, "bwd")
+        and (
+            _use_bwd2(_state_pad(n_states))
+            or pallas_supported(schedule, n_states, "bwd")
+        )
     )
 
     if whole_tree:
@@ -1642,16 +1891,35 @@ def make_pallas_loglik_fn(
                 lam32[:, None, None, :] * f32f[None, None, :, None]
             )                                            # (K, 1, S_pad, sp)
             pt_pad = jnp.swapaxes(p_pad, -1, -2)
-            dp_pad, dleaf_k = _backward_call(
-                p_pad, pt_pad, buf_all, ls_all, gseeds, root_ids,
-                n_real=s, **common
-            )
+            if _use_bwd2(s_pad):
+                # root's pt row := identity so the kernel's uniform
+                # g = P^T gy step reproduces the seed exactly at the root
+                outs = _bwd2_call(
+                    p_pad,
+                    pt_pad.at[:, root].set(
+                        jnp.eye(s_pad, dtype=jnp.float32)
+                    ),
+                    buf_all, ls_all, gseeds,
+                    n_real=s, want_dleaf=diff_leaves, **common
+                )
+                # the root has no parent edge: its dp row is the batched
+                # epilogue's uniform-step artifact — zero it
+                dp_pad = outs[0].at[:, root].set(0.0)
+                dleaf_k = outs[1] if diff_leaves else None
+            else:
+                dp_pad, dleaf_k = _backward_call(
+                    p_pad, pt_pad, buf_all, ls_all, gseeds, root_ids,
+                    n_real=s, **common
+                )
             dp = jnp.transpose(dp_pad[:, :, :s, :s], (1, 0, 2, 3)).astype(
                 p_tok.dtype
             )
-            dleaf = jnp.transpose(
-                jnp.sum(dleaf_k, axis=0)[:, :s, :sites], (0, 2, 1)
-            ).astype(leaf_tok.dtype)
+            if dleaf_k is not None:
+                dleaf = jnp.transpose(
+                    jnp.sum(dleaf_k, axis=0)[:, :s, :sites], (0, 2, 1)
+                ).astype(leaf_tok.dtype)
+            else:
+                dleaf = jnp.zeros((n_leaves, sites, s), leaf_tok.dtype)
             root_pp = buf_all[:, root, :s, :sites]       # (K, S, sites)
             dfreqs = jnp.einsum(
                 "ks,kis->i", lam, root_pp.astype(rdt), precision=_hi

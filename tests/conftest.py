@@ -24,3 +24,47 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Smoke tier (`pytest -m smoke`, <5 min): goldens, one config per engine
+# family, kernel/gradient parity, one sharding equality — the fast
+# high-signal subset for inner-loop verification. The full (~25 min) suite
+# remains the default and runs at round end.
+# ---------------------------------------------------------------------------
+
+_SMOKE_MODULES = {
+    "test_oracle",            # closed-form + property goldens
+    "test_external_goldens",  # published Yang CME absolute anchors
+    "test_likelihood",        # core engine vs oracle (DNA/protein, +G +I)
+    "test_sharding",          # 8-device mesh equality + psum grads
+    "test_gradients",         # jax.grad vs finite differences
+    "test_facades",           # reference-API facades
+}
+
+_SMOKE_TESTS = {
+    # Pallas kernel parity (fast cases only; segmented stress is full-tier)
+    ("test_pallas_pruning", "test_pallas_matches_xla"),
+    ("test_pallas_pruning", "test_pallas_gradients_match_xla"),
+    ("test_pallas_pruning", "test_fused_loglik_value_and_grad_match_xla"),
+    ("test_pallas_pruning",
+     "test_deferred_vjp_kernel_leaf_grads_and_saveall_agreement"),
+    # one config per engine family
+    ("test_codon", "test_gy94_logl_matches_oracle"),
+    ("test_morphology", "test_lewis_correction_hand_computed_binary"),
+    ("test_freerate", "test_freerate_matches_oracle_weighted_mixture"),
+    ("test_mixtures", "test_kappa_mixture_matches_golden"),
+    ("test_partition", "test_partitioned_equals_sum_of_engines"),
+    # optimization basics
+    ("test_optimize", "test_transform_roundtrip"),
+    ("test_optimize", "test_fit_improves_and_reaches_optimum_neighborhood"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        base = item.name.split("[")[0]
+        if mod in _SMOKE_MODULES or (mod, base) in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)

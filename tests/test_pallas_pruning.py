@@ -369,3 +369,49 @@ def test_category_fold_odd_categories(monkeypatch):
     r_f, s_f = make_pallas_prune_fn(sched)(p, lp)
     np.testing.assert_allclose(r_f, r_xla, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(s_f, s_xla, rtol=2e-5, atol=2e-4)
+
+
+def test_deferred_vjp_kernel_leaf_grads_and_saveall_agreement(monkeypatch):
+    """The deferred-edge VJP pair (r4: _dynamic_saveall2_kernel +
+    _dynamic_bwd2_kernel) must match the classic saveall+backward pair on
+    every cotangent — dp, dleaf, dfreqs — with diff_leaves=True; with
+    diff_leaves=False (the engine default: leaves are data) dp/dfreqs
+    must be unchanged and dleaf exactly zero."""
+    from phylo_utils_tpu.ops import pallas_pruning as pp
+
+    sched, p, lp = _setup(10, 70)
+    freqs = jnp.asarray(np.full(4, 0.25), jnp.float64)
+    w = jnp.asarray(np.random.default_rng(0).integers(1, 4, 70), jnp.float64)
+
+    def loss(fn, p, lp, freqs):
+        ll = fn(p, lp, freqs)
+        return jnp.sum(jnp.sum(ll, axis=0) * w)
+
+    monkeypatch.setenv("PHYLO_DEFERRED_VJP", "1")
+    f_fused = pp.make_pallas_loglik_fn(sched, n_states=4, diff_leaves=True)
+    f_const = pp.make_pallas_loglik_fn(sched, n_states=4, diff_leaves=False)
+    monkeypatch.setenv("PHYLO_DEFERRED_VJP", "0")
+    f_save = pp.make_pallas_loglik_fn(sched, n_states=4, diff_leaves=True)
+
+    args = (p, lp, freqs)
+    v0, g0 = jax.value_and_grad(
+        lambda *a: loss(f_save, *a), argnums=(0, 1, 2))(*args)
+    v1, g1 = jax.value_and_grad(
+        lambda *a: loss(f_fused, *a), argnums=(0, 1, 2))(*args)
+    v2, g2 = jax.value_and_grad(
+        lambda *a: loss(f_const, *a), argnums=(0, 1, 2))(*args)
+    assert abs(float(v0) - float(v1)) < 1e-5 * abs(float(v0))
+    for a, b, name in zip(g0, g1, ("dp", "dleaf", "dfreqs")):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=1e-4 * scale,
+            err_msg=name,
+        )
+    # constant-leaf variant: same dp/dfreqs, zero dleaf
+    np.testing.assert_allclose(
+        np.asarray(g2[0]), np.asarray(g1[0]), rtol=0,
+        atol=1e-6 * (np.max(np.abs(np.asarray(g1[0]))) + 1e-8),
+    )
+    assert np.all(np.asarray(g2[1]) == 0.0)
+    np.testing.assert_allclose(np.asarray(g2[2]), np.asarray(g1[2]),
+                               rtol=1e-6)
