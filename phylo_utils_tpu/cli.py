@@ -840,6 +840,57 @@ def cmd_clock_test(args) -> int:
     return 0
 
 
+def cmd_date(args) -> int:
+    """Penalized-likelihood dating: relative, CV-lambda, or calibrated."""
+    from phylo_utils_tpu.clock import (
+        cross_validate_lambda,
+        penalized_likelihood_dating,
+    )
+    from phylo_utils_tpu.io import write_newick
+
+    tree = _read_tree(args.tree)
+    calibrations = {}
+    for spec in args.calibrate:
+        if "=" not in spec:
+            raise SystemExit(
+                f"--calibrate {spec!r}: expected LEAF,...=AGE or "
+                "LEAF,...=MIN:MAX"
+            )
+        leaves, _, bounds = spec.partition("=")
+        key = tuple(s.strip() for s in leaves.split(","))
+        if ":" in bounds:
+            lo, _, hi = bounds.partition(":")
+            calibrations[key] = (
+                float(lo) if lo else None, float(hi) if hi else None
+            )
+        else:
+            calibrations[key] = float(bounds)
+    lam = args.lam
+    cv = None
+    if args.cv_lambda:
+        grid = tuple(float(x) for x in args.cv_lambda.split(","))
+        cv = cross_validate_lambda(
+            tree, args.sites, lambdas=grid, root_age=args.root_age,
+            steps=args.steps,
+        )
+        lam = cv["lambda"]
+    out = penalized_likelihood_dating(
+        tree, args.sites, root_age=args.root_age, lam=lam,
+        steps=args.steps, calibrations=calibrations or None,
+    )
+    payload = {
+        "lambda": lam,
+        "ages": {str(k): v for k, v in out["ages"].items()},
+        "max_calibration_violation": out["max_calibration_violation"],
+        "objective": out["objective"],
+        "chronogram": write_newick(out["chronogram"]),
+    }
+    if cv is not None:
+        payload["cv_scores"] = {str(k): v for k, v in cv["scores"].items()}
+    print(json.dumps(payload))
+    return 0
+
+
 def cmd_supports(args) -> int:
     """aLRT / SH-aLRT branch supports on a fixed topology."""
     from phylo_utils_tpu.io import write_newick
@@ -1123,6 +1174,28 @@ def main(argv=None) -> int:
     p.add_argument("--ncat", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=200)
     p.set_defaults(fn=cmd_clock_test)
+
+    p = sub.add_parser(
+        "date",
+        help="penalized-likelihood divergence dating (Sanderson/r8s)",
+    )
+    p.add_argument("--tree", required=True,
+                   help="fitted phylogram (lengths in subs/site)")
+    p.add_argument("--sites", type=int, required=True,
+                   help="alignment length the phylogram was fitted on")
+    p.add_argument("--lam", type=float, default=1.0,
+                   help="rate-autocorrelation smoothing strength")
+    p.add_argument("--cv-lambda", default=None,
+                   help="comma list of lambdas: pick by Sanderson "
+                        "cross-validation instead of --lam")
+    p.add_argument("--root-age", type=float, default=1.0,
+                   help="relative-mode root age (ignored with --calibrate)")
+    p.add_argument("--calibrate", action="append", default=[],
+                   metavar="LEAF,LEAF,...=AGE | LEAF,...=MIN:MAX",
+                   help="absolute age (or min:max interval) for the MRCA "
+                        "of the listed leaves; repeatable")
+    p.add_argument("--steps", type=int, default=2000)
+    p.set_defaults(fn=cmd_date)
 
     p = sub.add_parser(
         "supports", help="aLRT / SH-aLRT branch supports (NNI-based)"

@@ -36,7 +36,7 @@ from phylo_utils_tpu.likelihood import LikelihoodEngine, mixture_rates_and_p
 from phylo_utils_tpu.trees import Tree
 
 __all__ = ["ClockEngine", "clock_test", "node_height_errors",
-           "penalized_likelihood_dating"]
+           "penalized_likelihood_dating", "cross_validate_lambda", "mrca"]
 
 
 def _clock_structure(tree: Tree):
@@ -330,6 +330,207 @@ def node_height_errors(engine: ClockEngine,
             for k, nid in enumerate(engine._internal_ids)}
 
 
+def mrca(tree: Tree, names: Sequence[str]) -> int:
+    """Node id of the most recent common ancestor of the named leaves."""
+    idx = {n: i for i, n in enumerate(tree.leaf_names)}
+    try:
+        ids = [idx[n] for n in names]
+    except KeyError as e:
+        raise ValueError(f"unknown leaf name {e.args[0]!r}") from None
+    if not ids:
+        raise ValueError("mrca() needs at least one leaf name")
+
+    def ancestors(i):
+        out = []
+        while i != -1:
+            out.append(int(i))
+            i = int(tree.parent[i])
+        return out
+
+    common = set(ancestors(ids[0]))
+    for i in ids[1:]:
+        common &= set(ancestors(i))
+    # the MRCA is the common ancestor with the greatest root distance,
+    # i.e. the FIRST common entry walking up from any member
+    for a in ancestors(ids[0]):
+        if a in common:
+            return a
+    raise AssertionError("unreachable: root is always common")
+
+
+class _PLProblem:
+    """Shared machinery for penalized-likelihood dating fits.
+
+    One compiled Adam-scan program serves every (poisson-mask, lambda)
+    combination — both are jit ARGUMENTS — which is what makes
+    leaf-one-out cross-validation over a lambda grid affordable
+    (n_leaves x n_lambdas fits, zero recompiles).
+    """
+
+    def __init__(self, tree: Tree, n_sites: int, root_age: float,
+                 free_root: bool, calib, calibration_weight: float,
+                 steps: int, lr: float):
+        import optax
+
+        (internal_ids, anc, parent_slot, is_internal, node_slot,
+         root_slot) = _clock_structure(tree)
+        self.tree = tree
+        self.n_sites = n_sites
+        self.internal_ids = internal_ids
+        self.n_int = n_int = len(internal_ids)
+        self.root_slot = root_slot
+        self.free_root = free_root
+        h0 = _initial_heights(tree)
+        h0_int = np.maximum(h0[internal_ids], 1e-6)
+        fr0 = []
+        for k, nid in enumerate(internal_ids):
+            if k == root_slot:
+                continue
+            par = int(tree.parent[int(nid)])
+            fr0.append(
+                min(max(h0_int[k] / max(h0[par], 1e-9), 1e-3), 1.0 - 1e-3)
+            )
+        fr0 = np.asarray(fr0, np.float64)
+        r0 = max(float(h0[tree.root]) / max(root_age, 1e-9), 1e-6)
+
+        counts = jnp.asarray(np.asarray(tree.lengths, np.float64) * n_sites)
+        root = tree.root
+        nonroot_mask = jnp.asarray(
+            [0.0 if i == root else 1.0 for i in range(tree.n_nodes)]
+        )
+        parent_of = jnp.asarray(
+            [int(tree.parent[i]) if tree.parent[i] != -1 else 0
+             for i in range(tree.n_nodes)], jnp.int32
+        )
+        is_root_child = jnp.asarray(
+            [1.0 if int(tree.parent[i]) == root else 0.0
+             for i in range(tree.n_nodes)]
+        )
+        child_mask = jnp.asarray(
+            [1.0 if (tree.parent[i] != -1
+                     and tree.parent[int(i)] != root) else 0.0
+             for i in range(tree.n_nodes)]
+        )
+        anc_j = jnp.asarray(anc)
+        parent_slot_j = jnp.asarray(parent_slot)
+        node_slot_j = jnp.asarray(node_slot)
+        is_internal_j = jnp.asarray(is_internal)
+        if calib:
+            calib_slots = jnp.asarray([c[0] for c in calib], jnp.int32)
+            calib_lo = jnp.asarray([c[1] for c in calib])
+            calib_hi = jnp.asarray([c[2] for c in calib])
+        else:
+            calib_slots = None
+
+        def heights(raw_f, log_H):
+            H = jnp.exp(log_H) if free_root else root_age
+            f = jax.nn.sigmoid(raw_f)
+            if n_int > 1:
+                h = H * jnp.exp(anc_j @ jnp.log(f))
+            else:
+                h = jnp.full((1,), 1.0) * H
+            return h
+
+        def durations(raw_f, log_H):
+            h = heights(raw_f, log_H)
+            node_h = is_internal_j * h[node_slot_j]
+            parent_h = h[jnp.clip(parent_slot_j, 0, None)]
+            return jnp.maximum(parent_h - node_h, 1e-9), h
+
+        self._durations = durations
+
+        def objective(params, mask, lam):
+            raw_f, log_r, log_H = params
+            d, h = durations(raw_f, log_H)
+            r = jnp.exp(log_r)
+            mu = r * d * n_sites
+            m = nonroot_mask * mask
+            pois = jnp.sum(m * (counts * jnp.log(mu) - mu))
+            diff = (r - r[parent_of]) ** 2 * child_mask
+            rc = is_root_child
+            nrc = jnp.sum(rc)
+            mean_rc = jnp.sum(r * rc) / nrc
+            var_rc = jnp.sum(rc * (r - mean_rc) ** 2) / nrc
+            obj = pois - lam * n_sites * (jnp.sum(diff) + var_rc)
+            if calib_slots is not None:
+                viol = (
+                    jnp.maximum(calib_lo - h[calib_slots], 0.0) ** 2
+                    + jnp.maximum(h[calib_slots] - calib_hi, 0.0) ** 2
+                )
+                obj = obj - calibration_weight * n_sites * jnp.sum(viol)
+            return obj
+
+        self._objective = objective
+        self.raw0 = (
+            jnp.asarray(np.log(fr0 / (1 - fr0))),
+            jnp.full((tree.n_nodes,), np.log(r0)),
+            jnp.asarray(np.log(max(root_age, 1e-9))),
+        )
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(raw0, mask, lam):
+            state0 = opt.init(raw0)
+
+            def step(carry, _):
+                raw, st = carry
+                val, g = jax.value_and_grad(
+                    lambda q: -objective(q, mask, lam)
+                )(raw)
+                upd, st = opt.update(g, st, raw)
+                return (optax.apply_updates(raw, upd), st), -val
+
+            (raw, _), _trace = jax.lax.scan(step, (raw0, state0), None,
+                                            length=steps)
+            # report the objective AT the returned parameters (trace
+            # entries are PRE-update values)
+            return raw, objective(raw, mask, lam)
+
+        self._run = run
+        self._ones_mask = jnp.ones((tree.n_nodes,))
+
+    def fit(self, mask=None, lam: float = 1.0):
+        mask = self._ones_mask if mask is None else mask
+        raw, obj = self._run(self.raw0, mask, jnp.asarray(float(lam)))
+        return raw, float(obj)
+
+    def unpack(self, raw):
+        d, h = self._durations(raw[0], raw[2])
+        rates = np.array(jnp.exp(raw[1]))
+        rates[self.tree.root] = 0.0
+        return np.asarray(d), np.asarray(h), rates
+
+
+def _resolve_calibrations(tree: Tree, internal_ids, calibrations):
+    """Normalize {node-spec: age or (lo, hi)} to [(slot, lo, hi), ...].
+
+    A node-spec is an internal node id (int) or a sequence of leaf names
+    (resolved to their MRCA). A scalar age is an exact calibration
+    (lo == hi); None bounds are open (lo=0 / hi=+inf).
+    """
+    slot_of = {int(n): k for k, n in enumerate(internal_ids)}
+    out = []
+    for spec, bounds in calibrations.items():
+        node = spec if isinstance(spec, (int, np.integer)) else mrca(
+            tree, tuple(spec)
+        )
+        if int(node) not in slot_of:
+            raise ValueError(
+                f"calibration target {spec!r} -> node {node} is not an "
+                "internal node"
+            )
+        if np.isscalar(bounds):
+            lo = hi = float(bounds)
+        else:
+            lo, hi = bounds
+            lo = 0.0 if lo is None else float(lo)
+            hi = np.inf if hi is None else float(hi)
+        if lo > hi:
+            raise ValueError(f"calibration {spec!r}: min {lo} > max {hi}")
+        out.append((slot_of[int(node)], lo, hi))
+    return out
+
+
 def penalized_likelihood_dating(
     tree: Tree,
     n_sites: int,
@@ -337,6 +538,8 @@ def penalized_likelihood_dating(
     lam: float = 1.0,
     steps: int = 2000,
     lr: float = 0.02,
+    calibrations: Optional[Mapping] = None,
+    calibration_weight: float = 1e3,
 ):
     """Penalized-likelihood divergence dating (Sanderson 2002, MBE 19:101
     — the r8s/ape-chronos semiparametric method).
@@ -351,127 +554,107 @@ def penalized_likelihood_dating(
     autocorrelation penalty, scaled by the alignment length so ``lam``
     is a per-site smoothing strength comparable across datasets.
     Large ``lam`` approaches a strict clock; small ``lam`` lets rates
-    vary freely (ages then identified only by the penalty).
+    vary freely (ages then identified only by the penalty). Choose
+    ``lam`` with ``cross_validate_lambda``.
 
     Ages are parameterized exactly like ``ClockEngine`` (root age times
-    per-node fractions, monotone by construction) with the root age
-    FIXED at ``root_age`` (relative dating; rescale or calibrate
-    afterwards). Optimized by Adam in one jitted ``lax.scan``.
+    per-node fractions, monotone by construction).
+
+    ``calibrations`` enables ABSOLUTE dating (r8s fixage/constrain): a
+    mapping from node spec — an internal node id, or a sequence of leaf
+    names resolved to their MRCA — to an exact age (scalar) or an
+    ``(min_age, max_age)`` interval (either side None = open). With
+    calibrations the root age becomes a FREE parameter (without them
+    the Poisson term is scale-invariant in (ages x rates), so the root
+    is FIXED at ``root_age`` and dating is relative). Calibrations are
+    smooth quadratic hinge penalties with weight
+    ``calibration_weight * n_sites`` — exact calibrations are met to
+    optimizer precision; the result reports the worst residual violation.
 
     Returns {"ages": {node id: age}, "rates": (n_nodes,) per-edge rates
     (root entry 0), "chronogram": Tree with branch lengths in time
-    units, "objective": final penalized logL}.
+    units, "objective": final penalized logL,
+    "max_calibration_violation": worst hinge residual (0.0 when no
+    calibrations)}.
     """
-    import optax
-
-    (internal_ids, anc, parent_slot, is_internal, node_slot,
-     root_slot) = _clock_structure(tree)
-    n_int = len(internal_ids)
-    h0 = _initial_heights(tree)
-    h0_int = np.maximum(h0[internal_ids], 1e-6)
-    # initial fractions from the ultrametricized input heights
-    fr0 = []
-    for k, nid in enumerate(internal_ids):
-        if k == root_slot:
-            continue
-        par = int(tree.parent[int(nid)])
-        fr0.append(
-            min(max(h0_int[k] / max(h0[par], 1e-9), 1e-3), 1.0 - 1e-3)
-        )
-    fr0 = np.asarray(fr0, np.float64)
-    # initial common rate: total path length / root age
-    r0 = max(float(h0[tree.root]) / max(root_age, 1e-9), 1e-6)
-
-    counts = np.asarray(tree.lengths, np.float64) * n_sites  # n_e
-    counts = jnp.asarray(counts)
-    root = tree.root
-    nonroot = jnp.asarray(
-        [i for i in range(tree.n_nodes) if i != root], jnp.int32
+    (internal_ids, _anc, _ps, _ii, _ns, _rs) = _clock_structure(tree)
+    calib = (
+        _resolve_calibrations(tree, internal_ids, calibrations)
+        if calibrations else []
     )
-    parent_of = jnp.asarray(
-        [int(tree.parent[i]) if tree.parent[i] != -1 else 0
-         for i in range(tree.n_nodes)], jnp.int32
+    if calib:
+        finite = [c[1] for c in calib if np.isfinite(c[1]) and c[1] > 0]
+        finite += [c[2] for c in calib if np.isfinite(c[2]) and c[2] > 0]
+        root_age = max(finite) * 1.5 if finite else root_age
+    prob = _PLProblem(
+        tree, n_sites, root_age, free_root=bool(calib), calib=calib,
+        calibration_weight=calibration_weight, steps=steps, lr=lr,
     )
-    is_root_child = jnp.asarray(
-        [1.0 if int(tree.parent[i]) == root else 0.0
-         for i in range(tree.n_nodes)]
-    )
-    anc_j = jnp.asarray(anc)
-    parent_slot_j = jnp.asarray(parent_slot)
-    node_slot_j = jnp.asarray(node_slot)
-    is_internal_j = jnp.asarray(is_internal)
-
-    def durations(raw_f):
-        f = jax.nn.sigmoid(raw_f)
-        if n_int > 1:
-            h = root_age * jnp.exp(anc_j @ jnp.log(f))
-        else:
-            h = jnp.full((1,), root_age)
-        node_h = is_internal_j * h[node_slot_j]
-        parent_h = h[jnp.clip(parent_slot_j, 0, None)]
-        return jnp.maximum(parent_h - node_h, 1e-9), h
-
-    def objective(params):
-        raw_f, log_r = params
-        d, _ = durations(raw_f)
-        r = jnp.exp(log_r)
-        mu = r * d * n_sites
-        pois = jnp.sum(
-            (counts[nonroot] * jnp.log(mu[nonroot]) - mu[nonroot])
-        )
-        # autocorrelation penalty over parent-child edge pairs (both
-        # non-root edges) + variance of the root's children's rates
-        child_mask = jnp.asarray(
-            [1.0 if (tree.parent[i] != -1
-                     and tree.parent[int(i)] != root) else 0.0
-             for i in range(tree.n_nodes)]
-        )
-        diff = (r - r[parent_of]) ** 2 * child_mask
-        rc = is_root_child
-        nrc = jnp.sum(rc)
-        mean_rc = jnp.sum(r * rc) / nrc
-        var_rc = jnp.sum(rc * (r - mean_rc) ** 2) / nrc
-        return pois - lam * n_sites * (jnp.sum(diff) + var_rc)
-
-    raw0 = (
-        jnp.asarray(np.log(fr0 / (1 - fr0))),
-        jnp.full((tree.n_nodes,), np.log(r0)),
-    )
-    opt = optax.adam(lr)
-
-    @jax.jit
-    def run(raw0):
-        state0 = opt.init(raw0)
-
-        def step(carry, _):
-            raw, st = carry
-            val, g = jax.value_and_grad(
-                lambda q: -objective(q)
-            )(raw)
-            upd, st = opt.update(g, st, raw)
-            return (optax.apply_updates(raw, upd), st), -val
-
-        (raw, _), trace = jax.lax.scan(step, (raw0, state0), None,
-                                       length=steps)
-        # trace entries are PRE-update objectives; report the objective
-        # AT the returned parameters
-        return raw, objective(raw)
-
-    raw, final_obj = run(raw0)
-    d, h = durations(raw[0])
-    d = np.asarray(d)
-    h = np.asarray(h)
-    rates = np.array(jnp.exp(raw[1]))
-    rates[root] = 0.0
+    raw, final_obj = prob.fit(lam=lam)
+    d, h, rates = prob.unpack(raw)
     ages = {int(nid): float(h[k]) for k, nid in enumerate(internal_ids)}
     for i in range(tree.n_leaves):
         ages[i] = 0.0
+    root = tree.root
     chron = tree.with_lengths(np.where(
         np.arange(tree.n_nodes) == root, 0.0, d
     ))
+    viol = 0.0
+    for slot, lo, hi in calib:
+        viol = max(viol, lo - float(h[slot]), float(h[slot]) - hi, 0.0)
     return {
         "ages": ages,
         "rates": rates,
         "chronogram": chron,
         "objective": float(final_obj),
+        "max_calibration_violation": float(viol),
     }
+
+
+def cross_validate_lambda(
+    tree: Tree,
+    n_sites: int,
+    lambdas: Sequence[float] = (0.01, 0.1, 1.0, 10.0, 100.0),
+    root_age: float = 1.0,
+    steps: int = 1500,
+    lr: float = 0.02,
+) -> Dict:
+    """Sanderson's fitted cross-validation for the smoothing strength.
+
+    For each lambda and each TERMINAL edge e: refit the dating problem
+    with e's Poisson term masked out, predict its substitution count
+    from the refitted ages and its parent edge's rate
+    (``n_hat_e = r_parent * d_e * n_sites``; for children of the root,
+    the mean rate of the root's other edges), and score
+    ``sum_e (n_e - n_hat_e)^2 / n_hat_e`` (Sanderson 2002 eq. 12). The
+    lambda with the smallest CV score generalizes best.
+
+    One compiled program serves all (leaf x lambda) fits — the mask and
+    lambda are jit arguments (see _PLProblem). Returns {"lambda": best,
+    "scores": {lambda: score}}.
+    """
+    prob = _PLProblem(tree, n_sites, root_age, free_root=False, calib=[],
+                      calibration_weight=0.0, steps=steps, lr=lr)
+    counts = np.asarray(tree.lengths, np.float64) * n_sites
+    root = tree.root
+    parent = np.asarray(tree.parent)
+    n_nodes = tree.n_nodes
+    scores: Dict[float, float] = {}
+    for lam in lambdas:
+        score = 0.0
+        for leaf in range(tree.n_leaves):
+            mask = np.ones((n_nodes,))
+            mask[leaf] = 0.0
+            raw, _ = prob.fit(mask=jnp.asarray(mask), lam=lam)
+            d, _h, rates = prob.unpack(raw)
+            p = int(parent[leaf])
+            if p != root:
+                r_pred = rates[p]
+            else:
+                sibs = [c for c in tree.children[root] if c != leaf]
+                r_pred = float(np.mean([rates[c] for c in sibs]))
+            n_hat = max(r_pred * d[leaf] * n_sites, 1e-9)
+            score += (counts[leaf] - n_hat) ** 2 / n_hat
+        scores[float(lam)] = float(score)
+    best = min(scores, key=scores.get)
+    return {"lambda": best, "scores": scores}

@@ -208,3 +208,106 @@ def test_penalized_likelihood_dating_recovers_ages():
     )
     est2 = np.array([out2["ages"][int(n)] for n in internal])
     assert np.corrcoef(est2, tru)[0, 1] > 0.9
+
+
+def test_calibrated_dating_recovers_absolute_ages():
+    """r4: one MRCA calibration turns relative PL dating into absolute
+    dating — simulated relaxed-clock phylogram, true ages in My units,
+    a single exact calibration on an internal clade; all other node ages
+    must come back in absolute units within tolerance."""
+    from phylo_utils_tpu.clock import (
+        _initial_heights,
+        mrca,
+        penalized_likelihood_dating,
+    )
+    from phylo_utils_tpu.trees import random_tree
+
+    base = random_tree(10, seed=7, mean_brlen=0.1)
+    h = _initial_heights(base)
+    scale = 50.0 / h[base.root]          # true root age: 50 My
+    ages_true = h * scale
+    true_dur = np.zeros(base.n_nodes)
+    for i in range(base.n_nodes):
+        p = int(base.parent[i])
+        if p != -1:
+            true_dur[i] = ages_true[p] - ages_true[i]
+    # relaxed clock: per-edge rates lognormal around 0.01 subs/site/My
+    rng = np.random.default_rng(3)
+    rates_true = 0.01 * np.exp(rng.normal(0, 0.2, base.n_nodes))
+    phylogram = base.with_lengths(true_dur * rates_true)
+
+    # calibrate ONE internal node (not the root) at its true age, by MRCA
+    cal_node = int(base.children[base.root][0])
+    if not base.children[cal_node]:          # ensure internal
+        cal_node = int(base.children[base.root][1])
+    clade = [base.names[i] for i in range(base.n_leaves)
+             if _is_descendant(base, i, cal_node)]
+    assert mrca(base, clade) == cal_node
+    out = penalized_likelihood_dating(
+        phylogram, n_sites=5000, lam=1.0,
+        calibrations={tuple(clade): float(ages_true[cal_node])},
+    )
+    assert out["max_calibration_violation"] < 0.5
+    internal = range(base.n_leaves, base.n_nodes)
+    est = np.array([out["ages"][int(n)] for n in internal])
+    tru = np.array([ages_true[int(n)] for n in internal])
+    # absolute ages within 15% of the root age
+    assert (np.abs(est - tru) / ages_true[base.root]).max() < 0.15
+    # interval calibration + violation reporting
+    out2 = penalized_likelihood_dating(
+        phylogram, n_sites=5000, lam=1.0,
+        calibrations={cal_node: (0.8 * ages_true[cal_node],
+                                 1.2 * ages_true[cal_node])},
+    )
+    a2 = out2["ages"][cal_node]
+    assert 0.75 * ages_true[cal_node] < a2 < 1.25 * ages_true[cal_node]
+
+
+def _is_descendant(tree, node, anc):
+    while node != -1:
+        if node == anc:
+            return True
+        node = int(tree.parent[node])
+    return False
+
+
+def test_cross_validate_lambda_prefers_smoothing_on_clocklike_data():
+    """Sanderson CV: on strict-clock data heavy smoothing predicts held-out
+    terminals at least as well as (nearly) no smoothing; returns the grid
+    scores and a best lambda from the grid."""
+    from phylo_utils_tpu.clock import _initial_heights, cross_validate_lambda
+    from phylo_utils_tpu.trees import random_tree
+
+    base = random_tree(8, seed=11, mean_brlen=0.12)
+    h = _initial_heights(base)
+    dur = np.zeros(base.n_nodes)
+    for i in range(base.n_nodes):
+        p = int(base.parent[i])
+        if p != -1:
+            dur[i] = h[p] - h[i]
+    out = cross_validate_lambda(
+        base.with_lengths(dur), n_sites=2000,
+        lambdas=(0.01, 1.0, 100.0), root_age=float(h[base.root]),
+        steps=800,
+    )
+    assert set(out["scores"]) == {0.01, 1.0, 100.0}
+    assert out["lambda"] in out["scores"]
+    # strict-clock truth: every lambda predicts held-out terminals well
+    # (chi-square score summed over all 8 terminals stays tiny relative
+    # to the ~hundreds-of-substitutions counts being predicted)
+    assert max(out["scores"].values()) < 1.0
+
+
+def test_calibration_validation_errors():
+    from phylo_utils_tpu.clock import mrca, penalized_likelihood_dating
+    from phylo_utils_tpu.trees import random_tree
+
+    base = random_tree(6, seed=1)
+    with pytest.raises(ValueError, match="min .* > max|min"):
+        penalized_likelihood_dating(
+            base, n_sites=100, calibrations={base.root: (5.0, 1.0)})
+    with pytest.raises(ValueError, match="not an internal node"):
+        penalized_likelihood_dating(
+            base, n_sites=100, calibrations={0: 1.0})
+    with pytest.raises(ValueError, match="unknown leaf"):
+        mrca(base, ["nope"])
