@@ -372,7 +372,11 @@ def fit(
     # Cast every init leaf to the dtype the first update returns, so one
     # compiled program serves every call. The dtype tree is derived by
     # eval_shape (trace only, no compile) once per cached program.
-    st_key = ("st_dtypes",) + prog_key
+    # key includes the RAW pytree structure: the same engine is fit with
+    # different `free` sets (e.g. weights-only then weights+profiles) and
+    # their opt states have different shapes (r4 bug: a structure-blind
+    # cache fed the first fit's dtype tree to the second and crashed)
+    st_key = ("st_dtypes",) + prog_key + (jax.tree.structure(raw0),)
     st_dtypes = programs.get(st_key)
     if st_dtypes is None:
         out_shapes = jax.eval_shape(
