@@ -154,6 +154,13 @@ def main():
         gate = 1e-9 if cfg.get("dtype") == "float64" else 1e-6
         ok = rel < gate
         failures += 0 if ok else 1
+        # rows are NOT cross-comparable as compute throughput: the relay
+        # charges a fixed ~25 ms per dispatch (PARITY.md), amortized over
+        # 64 evals here, so small-pattern configs are dispatch-latency-
+        # bound — this column makes that share explicit (r3 VERDICT
+        # weak-5: a reader would otherwise conclude "protein is 5x
+        # slower than DNA" from amortization, not compute)
+        dispatch_share = min((25.0e-3 / 64) / dt, 1.0)
         print(json.dumps({
             "config": cfg["name"],
             "loglik": ll,
@@ -162,6 +169,7 @@ def main():
             "parity_ok": ok,
             "patterns_per_s": round(pps, 1),
             "step_ms": round(dt * 1e3, 3),
+            "dispatch_latency_share": round(dispatch_share, 3),
             "n_patterns": int(engine._weights.shape[0]),
             # the engine's ACTUAL pruner (config1 forces xla for f64
             # parity regardless of --pruner; a row must not claim
