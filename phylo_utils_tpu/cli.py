@@ -149,6 +149,12 @@ def _add_engine_args(p: argparse.ArgumentParser):
                    help="recode the alignment before analysis: ry (DNA->"
                         "purine/pyrimidine), dayhoff6/sr6/kgb6 (protein->"
                         "6 classes); pair with --model MK2 / MK6")
+    p.add_argument("--profile-mixture", default=None,
+                   metavar="FILE.nex:NAME",
+                   help="frequency-profile mixture (C10-C60/LG4X family) "
+                        "from an IQ-TREE models.nex definition; --model "
+                        "supplies the shared exchangeability matrix "
+                        "(e.g. LG)")
 
 
 def _build_engine(args):
@@ -187,6 +193,29 @@ def _build_engine(args):
         # stash the +F initial frequencies for _engine_params to merge
         engine._partition_init_params = init
         return engine
+
+    if getattr(args, "profile_mixture", None):
+        # FILE.nex:NAME — profile-mixture engine from an IQ-TREE
+        # models.nex definition (e.g. the published C10-C60/LG4X files)
+        from phylo_utils_tpu.profile_mixtures import (
+            profile_mixture_from_nexus,
+        )
+
+        spec = args.profile_mixture
+        if ":" not in spec:
+            raise SystemExit(
+                "--profile-mixture expects FILE.nex:MODELNAME"
+            )
+        path, _, name = spec.rpartition(":")
+        base, _, _, _, _ = _parse_model_spec(args.model)
+        try:
+            return profile_mixture_from_nexus(
+                path, name, _read_tree(args.tree),
+                _read_aln(args.alignment), base, dtype=args.dtype,
+                pruner=args.pruner,
+            )
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--profile-mixture: {e}")
 
     sharding = None
     if args.shard_sites:
