@@ -42,7 +42,16 @@ def main():
     ap.add_argument("--taxa", type=int, default=64)
     ap.add_argument("--sites", type=int, default=1000)
     ap.add_argument("--boot", type=int, default=100)
+    ap.add_argument("--stages", default="pad,search,alrt,boot,part",
+                    help="comma subset of pad,search,alrt,boot,part — "
+                         "stages run independently so a hung remote "
+                         "compile loses one stage, not the artifact")
+    ap.add_argument("--moves", default="nni",
+                    help="search neighborhood (nni|spr|both); 'both' at "
+                         "64 taxa compiles a ~380-topology batched "
+                         "program that has hung the remote compiler")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
 
     import jax
 
@@ -71,64 +80,78 @@ def main():
     tree = random_tree(args.taxa, seed=7)
     aln = simulate_alignment(jax.random.key(7), tree, models.GTR,
                              args.sites, ncat=4)
-    n_pat = None
 
-    # --- padding economics of the first neighborhood batch ---------------
-    # spr_max_targets=2: at 64 taxa the full 8-target SPR neighborhood is
-    # ~1100 topologies whose batched partials buffer alone is ~9 GB; 2
-    # targets keeps the whole round in one ~3 GB device program
-    nbrs = [tree] + nni_neighbors(tree) + spr_neighbors(tree, max_targets=2,
-                                                        seed=1)
-    scheds = [compile_schedule(t) for t in nbrs]
-    stacked = pad_schedules(scheds)
-    nodes = stacked["nodes"]                              # (B, L, W)
-    real = sum(int(np.sum(s.level_nodes < s.n_nodes)) for s in scheds)
-    padded = int(nodes.shape[0] * nodes.shape[1] * nodes.shape[2])
-    out["neighborhood_size"] = len(nbrs)
-    out["pad_schedules_fill"] = round(real / padded, 4)
+    # --- padding economics of the search-round neighborhood batch --------
+    nbrs = [tree] + nni_neighbors(tree)
+    if args.moves in ("spr", "both"):
+        # spr_max_targets=2: at 64 taxa the full 8-target SPR neighborhood
+        # is ~1100 topologies whose batched partials buffer alone is ~9 GB
+        nbrs += spr_neighbors(tree, max_targets=2, seed=1)
+    if "pad" in stages:
+        scheds = [compile_schedule(t) for t in nbrs]
+        stacked = pad_schedules(scheds)
+        nodes = stacked["nodes"]                          # (B, L, W)
+        real = sum(int(np.sum(s.level_nodes < s.n_nodes)) for s in scheds)
+        padded = int(nodes.shape[0] * nodes.shape[1] * nodes.shape[2])
+        out["neighborhood_size"] = len(nbrs)
+        out["pad_schedules_fill"] = round(real / padded, 4)
 
     # --- NNI+SPR hill climb ----------------------------------------------
     from phylo_utils_tpu.batched import nni_hill_climb
 
-    t0 = time.perf_counter()
-    best_tree, best_ll, n_rounds = nni_hill_climb(
-        tree, aln, models.GTR, ncat=4, max_rounds=4, brlen_steps=40,
-        moves="both", spr_max_targets=2,
-    )
-    search_s = time.perf_counter() - t0
-    out["search"] = {
-        "wall_s": round(search_s, 2),
-        "rounds": n_rounds,
-        "final_loglik": round(best_ll, 4),
-        "candidates_per_round": len(nbrs),
-        "note": ("wall clock includes per-round TopologySetEngine "
-                 "compiles; padded-shape reuse across rounds hits the "
-                 "persistent compile cache"),
-    }
+    best_tree = tree
+    if "search" in stages:
+        t0 = time.perf_counter()
+        best_tree, best_ll, n_rounds = nni_hill_climb(
+            tree, aln, models.GTR, ncat=4, max_rounds=4, brlen_steps=40,
+            moves=args.moves, spr_max_targets=2,
+        )
+        search_s = time.perf_counter() - t0
+        out["search"] = {
+            "wall_s": round(search_s, 2),
+            "rounds": n_rounds,
+            "moves": args.moves,
+            "final_loglik": round(best_ll, 4),
+            "candidates_per_round": len(nbrs),
+            "note": ("wall clock includes per-round TopologySetEngine "
+                     "compiles; padded-shape reuse across rounds hits "
+                     "the persistent compile cache"),
+        }
+        print(json.dumps({"stage": "search", **out["search"]}),
+              flush=True)
 
     # --- aLRT / SH-aLRT supports ------------------------------------------
-    t0 = time.perf_counter()
-    sup = alrt_supports(best_tree, aln, models.GTR, ncat=4, brlen_steps=60)
-    alrt_s = time.perf_counter() - t0
-    out["alrt"] = {
-        "wall_s": round(alrt_s, 2),
-        "n_edges": len(sup["edges"]),
-        "n_alternatives_batched": 2 * len(sup["edges"]),
-        "median_sh_alrt": float(np.median(sup["sh_alrt"])),
-    }
+    if "alrt" in stages:
+        t0 = time.perf_counter()
+        sup = alrt_supports(best_tree, aln, models.GTR, ncat=4,
+                            brlen_steps=60)
+        alrt_s = time.perf_counter() - t0
+        out["alrt"] = {
+            "wall_s": round(alrt_s, 2),
+            "n_edges": len(sup["edges"]),
+            "n_alternatives_batched": 2 * len(sup["edges"]),
+            "median_sh_alrt": float(np.median(sup["sh_alrt"])),
+        }
+        print(json.dumps({"stage": "alrt", **out["alrt"]}), flush=True)
 
     # --- Felsenstein bootstrap (batched ML distances + NJ) ----------------
-    t0 = time.perf_counter()
-    boot = bootstrap_tree_support(best_tree, aln, models.JC69,
-                                  n_reps=args.boot, seed=3)
-    boot_s = time.perf_counter() - t0
-    out["bootstrap"] = {
-        "wall_s": round(boot_s, 2),
-        "n_reps": int(boot["n_reps"]),
-        "median_support": float(np.median(boot["support"])),
-    }
+    if "boot" in stages:
+        t0 = time.perf_counter()
+        boot = bootstrap_tree_support(best_tree, aln, models.JC69,
+                                      n_reps=args.boot, seed=3)
+        boot_s = time.perf_counter() - t0
+        out["bootstrap"] = {
+            "wall_s": round(boot_s, 2),
+            "n_reps": int(boot["n_reps"]),
+            "median_support": float(np.median(boot["support"])),
+        }
+        print(json.dumps({"stage": "boot", **out["bootstrap"]}),
+              flush=True)
 
     # --- partitioned fit ----------------------------------------------------
+    if "part" not in stages:
+        print(json.dumps(out))
+        return
     q = args.sites // 4
     parts = [
         Partition(f"locus{i}", {k: v[i * q:(i + 1) * q]
