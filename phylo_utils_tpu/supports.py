@@ -231,8 +231,15 @@ def bootstrap_tree_support(
         n_sites, w / w.sum(), size=n_reps
     ).astype(np.float64)                                  # (B, P)
 
+    # replicates run in fixed-size CHUNKS (one compiled program, host
+    # loop): a single (B x pairs) program at 64 taxa x B=100 is ~200k
+    # vmapped Newton instances, which r4 measured to stall this
+    # platform's remote compiler indefinitely — chunking costs nothing
+    # at runtime (each chunk still fills the chip) and compiles once
+    rep_chunk = min(int(n_reps), 25)
+
     @jax.jit
-    def solve_all(partials, wb):
+    def solve_chunk(partials, wbc):
         def one_rep(wrow):
             def one(i, j):
                 t, _ = newton_branch_length(
@@ -240,9 +247,18 @@ def bootstrap_tree_support(
                 )
                 return t
             return jax.vmap(one)(jnp.asarray(ii), jnp.asarray(jj))
-        return jax.vmap(one_rep)(wb)
+        return jax.vmap(one_rep)(wbc)
 
-    ts = np.asarray(solve_all(partials, jnp.asarray(wb, dt)), np.float64)
+    chunks = []
+    for b0 in range(0, n_reps, rep_chunk):
+        wbc = wb[b0:b0 + rep_chunk]
+        pad = rep_chunk - wbc.shape[0]
+        if pad:
+            wbc = np.concatenate([wbc, wbc[-1:].repeat(pad, 0)], axis=0)
+        got = np.asarray(solve_chunk(partials, jnp.asarray(wbc, dt)),
+                         np.float64)
+        chunks.append(got[:rep_chunk - pad if pad else rep_chunk])
+    ts = np.concatenate(chunks, axis=0)
 
     # reference bipartitions, keyed by the node whose parent edge they are
     leaf_names = tree.leaf_names
