@@ -234,9 +234,12 @@ def bootstrap_tree_support(
     # replicates run in fixed-size CHUNKS (one compiled program, host
     # loop): a single (B x pairs) program at 64 taxa x B=100 is ~200k
     # vmapped Newton instances, which r4 measured to stall this
-    # platform's remote compiler indefinitely — chunking costs nothing
-    # at runtime (each chunk still fills the chip) and compiles once
-    rep_chunk = min(int(n_reps), 25)
+    # platform's remote compiler indefinitely AND exceed HBM (22.9 GB at
+    # 50k instances x 815 patterns — the per-instance Newton loop carries
+    # full (P, S) temporaries). Cap the per-dispatch instance count; the
+    # chunk shape is fixed so ONE compile serves every dispatch.
+    n_pairs = int(ii.shape[0])
+    rep_chunk = min(int(n_reps), max(1, 4096 // max(n_pairs, 1)))
 
     @jax.jit
     def solve_chunk(partials, wbc):
