@@ -55,6 +55,8 @@ _SMOKE_TESTS = {
     ("test_morphology", "test_lewis_correction_hand_computed_binary"),
     ("test_freerate", "test_freerate_matches_oracle_weighted_mixture"),
     ("test_mixtures", "test_kappa_mixture_matches_golden"),
+    ("test_profile_mixtures", "test_profile_mixture_matches_oracle"),
+    ("test_clock", "test_calibrated_dating_recovers_absolute_ages"),
     ("test_partition", "test_partitioned_equals_sum_of_engines"),
     # optimization basics
     ("test_optimize", "test_transform_roundtrip"),
