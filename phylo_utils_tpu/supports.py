@@ -92,10 +92,7 @@ def alrt_supports(
     """
     from scipy.stats import chi2
 
-    from phylo_utils_tpu.batched import (
-        TopologySetEngine,
-        optimize_branch_lengths,
-    )
+    from phylo_utils_tpu.batched import chunked_brlen_optimize
     from phylo_utils_tpu.io import parse_newick
     from phylo_utils_tpu.likelihood import LikelihoodEngine
     from phylo_utils_tpu.optimize import fit
@@ -118,16 +115,15 @@ def alrt_supports(
     alts = [t for e in edges for t in by_edge[e]]
     owners = np.asarray([e for e in edges for _ in by_edge[e]])
 
-    tse = TopologySetEngine(alts, alignment, model, ncat=ncat, dtype=dtype)
     tse_params = dict(params or {})
     for k in ("branch_lengths",):
         tse_params.pop(k, None)
-    lls, bls = optimize_branch_lengths(
-        tse, params=tse_params or None, steps=brlen_steps
-    )
-    full = tse._full_params(tse_params or None)
-    full["branch_lengths"] = bls
-    sw_alts = tse.sitewise_loglikelihoods(full)          # (A, n_sites)
+    # chunked: bounds the batched gradient's scan-VJP residual memory and
+    # each chunk reuses ONE compiled program (see chunked_brlen_optimize)
+    lls, bls, sw_alts = chunked_brlen_optimize(
+        alts, alignment, model, ncat=ncat, steps=brlen_steps,
+        params=tse_params or None, dtype=dtype,
+    )                                                    # sw: (A, n_sites)
 
     stat = np.empty(len(edges))
     sh = np.empty(len(edges))
