@@ -134,6 +134,12 @@ class TopologySetEngine:
     One jitted program evaluates logL (and gradients w.r.t. per-tree branch
     lengths and shared model parameters) for ALL trees at once; the batch
     axis vmaps over (schedule, leaf permutation, branch lengths).
+
+    The schedule/leaf-permutation arrays are *arguments* of the jitted
+    programs (not closure constants), so ``set_candidates`` swaps in a new
+    topology set of the same padded shape without recompiling — the chunked
+    optimizer and the NNI searcher reuse ONE engine (and ONE compiled
+    program per shape) across every chunk and round.
     """
 
     def __init__(
@@ -147,10 +153,6 @@ class TopologySetEngine:
         compress: bool = True,
         pad_to: Optional[tuple] = None,
     ):
-        trees = [pio.parse_newick(t) if isinstance(t, str) else t for t in trees]
-        if not trees:
-            raise ValueError("empty tree set")
-        self.trees: List[ptrees.Tree] = trees
         self.model = model
         self.ncat = int(ncat)
         self.median = bool(median)
@@ -170,10 +172,44 @@ class TopologySetEngine:
                 site_to_pattern=np.arange(arr.shape[1], dtype=np.int32),
             )
         self._compressed = ca
+        self._leaf_partials = jnp.asarray(ca.partials, self.dtype)
+        self._weights = jnp.asarray(ca.weights, self.dtype)
+        # padded (L, W, C) dims; grows monotonically so a pinned shape keeps
+        # serving later candidate sets (pad_to pins the minimum)
+        self._pad_dims = pad_to
+        self._opt_cache: Dict = {}
 
+        self.set_candidates(trees)
+
+        self._jit_fn = jax.jit(self._core)
+        self._jit_grad = jax.jit(jax.grad(
+            lambda p, sched, perm: jnp.sum(self._core(p, sched, perm)[0]),
+            argnums=0,
+        ))
+
+    def set_candidates(
+        self, trees: Sequence[Union[ptrees.Tree, str]]
+    ) -> "TopologySetEngine":
+        """Swap in a new candidate set (same taxa) WITHOUT recompiling.
+
+        The padded schedule shape grows monotonically; as long as the new
+        set fits the current (L, W, C) pad dims and has the same batch
+        size, every jitted program (logL, grads, the cached branch-length
+        optimizer) is reused as-is.
+        """
+        trees = [pio.parse_newick(t) if isinstance(t, str) else t
+                 for t in trees]
+        if not trees:
+            raise ValueError("empty tree set")
+        self.trees: List[ptrees.Tree] = trees
+        ca = self._compressed
         schedules = [ptrees.compile_schedule(t) for t in trees]
-        self._sched = {k: jnp.asarray(v) for k, v in
-                       pad_schedules(schedules, pad_to=pad_to).items()}
+        padded = pad_schedules(schedules, pad_to=self._pad_dims)
+        self._pad_dims = (
+            padded["nodes"].shape[1], padded["nodes"].shape[2],
+            padded["children"].shape[3],
+        )
+        self._sched = {k: jnp.asarray(v) for k, v in padded.items()}
         self.n_nodes = schedules[0].n_nodes
         self.root = schedules[0].root
         # per-tree leaf permutation: row b maps tree-b leaf id -> pattern row
@@ -184,16 +220,10 @@ class TopologySetEngine:
                 raise ValueError(f"alignment missing taxa {sorted(missing)}")
             perms.append([ca.names.index(nm) for nm in t.leaf_names])
         self._leaf_perm = jnp.asarray(np.asarray(perms, np.int32))
-        self._leaf_partials = jnp.asarray(ca.partials, self.dtype)
-        self._weights = jnp.asarray(ca.weights, self.dtype)
         self._brlens0 = jnp.asarray(
             np.stack([t.lengths for t in trees]), self.dtype
         )
-
-        self._jit_fn = jax.jit(self._loglik_fn)
-        self._jit_grad = jax.jit(jax.grad(
-            lambda p: jnp.sum(self._loglik_fn(p)[0]), argnums=0
-        ))
+        return self
 
     def default_params(self) -> Dict:
         params: Dict = {
@@ -216,7 +246,9 @@ class TopologySetEngine:
                     full[k] = jnp.asarray(v, self.dtype)
         return full
 
-    def _loglik_fn(self, params) -> jnp.ndarray:
+    def _core(self, params, sched, perm) -> jnp.ndarray:
+        """logL of every candidate; ``sched``/``perm`` are traced args so
+        one compiled program serves any same-shape candidate set."""
         dtype = self.dtype
         if self.ncat > 1:
             rates = discrete_gamma(params["alpha"], self.ncat, self.median)
@@ -235,8 +267,8 @@ class TopologySetEngine:
             p = transition_matrices(eig, ts)
         p = extend_p_identity(p, self.n_nodes)   # (B, n_sched, K, S, S)
 
-        def one_tree(nodes, children, mask, p_b, perm):
-            leaves = self._leaf_partials[perm]              # (n_leaves, P, S)
+        def one_tree(nodes, children, mask, p_b, perm_b):
+            leaves = self._leaf_partials[perm_b]            # (n_leaves, P, S)
             rp, rsc = _prune_dynamic(nodes, children, mask, p_b, leaves,
                                      self.root)
             total, sw = mixture_loglik(
@@ -245,29 +277,39 @@ class TopologySetEngine:
             return total, sw
 
         totals, sw = jax.vmap(one_tree)(
-            self._sched["nodes"], self._sched["children"],
-            self._sched["mask"], p, self._leaf_perm,
+            sched["nodes"], sched["children"], sched["mask"], p, perm,
         )
         return totals, sw
+
+    def _loglik_fn(self, params) -> jnp.ndarray:
+        return self._core(params, self._sched, self._leaf_perm)
 
     # -- public API ----------------------------------------------------------
 
     def loglikelihoods(self, params: Optional[Mapping] = None) -> np.ndarray:
         """(n_trees,) log-likelihoods in one device program."""
-        return np.asarray(self._jit_fn(self._full_params(params))[0])
+        return np.asarray(
+            self._jit_fn(
+                self._full_params(params), self._sched, self._leaf_perm
+            )[0]
+        )
 
     def sitewise_loglikelihoods(
         self, params: Optional[Mapping] = None
     ) -> np.ndarray:
         """(n_trees, n_sites) per-site log-likelihoods (for RELL/KH/SH
         topology tests; see topology_tests.py)."""
-        _, sw = self._jit_fn(self._full_params(params))
+        _, sw = self._jit_fn(
+            self._full_params(params), self._sched, self._leaf_perm
+        )
         sw = np.asarray(sw)
         return sw[:, self._compressed.site_to_pattern]
 
     def gradients(self, params: Optional[Mapping] = None) -> Dict:
         """Gradient of sum of logLs (per-tree brlen grads are independent)."""
-        return self._jit_grad(self._full_params(params))
+        return self._jit_grad(
+            self._full_params(params), self._sched, self._leaf_perm
+        )
 
     def best(self, params: Optional[Mapping] = None) -> int:
         return int(np.argmax(self.loglikelihoods(params)))
@@ -285,35 +327,45 @@ def optimize_branch_lengths(
     loop on the summed logL optimizes all B trees independently in parallel
     (per-tree gradients are block-diagonal). Returns (logliks (B,),
     branch_lengths (B, n_nodes)).
+
+    The jitted optimizer program is cached on the engine keyed by
+    ``(steps, lr)`` and takes the schedule arrays / fixed params as traced
+    arguments, so successive calls after ``set_candidates`` (chunked
+    optimization, NNI rounds) hit the compile cache.
     """
     import optax
 
     full = tse._full_params(params)
     raw0 = jnp.log(jnp.expm1(jnp.clip(full["branch_lengths"], 1e-6, None)))
     fixed = {k: v for k, v in full.items() if k != "branch_lengths"}
-    opt = optax.adam(lr)
 
-    def loss(raw):
-        p = dict(fixed)
-        p["branch_lengths"] = jax.nn.softplus(raw)
-        return -jnp.sum(tse._loglik_fn(p)[0])
+    key = ("brlen_opt", int(steps), float(lr))
+    run = tse._opt_cache.get(key)
+    if run is None:
+        opt = optax.adam(lr)
 
-    @jax.jit
-    def run(raw0):
-        state = opt.init(raw0)
+        def run_impl(raw0, fixed, sched, perm):
+            def loss(raw):
+                p = dict(fixed)
+                p["branch_lengths"] = jax.nn.softplus(raw)
+                return -jnp.sum(tse._core(p, sched, perm)[0])
 
-        def step(carry, _):
-            raw, state = carry
-            g = jax.grad(loss)(raw)
-            updates, state = opt.update(g, state, raw)
-            return (optax.apply_updates(raw, updates), state), None
+            state = opt.init(raw0)
 
-        (raw, _), _ = lax.scan(step, (raw0, state), None, length=steps)
-        p = dict(fixed)
-        p["branch_lengths"] = jax.nn.softplus(raw)
-        return tse._loglik_fn(p)[0], p["branch_lengths"]
+            def step(carry, _):
+                raw, state = carry
+                g = jax.grad(loss)(raw)
+                updates, state = opt.update(g, state, raw)
+                return (optax.apply_updates(raw, updates), state), None
 
-    lls, brlens = run(raw0)
+            (raw, _), _ = lax.scan(step, (raw0, state), None, length=steps)
+            p = dict(fixed)
+            p["branch_lengths"] = jax.nn.softplus(raw)
+            return tse._core(p, sched, perm)[0], p["branch_lengths"]
+
+        run = tse._opt_cache.setdefault(key, jax.jit(run_impl))
+
+    lls, brlens = run(raw0, fixed, tse._sched, tse._leaf_perm)
     return np.asarray(lls), np.asarray(brlens)
 
 
@@ -326,6 +378,7 @@ def chunked_brlen_optimize(
     params: Optional[Mapping] = None,
     batch_chunk: Optional[int] = 64,
     dtype=None,
+    engine: Optional["TopologySetEngine"] = None,
 ):
     """``optimize_branch_lengths`` over a candidate set in fixed-size CHUNKS.
 
@@ -334,10 +387,14 @@ def chunked_brlen_optimize(
     13.3 GB for the 125-candidate 64-taxon GTR+Γ4 NNI neighborhood —
     over HBM). Chunking bounds residual memory at
     ``batch_chunk/B`` of that; every chunk shares ONE compiled program:
-    schedule arrays are padded to the candidate set's global
-    (levels, width, children) dims and the final chunk is padded by
-    repeating its last tree. Returns (logliks (B,), brlens (B, n_nodes),
-    sitewise (B, n_patterns)).
+    ONE engine's schedule arrays are swapped per chunk
+    (``set_candidates``) under a padded shape pinned to the candidate
+    set's global (levels, width, children) dims, and the final chunk is
+    padded by repeating its last tree. Pass ``engine`` (from a previous
+    call with the same alignment/model/chunk size) to also reuse the
+    compiled programs across calls — the NNI searcher does this across
+    rounds. Returns (logliks (B,), brlens (B, n_nodes),
+    sitewise (B, n_sites), engine).
     """
     from phylo_utils_tpu import io as pio
 
@@ -353,14 +410,26 @@ def chunked_brlen_optimize(
     )
     n = len(candidates)
     chunk = n if not batch_chunk else min(batch_chunk, n)
+    tse = engine
     lls, bls, sws = [], [], []
     for b0 in range(0, n, chunk):
         sub = list(candidates[b0:b0 + chunk])
         pad_n = chunk - len(sub)
         if pad_n:
             sub = sub + [sub[-1]] * pad_n
-        tse = TopologySetEngine(sub, ca, model, ncat=ncat, pad_to=pad,
-                                dtype=dtype)
+        if tse is None:
+            tse = TopologySetEngine(sub, ca, model, ncat=ncat, pad_to=pad,
+                                    dtype=dtype)
+        else:
+            if tse._pad_dims is None or any(
+                p > d for p, d in zip(pad, tse._pad_dims)
+            ):
+                tse._pad_dims = tuple(
+                    max(p, d) for p, d in zip(
+                        pad, tse._pad_dims or (0, 0, 0)
+                    )
+                )
+            tse.set_candidates(sub)
         l, b = optimize_branch_lengths(tse, params=params, steps=steps)
         full = tse._full_params(params)
         full["branch_lengths"] = jnp.asarray(b, tse.dtype)
@@ -370,7 +439,7 @@ def chunked_brlen_optimize(
         bls.append(b[:keep])
         sws.append(sw[:keep])
     return (np.concatenate(lls), np.concatenate(bls),
-            np.concatenate(sws))
+            np.concatenate(sws), tse)
 
 
 def nni_hill_climb(
@@ -408,6 +477,7 @@ def nni_hill_climb(
         tree = pio.parse_newick(tree)
     current = tree
     current_ll = None
+    engine = None   # persists across rounds: one compiled program per shape
     for round_ in range(1, max_rounds + 1):
         nbrs = []
         if moves in ("nni", "both"):
@@ -416,9 +486,9 @@ def nni_hill_climb(
             nbrs += spr_neighbors(current, max_targets=spr_max_targets,
                                   seed=round_)
         candidates = [current] + nbrs
-        lls, brlens, _ = chunked_brlen_optimize(
+        lls, brlens, _, engine = chunked_brlen_optimize(
             candidates, alignment, model, ncat=ncat, steps=brlen_steps,
-            batch_chunk=batch_topologies,
+            batch_chunk=batch_topologies, engine=engine,
         )
         best = int(np.argmax(lls))
         if verbose:

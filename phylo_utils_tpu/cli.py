@@ -207,7 +207,23 @@ def _build_engine(args):
                 "--profile-mixture expects FILE.nex:MODELNAME"
             )
         path, _, name = spec.rpartition(":")
-        base, _, _, _, _ = _parse_model_spec(args.model)
+        base, spec_ncat, spec_inv, _, _ = _parse_model_spec(args.model)
+        # the profile classes ARE the mixture axis: silently dropping
+        # +G/+I/--recode/--shard-sites would run a different model than
+        # the flags specify — refuse instead (ADVICE r4)
+        if spec_ncat > 1 or getattr(args, "ncat", 1) > 1 or spec_inv or \
+                getattr(args, "invariant_sites", False):
+            raise SystemExit(
+                "--profile-mixture does not compose with +G/+I rate "
+                "heterogeneity (the profile classes are the mixture "
+                "axis); use the file's class rates, or drop the suffix"
+            )
+        if getattr(args, "recode", None) or getattr(args, "shard_sites",
+                                                    False):
+            raise SystemExit(
+                "--profile-mixture does not support --recode/"
+                "--shard-sites"
+            )
         try:
             return profile_mixture_from_nexus(
                 path, name, _read_tree(args.tree),

@@ -882,6 +882,19 @@ VMEM_BUDGET = int(
     os.environ.get("PHYLO_VMEM_BUDGET", str(14 * 1024 * 1024))
 )
 
+# Safety margin multiplied into the 'save'/'bwd2' working-set estimates
+# (ADVICE r4): those modes dropped the blanket 2x scoped-vmem calibration
+# factor on the strength of one flagship-shape measurement (ACCEPTED and
+# ran vmapped at itemized 13.5-19.5 MB), but Mosaic's accounting was
+# measured to run ~1.9x the itemized sum for 'bwd' under a vmapped batch
+# axis — if a different tree/batch shape trips a scoped-vmem rejection
+# ("exceeds scoped vmem limit"), set PHYLO_VMEM_MARGIN=1.2 (or 2.0) to
+# shrink those modes' tiles without touching the forward lowerings. The
+# default stays 1.0 because the margin would halve the flagship grad tile
+# (1024 -> 512, a measured 0.101 -> 0.184 ms regression) to insure
+# against a failure never observed in save/bwd2 mode.
+VMEM_MARGIN = float(os.environ.get("PHYLO_VMEM_MARGIN", "1.0"))
+
 
 def _working_bytes(
     tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str,
@@ -938,6 +951,8 @@ def _working_bytes(
     else:
         raise ValueError(mode)
     total = 4 * tile * per_site + p_bytes
+    if mode in ("save", "bwd2") and VMEM_MARGIN != 1.0:
+        total = int(total * VMEM_MARGIN)
     if mode == "bwd":
         # Empirical calibration (TPU v5e, 2026-08-17): Mosaic's scoped-
         # vmem accounting for the OLD many-blocked backward runs ~1.9x

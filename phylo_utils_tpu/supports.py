@@ -80,6 +80,7 @@ def alrt_supports(
     n_boot: int = 1000,
     seed: int = 0,
     dtype=None,
+    batch_topologies: Optional[int] = 64,
 ) -> Dict:
     """aLRT + SH-aLRT supports for every internal edge.
 
@@ -120,9 +121,10 @@ def alrt_supports(
         tse_params.pop(k, None)
     # chunked: bounds the batched gradient's scan-VJP residual memory and
     # each chunk reuses ONE compiled program (see chunked_brlen_optimize)
-    lls, bls, sw_alts = chunked_brlen_optimize(
+    lls, bls, sw_alts, _ = chunked_brlen_optimize(
         alts, alignment, model, ncat=ncat, steps=brlen_steps,
         params=tse_params or None, dtype=dtype,
+        batch_chunk=batch_topologies,
     )                                                    # sw: (A, n_sites)
 
     stat = np.empty(len(edges))
@@ -180,6 +182,7 @@ def bootstrap_tree_support(
     dtype=None,
     consensus: bool = False,
     tbe: bool = False,
+    rep_chunk: Optional[int] = None,
 ) -> Dict:
     """Felsenstein bootstrap supports via distance/NJ replicate trees.
 
@@ -235,7 +238,9 @@ def bootstrap_tree_support(
     # full (P, S) temporaries). Cap the per-dispatch instance count; the
     # chunk shape is fixed so ONE compile serves every dispatch.
     n_pairs = int(ii.shape[0])
-    rep_chunk = min(int(n_reps), max(1, 4096 // max(n_pairs, 1)))
+    if rep_chunk is None:
+        rep_chunk = min(int(n_reps), max(1, 4096 // max(n_pairs, 1)))
+    rep_chunk = max(1, min(int(rep_chunk), int(n_reps)))
 
     @jax.jit
     def solve_chunk(partials, wbc):
