@@ -126,6 +126,137 @@ def _postorder_arrays(schedule: PruningSchedule):
     )
 
 
+# Grouped (level-batched) walk: pack U independent internal-node combines
+# into each serial fori_loop iteration (Hu's-algorithm list scheduling over
+# the in-tree; see _group_walk_schedule). Both rooflines (PARITY.md DNA
+# forward r2, reverse r4) identified the per-node dependency chain — not
+# arithmetic — as the binding constraint; grouping cuts the chain from
+# n_internal steps to ~ceil(critical-path-ish) steps while the U combines
+# inside one iteration expose memory-level parallelism (all loads are
+# hoisted before all stores). 0 disables; measured A/B on the flagship
+# decides the default (VERDICT r4 item 1).
+GROUP_WALK = int(os.environ.get("PHYLO_GROUP_WALK", "0"))
+
+
+def _group_walk_schedule(
+    order, children, counts, n_leaves: int, U: int, trash: int
+):
+    """Hu's-algorithm grouping of the post-order walk.
+
+    Packs the internal nodes into groups of ``U`` such that no node in a
+    group is the child of another node in the same group (unit-time
+    in-tree scheduling by decreasing distance-to-root — optimal for
+    U-machine tree precedence). Returns ``(order_g (G, U), children_g
+    (G, U, cmax), counts_g (G, U))`` numpy arrays.
+
+    Padding slots (groups with fewer than U ready nodes) are uniform
+    combine slots whose children point at leaf 0 (always in range) and
+    whose destination is ``trash`` — a dedicated extra buffer row the
+    caller allocates (never read), so pads can't clobber real state.
+    """
+    n_int = order.shape[0]
+    cmax = children.shape[1]
+    if n_int < 2:
+        raise ValueError("grouping needs >= 2 internal nodes")
+    node_row = {int(order[i]): i for i in range(n_int)}
+    root = int(order[-1])
+    # distance to root (Hu's priority): parents of each internal node
+    parent = {}
+    for i in range(n_int):
+        for c in range(int(counts[i])):
+            ch = int(children[i, c])
+            if ch >= n_leaves:
+                parent[ch] = int(order[i])
+    depth = {root: 0}
+    # order is post-order: walk top-down in reverse to fill depths
+    for i in range(n_int - 1, -1, -1):
+        node = int(order[i])
+        for c in range(int(counts[i])):
+            ch = int(children[i, c])
+            if ch >= n_leaves:
+                depth[ch] = depth[node] + 1
+    # pending internal-child count per internal node
+    pend = {
+        int(order[i]): sum(
+            1 for c in range(int(counts[i]))
+            if int(children[i, c]) >= n_leaves
+        )
+        for i in range(n_int)
+    }
+    ready = [n for n, p in pend.items() if p == 0]
+    groups = []
+    scheduled = 0
+    while scheduled < n_int:
+        ready.sort(key=lambda n: -depth[n])
+        take = ready[:U]
+        ready = ready[U:]
+        groups.append(take)
+        scheduled += len(take)
+        for n in take:
+            p = parent.get(n)
+            if p is not None:
+                pend[p] -= 1
+                if pend[p] == 0:
+                    ready.append(p)
+    G = len(groups)
+    order_g = np.full((G, U), trash, np.int32)
+    children_g = np.zeros((G, U, cmax), np.int32)   # pads: leaf 0
+    # pad counts are 0: the forward treats child 0 as always-valid (writes
+    # land in the trash row regardless) while the REVERSE masks every pad
+    # write with ``c < count`` — a nonzero pad count would accumulate
+    # garbage into leaf 0's cotangent there.
+    counts_g = np.zeros((G, U), np.int32)
+    for g, grp in enumerate(groups):
+        for u, node in enumerate(grp):
+            row = node_row[node]
+            order_g[g, u] = node
+            counts_g[g, u] = counts[row]
+            children_g[g, u] = children[row]
+    return order_g, children_g, counts_g
+
+
+def _walk_tree_grouped(
+    order_ref, child_ref, count_ref, p_ref, buf, logscale,
+    *, n_groups: int, group: int, cmax: int, s_pad: int, n_real: int = None,
+):
+    """Grouped post-order combine+rescale (see _group_walk_schedule).
+
+    SMEM layouts (long axis minor): ``order_ref (U, G)``, ``child_ref
+    (U*cmax, G)``, ``count_ref (U, G)``. Each fori iteration combines U
+    independent nodes; ALL loads precede ALL stores so the U dataflow
+    chains can overlap (the serial chain shrinks from n_internal to G).
+    """
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    U = group
+
+    def group_step(g, _):
+        results = []
+        for u in range(U):
+            node = order_ref[u, g]
+            count = count_ref[u, g]
+            acc = None
+            sc = None
+            for c in range(cmax):
+                cid = child_ref[u * cmax + c, g]
+                valid = c < count
+                y = _contract(p_ref[0, cid], buf[cid], s_pad, n_real)
+                csc = logscale[cid]
+                if acc is None:
+                    acc, sc = y, csc       # c == 0 always valid
+                else:
+                    acc = jnp.where(valid, acc * y, acc)
+                    sc = jnp.where(valid, sc + csc, sc)
+            m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
+            scale, e = pow2_rescale(m)     # exact: see _combine_children
+            results.append((node, acc * scale, sc + e))
+        for node, part, lsc in results:
+            buf[node] = part
+            logscale[node] = lsc
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, group_step, 0)
+
+
 # State-space width at/above which the child contraction uses the MXU
 # (jnp.dot) instead of the VPU outer-product loop. For DNA (S_pad=8) a
 # padded 128x128 systolic matmul wastes ~256x of the array and the VPU
@@ -356,6 +487,9 @@ def _dynamic_kernel(
     s_pad: int,
     n_blocks: int = 1,
     n_real: int = None,
+    group: int = 0,
+    n_groups: int = 0,
+    root: int = None,
 ):
     if n_blocks == 1:
         buf[0:n_leaves] = leaf_ref[:]
@@ -366,15 +500,24 @@ def _dynamic_kernel(
         lv = leaf_ref[:]
         buf[0:n_leaves] = jnp.concatenate([lv] * n_blocks, axis=1)
     logscale[:] = jnp.zeros_like(logscale)
-    _walk_tree(
-        order_ref, child_ref, count_ref, p_ref,
-        _NodeView(buf), _NodeView(logscale),
-        n_internal=n_internal, cmax=cmax, s_pad=s_pad, n_blocks=n_blocks,
-        n_real=n_real,
-    )
-    root = order_ref[n_internal - 1]
-    root_ref[0] = buf[root]
-    scale_ref[0] = logscale[root]
+    if group:
+        _walk_tree_grouped(
+            order_ref, child_ref, count_ref, p_ref,
+            _NodeView(buf), _NodeView(logscale),
+            n_groups=n_groups, group=group, cmax=cmax, s_pad=s_pad,
+            n_real=n_real,
+        )
+        root_id = np.int32(root)
+    else:
+        _walk_tree(
+            order_ref, child_ref, count_ref, p_ref,
+            _NodeView(buf), _NodeView(logscale),
+            n_internal=n_internal, cmax=cmax, s_pad=s_pad,
+            n_blocks=n_blocks, n_real=n_real,
+        )
+        root_id = order_ref[n_internal - 1]
+    root_ref[0] = buf[root_id]
+    scale_ref[0] = logscale[root_id]
 
 
 def _dfs_slot_schedule(schedule: PruningSchedule):
@@ -663,15 +806,25 @@ def _dynamic_saveall_kernel(
     cmax: int,
     s_pad: int,
     n_real: int = None,
+    group: int = 0,
+    n_groups: int = 0,
 ):
     buf_ref[0, 0:n_leaves] = leaf_ref[0]
     logscale_ref[...] = jnp.zeros(logscale_ref.shape, logscale_ref.dtype)
     logscale_ref[0, 0:n_leaves] = leaf_lsc_ref[0]
-    _walk_tree(
-        order_ref, child_ref, count_ref, p_ref,
-        _NodeView(buf_ref, (0,)), _NodeView(logscale_ref, (0,)),
-        n_internal=n_internal, cmax=cmax, s_pad=s_pad, n_real=n_real,
-    )
+    if group:
+        _walk_tree_grouped(
+            order_ref, child_ref, count_ref, p_ref,
+            _NodeView(buf_ref, (0,)), _NodeView(logscale_ref, (0,)),
+            n_groups=n_groups, group=group, cmax=cmax, s_pad=s_pad,
+            n_real=n_real,
+        )
+    else:
+        _walk_tree(
+            order_ref, child_ref, count_ref, p_ref,
+            _NodeView(buf_ref, (0,)), _NodeView(logscale_ref, (0,)),
+            n_internal=n_internal, cmax=cmax, s_pad=s_pad, n_real=n_real,
+        )
 
 
 def _dynamic_bwd_kernel(
@@ -778,6 +931,10 @@ def _dynamic_bwd2_kernel(
     s_pad: int,
     n_real: int = None,
     want_dleaf: bool = True,
+    group: int = 0,
+    n_groups: int = 0,
+    root: int = None,
+    n_nodes: int = None,
 ):
     """Deferred-edge reverse walk (r4 redesign of _dynamic_bwd_kernel).
 
@@ -817,18 +974,20 @@ def _dynamic_bwd2_kernel(
     # accumulate (not overwrite): padding children write masked zeros and
     # must not clobber a real child's stash written earlier
     gybuf[...] = jnp.zeros(gybuf.shape, gybuf.dtype)
-    gybuf[rorder_ref[0]] = gseed_ref[0, 0]
+    if group:
+        gybuf[np.int32(root)] = gseed_ref[0, 0]
+    else:
+        gybuf[rorder_ref[0]] = gseed_ref[0, 0]
 
-    def node_step(i, _):
-        node = rorder_ref[i]
-        count = rcount_ref[i]
+    def _visit(node, count, child_at):
+        """One node's reverse step: returns [(cid, masked gyc), ...]."""
         gy = gybuf[node]                   # (S, T)
         # root: pt row is the identity (caller glue) ⇒ g = seed exactly
         gn = _contract(pt_ref[0, node], gy, s_pad, n_real)
         ys = []
         sc_sum = None
         for c in range(cmax):
-            cid = rchild_ref[c, i]
+            cid = child_at(c)
             valid = c < count
             y = _contract(p_ref[0, cid], buf_ref[0, cid], s_pad, n_real)
             y = jnp.where(valid, y, jnp.ones_like(y))
@@ -837,8 +996,9 @@ def _dynamic_bwd2_kernel(
             sc_sum = csc if sc_sum is None else sc_sum + csc
         # exponent-count units: the difference is an exact f32 integer
         inv_m = exp2_int(sc_sum - ls_ref[0, node])  # (1, T) = 2^{-e_n}
+        outs = []
         for c in range(cmax):
-            cid = rchild_ref[c, i]
+            cid = child_at(c)
             valid = c < count
             sib = None
             for c2 in range(cmax):
@@ -846,14 +1006,44 @@ def _dynamic_bwd2_kernel(
                     continue
                 sib = ys[c2] if sib is None else sib * ys[c2]
             gyc = gn * inv_m if sib is None else gn * sib * inv_m
-            gybuf[cid] += jnp.where(valid, gyc, 0.0)
-        return 0
+            outs.append((cid, jnp.where(valid, gyc, 0.0)))
+        return outs
 
-    jax.lax.fori_loop(0, n_internal, node_step, 0)
+    if group:
+        # grouped reverse: U independent node visits per serial iteration
+        # (same Hu groups as the forward, walked in reverse group order);
+        # all loads precede all += stores — within a group the store
+        # targets are distinct (each child has ONE parent) and a node's
+        # own gy was stashed by its parent in an earlier group.
+        def group_step(g, _):
+            outs = []
+            for u in range(group):
+                node = rorder_ref[u, g]
+                count = rcount_ref[u, g]
+                outs += _visit(
+                    node, count, lambda c, u=u: rchild_ref[u * cmax + c, g]
+                )
+            for cid, gyc in outs:
+                gybuf[cid] += gyc
+            return 0
 
+        jax.lax.fori_loop(0, n_groups, group_step, 0)
+    else:
+        def node_step(i, _):
+            node = rorder_ref[i]
+            count = rcount_ref[i]
+            for cid, gyc in _visit(
+                node, count, lambda c: rchild_ref[c, i]
+            ):
+                gybuf[cid] += gyc
+            return 0
+
+        jax.lax.fori_loop(0, n_internal, node_step, 0)
+
+    nn = n_nodes if n_nodes is not None else gybuf.shape[0]
     # batched MXU epilogue: dp_n = gy_n x_n^T for every node at once
     dp_ref[0] += jax.lax.dot_general(
-        gybuf[...], buf_ref[0],
+        gybuf[0:nn], buf_ref[0, 0:nn],
         (((2,), (2,)), ((0,), (0,))),      # batch nodes, contract sites
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -1243,9 +1433,15 @@ def _pallas_forward(
             root_partials.astype(out_dtype), root_logscale.astype(out_dtype)
         )
 
+    # grouped (level-batched) walk: classic lowering only (slot/stream and
+    # fold have their own access patterns); +1 scratch row = pad trash
+    use_group = (
+        GROUP_WALK > 0 and not static and fold == 1 and n_internal >= 2
+    )
+    n_alloc = n_nodes + 1 if use_group else n_nodes
     scratch_shapes = [
-        pltpu.VMEM((n_nodes, s_tot, tile), dtype),
-        pltpu.VMEM((n_nodes, fold, tile), dtype),
+        pltpu.VMEM((n_alloc, s_tot, tile), dtype),
+        pltpu.VMEM((n_alloc, fold, tile), dtype),
     ]
     if static:
         kernel = functools.partial(
@@ -1266,11 +1462,32 @@ def _pallas_forward(
             interpret=interpret,
         )(p, lp)
     else:
-        kernel = functools.partial(
-            _dynamic_kernel,
-            n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-            n_blocks=fold, n_real=s,
-        )
+        if use_group:
+            og, cg, ng = _group_walk_schedule(
+                order, children, counts, n_leaves, GROUP_WALK, n_nodes
+            )
+            kernel = functools.partial(
+                _dynamic_kernel,
+                n_leaves=n_leaves, n_internal=n_internal, cmax=cmax,
+                s_pad=s_pad, n_blocks=1, n_real=s,
+                group=GROUP_WALK, n_groups=og.shape[0],
+                root=int(order[-1]),
+            )
+            prefetch = (
+                jnp.asarray(og.T.copy()),
+                jnp.asarray(cg.reshape(og.shape[0], -1).T.copy()),
+                jnp.asarray(ng.T.copy()),
+            )
+        else:
+            kernel = functools.partial(
+                _dynamic_kernel,
+                n_leaves=n_leaves, n_internal=n_internal, cmax=cmax,
+                s_pad=s_pad, n_blocks=fold, n_real=s,
+            )
+            prefetch = (
+                jnp.asarray(order), jnp.asarray(children.T.copy()),
+                jnp.asarray(counts),
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_tiles, kf),
@@ -1283,8 +1500,7 @@ def _pallas_forward(
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
-        )(jnp.asarray(order), jnp.asarray(children.T.copy()),
-          jnp.asarray(counts), p, lp)
+        )(*prefetch, p, lp)
 
     # un-fold: block b of folded group g is category g*fold + b
     root_p = root_p.reshape(k, s_pad, sites_pad)
@@ -1351,29 +1567,54 @@ def make_pallas_prune_fn(
 def _saveall_call(
     p_pad, lp_k, lsc_k, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
-    n_real=None,
+    n_real=None, group=0,
 ):
     """Run the saveall kernel on pre-padded kernel-layout inputs.
 
     ``p_pad (K, n_nodes, S_pad, S_pad)``, ``lp_k (K, n_leaves, S_pad,
     sites_pad)`` (per-category leaves: segment-boundary inputs differ by
     category; real leaves are broadcast), ``lsc_k (K, n_leaves, 1,
-    sites_pad)`` input logscales. Returns ``(buf_all, ls_all)``.
+    sites_pad)`` input logscales. Returns ``(buf_all, ls_all)`` —
+    with ``group > 0`` (grouped walk) these carry n_nodes + 1 rows, the
+    last being the pad-slot trash row (callers index real node ids only;
+    the matching grouped ``_bwd2_call`` consumes the extra row layout).
     """
     k, _, s_pad, _ = p_pad.shape
     sites_pad = lp_k.shape[3]
     n_internal = order.shape[0]
     cmax = children.shape[1]
+    group = group if n_internal >= 2 else 0
+    n_alloc = n_nodes + 1 if group else n_nodes
     tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "save")
     while sites_pad % tile:
         tile //= 2
     n_tiles = sites_pad // tile
 
-    kernel = functools.partial(
-        _dynamic_saveall_kernel,
-        n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-        n_real=n_real,
-    )
+    if group:
+        og, cg, ng = _group_walk_schedule(
+            order, children, counts, n_leaves, group, n_nodes
+        )
+        kernel = functools.partial(
+            _dynamic_saveall_kernel,
+            n_leaves=n_leaves, n_internal=n_internal, cmax=cmax,
+            s_pad=s_pad, n_real=n_real,
+            group=group, n_groups=og.shape[0],
+        )
+        prefetch = (
+            jnp.asarray(og.T.copy()),
+            jnp.asarray(cg.reshape(og.shape[0], -1).T.copy()),
+            jnp.asarray(ng.T.copy()),
+        )
+    else:
+        kernel = functools.partial(
+            _dynamic_saveall_kernel,
+            n_leaves=n_leaves, n_internal=n_internal, cmax=cmax,
+            s_pad=s_pad, n_real=n_real,
+        )
+        prefetch = (
+            jnp.asarray(order), jnp.asarray(children.T.copy()),
+            jnp.asarray(counts),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles, k),
@@ -1396,12 +1637,12 @@ def _saveall_call(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, n_nodes, s_pad, tile),
+                (1, n_alloc, s_pad, tile),
                 lambda t, kk, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_nodes, 1, tile),
+                (1, n_alloc, 1, tile),
                 lambda t, kk, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
@@ -1410,13 +1651,12 @@ def _saveall_call(
     buf_all, ls_all = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((k, n_nodes, s_pad, sites_pad), jnp.float32),
-            jax.ShapeDtypeStruct((k, n_nodes, 1, sites_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_alloc, s_pad, sites_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_alloc, 1, sites_pad), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(order), jnp.asarray(children.T.copy()),
-      jnp.asarray(counts), p_pad, lp_k, lsc_k)
+    )(*prefetch, p_pad, lp_k, lsc_k)
     return buf_all, ls_all
 
 
@@ -1515,7 +1755,7 @@ def _backward_call(
 def _bwd2_call(
     p_pad, pt_pad, buf_all, ls_all, gseed, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
-    n_real=None, want_dleaf=True,
+    n_real=None, want_dleaf=True, group=0,
 ):
     """Deferred-edge reverse walk: returns ``(dp_pad (K, n_nodes, S_pad,
     S_pad)[, dleaf_k (K, n_leaves, S_pad, sites_pad)])``.
@@ -1523,10 +1763,20 @@ def _bwd2_call(
     Same residuals as _backward_call (the classic saveall outputs).
     ``pt_pad`` must have its ROOT row set to the identity (the kernel
     reads it to seed g_root = seed exactly); the caller must also zero
-    ``dp_pad[:, root]`` afterwards (the root has no parent edge)."""
+    ``dp_pad[:, root]`` afterwards (the root has no parent edge).
+
+    ``group > 0``: grouped reverse walk over the same Hu groups as the
+    forward (reverse group order). ``buf_all``/``ls_all`` must then come
+    from a grouped ``_saveall_call`` (n_nodes + 1 rows incl. the trash
+    row) and ``pt_pad`` must be padded to n_nodes + 1 rows too (the pad
+    visits read its trash row; contents are irrelevant — their writes
+    are count-masked to zero)."""
     k, _, s_pad, sites_pad = buf_all.shape
     n_internal = order.shape[0]
     cmax = children.shape[1]
+    group = group if n_internal >= 2 else 0
+    n_alloc = n_nodes + 1 if group else n_nodes
+    assert buf_all.shape[1] == n_alloc and pt_pad.shape[1] == n_alloc
     tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "bwd2",
                       want_dleaf=want_dleaf)
     while sites_pad % tile:
@@ -1536,8 +1786,16 @@ def _bwd2_call(
     kernel = functools.partial(
         _dynamic_bwd2_kernel,
         n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
-        n_real=n_real, want_dleaf=want_dleaf,
+        n_real=n_real, want_dleaf=want_dleaf, n_nodes=n_nodes,
     )
+    if group:
+        og, cg, ng = _group_walk_schedule(
+            order, children, counts, n_leaves, group, n_nodes
+        )
+        kernel = functools.partial(
+            kernel, group=group, n_groups=og.shape[0],
+            root=int(order[-1]),
+        )
     out_shape = [
         jax.ShapeDtypeStruct((k, n_nodes, s_pad, s_pad), jnp.float32),
     ]
@@ -1572,17 +1830,17 @@ def _bwd2_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_nodes, s_pad, s_pad),
+                (1, n_alloc, s_pad, s_pad),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_nodes, s_pad, tile),
+                (1, n_alloc, s_pad, tile),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_nodes, 1, tile),
+                (1, n_alloc, 1, tile),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
@@ -1594,19 +1852,29 @@ def _bwd2_call(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((n_nodes, s_pad, tile), jnp.float32),    # gybuf
+            pltpu.VMEM((n_alloc, s_pad, tile), jnp.float32),    # gybuf
         ],
     )
-    # pre-reversed (top-down) schedule arrays — see _dynamic_bwd_kernel NOTE
+    if group:
+        gg = og.shape[0]
+        prefetch = (
+            jnp.asarray(og[::-1].T.copy()),
+            jnp.asarray(cg[::-1].reshape(gg, -1).T.copy()),
+            jnp.asarray(ng[::-1].T.copy()),
+        )
+    else:
+        # pre-reversed (top-down) schedule arrays — see _dynamic_bwd_kernel
+        prefetch = (
+            jnp.asarray(order[::-1].copy()),
+            jnp.asarray(children[::-1].T.copy()),
+            jnp.asarray(counts[::-1].copy()),
+        )
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(order[::-1].copy()),
-      jnp.asarray(children[::-1].T.copy()),
-      jnp.asarray(counts[::-1].copy()),
-      p_pad, pt_pad, buf_all, ls_all, gseed)
+    )(*prefetch, p_pad, pt_pad, buf_all, ls_all, gseed)
 
 
 def _dfs_internal_post(schedule: PruningSchedule):
@@ -1875,8 +2143,11 @@ def make_pallas_loglik_fn(
             )
             lp_k = jnp.broadcast_to(lp[None], (k,) + lp.shape)
             lsc_k = jnp.zeros((k, n_leaves, 1, sites_pad), jnp.float32)
+            # grouped walk only when the matching grouped bwd2 consumes
+            # the (n_nodes + 1)-row residual layout
+            grp = GROUP_WALK if _use_bwd2(s_pad) else 0
             buf_all, ls_all = _saveall_call(
-                p_pad, lp_k, lsc_k, n_real=s, **common
+                p_pad, lp_k, lsc_k, n_real=s, group=grp, **common
             )
             rdt = freqs.dtype
             root_pp = buf_all[:, root, :s, :sites]      # (K, S, sites)
@@ -1907,6 +2178,12 @@ def make_pallas_loglik_fn(
             )                                            # (K, 1, S_pad, sp)
             pt_pad = jnp.swapaxes(p_pad, -1, -2)
             if _use_bwd2(s_pad):
+                grp = GROUP_WALK
+                if grp and order.shape[0] >= 2:
+                    # grouped residuals carry a trash row; pt gets one too
+                    pt_pad = jnp.pad(
+                        pt_pad, ((0, 0), (0, 1), (0, 0), (0, 0))
+                    )
                 # root's pt row := identity so the kernel's uniform
                 # g = P^T gy step reproduces the seed exactly at the root
                 outs = _bwd2_call(
@@ -1915,7 +2192,7 @@ def make_pallas_loglik_fn(
                         jnp.eye(s_pad, dtype=jnp.float32)
                     ),
                     buf_all, ls_all, gseeds,
-                    n_real=s, want_dleaf=diff_leaves, **common
+                    n_real=s, want_dleaf=diff_leaves, group=grp, **common
                 )
                 # the root has no parent edge: its dp row is the batched
                 # epilogue's uniform-step artifact — zero it
