@@ -152,11 +152,13 @@ class TopologySetEngine:
         dtype=None,
         compress: bool = True,
         pad_to: Optional[tuple] = None,
+        sharding=None,
     ):
         self.model = model
         self.ncat = int(ncat)
         self.median = bool(median)
         self.dtype = jnp.dtype(dtype) if dtype else jnp.dtype(jnp.result_type(float))
+        self.sharding = sharding
 
         if isinstance(alignment, pio.CompressedAlignment):
             ca = alignment
@@ -172,8 +174,19 @@ class TopologySetEngine:
                 site_to_pattern=np.arange(arr.shape[1], dtype=np.int32),
             )
         self._compressed = ca
-        self._leaf_partials = jnp.asarray(ca.partials, self.dtype)
-        self._weights = jnp.asarray(ca.weights, self.dtype)
+        if sharding is not None:
+            # shard the pattern axis over the mesh: schedules/P stay
+            # replicated, pruning runs shard-local per candidate, and the
+            # weighted per-tree logL sums psum over the site axis (GSPMD
+            # inserts the collective; pads are all-ones/zero-weight)
+            lp, wts = sharding.pad(
+                np.asarray(ca.partials), np.asarray(ca.weights)
+            )
+            self._leaf_partials = sharding.put_leaves(lp.astype(self.dtype))
+            self._weights = sharding.put_sites(wts.astype(self.dtype))
+        else:
+            self._leaf_partials = jnp.asarray(ca.partials, self.dtype)
+            self._weights = jnp.asarray(ca.weights, self.dtype)
         # padded (L, W, C) dims; grows monotonically so a pinned shape keeps
         # serving later candidate sets (pad_to pins the minimum)
         self._pad_dims = pad_to
@@ -379,6 +392,7 @@ def chunked_brlen_optimize(
     batch_chunk: Optional[int] = 64,
     dtype=None,
     engine: Optional["TopologySetEngine"] = None,
+    sharding=None,
 ):
     """``optimize_branch_lengths`` over a candidate set in fixed-size CHUNKS.
 
@@ -419,7 +433,7 @@ def chunked_brlen_optimize(
             sub = sub + [sub[-1]] * pad_n
         if tse is None:
             tse = TopologySetEngine(sub, ca, model, ncat=ncat, pad_to=pad,
-                                    dtype=dtype)
+                                    dtype=dtype, sharding=sharding)
         else:
             if tse._pad_dims is None or any(
                 p > d for p, d in zip(pad, tse._pad_dims)
@@ -454,6 +468,7 @@ def nni_hill_climb(
     moves: str = "nni",
     spr_max_targets: Optional[int] = 8,
     batch_topologies: Optional[int] = 64,
+    sharding=None,
 ):
     """Greedy tree search: score the whole rearrangement neighborhood (with
     per-candidate branch-length re-optimization) in chunked device
@@ -488,7 +503,7 @@ def nni_hill_climb(
         candidates = [current] + nbrs
         lls, brlens, _, engine = chunked_brlen_optimize(
             candidates, alignment, model, ncat=ncat, steps=brlen_steps,
-            batch_chunk=batch_topologies, engine=engine,
+            batch_chunk=batch_topologies, engine=engine, sharding=sharding,
         )
         best = int(np.argmax(lls))
         if verbose:

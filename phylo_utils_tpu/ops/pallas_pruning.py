@@ -218,6 +218,7 @@ def _group_walk_schedule(
 def _walk_tree_grouped(
     order_ref, child_ref, count_ref, p_ref, buf, logscale,
     *, n_groups: int, group: int, cmax: int, s_pad: int, n_real: int = None,
+    n_blocks: int = 1,
 ):
     """Grouped post-order combine+rescale (see _group_walk_schedule).
 
@@ -228,27 +229,38 @@ def _walk_tree_grouped(
     """
     tiny = jnp.float32(np.finfo(np.float32).tiny)
     U = group
+    s_tot = n_blocks * s_pad
+    nr = n_real if n_blocks == 1 else None  # pack/fold: block-diag P
 
     def group_step(g, _):
-        results = []
+        # phase 1: issue EVERY child load (partials, logscale, P rows)
+        # before any compute — maximal memory-level parallelism even
+        # under in-order vector issue
+        loaded = []
         for u in range(U):
             node = order_ref[u, g]
             count = count_ref[u, g]
-            acc = None
-            sc = None
+            kids = []
             for c in range(cmax):
                 cid = child_ref[u * cmax + c, g]
+                kids.append((p_ref[0, cid], buf[cid], logscale[cid]))
+            loaded.append((node, count, kids))
+        # phase 2: contract + combine + rescale (independent chains)
+        results = []
+        for node, count, kids in loaded:
+            acc = None
+            sc = None
+            for c, (pc, xc, lc) in enumerate(kids):
                 valid = c < count
-                y = _contract(p_ref[0, cid], buf[cid], s_pad, n_real)
-                csc = logscale[cid]
+                y = _contract(pc, xc, s_tot, nr)
                 if acc is None:
-                    acc, sc = y, csc       # c == 0 always valid
+                    acc, sc = y, lc        # c == 0 always valid
                 else:
                     acc = jnp.where(valid, acc * y, acc)
-                    sc = jnp.where(valid, sc + csc, sc)
-            m = jnp.maximum(jnp.max(acc, axis=0, keepdims=True), tiny)
-            scale, e = pow2_rescale(m)     # exact: see _combine_children
-            results.append((node, acc * scale, sc + e))
+                    sc = jnp.where(valid, sc + lc, sc)
+            part, log_m = _block_rescale(acc, s_pad, n_blocks, tiny)
+            results.append((node, part, sc + log_m))
+        # phase 3: stores
         for node, part, lsc in results:
             buf[node] = part
             logscale[node] = lsc
@@ -505,7 +517,7 @@ def _dynamic_kernel(
             order_ref, child_ref, count_ref, p_ref,
             _NodeView(buf), _NodeView(logscale),
             n_groups=n_groups, group=group, cmax=cmax, s_pad=s_pad,
-            n_real=n_real,
+            n_real=n_real, n_blocks=n_blocks,
         )
         root_id = np.int32(root)
     else:
@@ -1270,7 +1282,21 @@ def _pallas_forward(
         > VMEM_BUDGET
     )
     fold = 1
-    if not use_slots and not static:
+    # DNA sublane packing: 4 real states occupy only half of the minimum
+    # 8-sublane f32 tile, so TWO rate categories pack into one tile
+    # (block-diagonal 4+4 P, per-block rescale). Every (8, T) load/store/
+    # max then serves two categories and the grid's category axis halves —
+    # unlike the MXU category-fold (measured negative, see _pick_fold)
+    # this wastes no lanes and adds no padding. PHYLO_PACK_DNA=0 disables.
+    pack = (
+        os.environ.get("PHYLO_PACK_DNA", "0") == "1"
+        and not use_slots and not static and s == 4 and s_pad == 8
+        and k % 2 == 0 and k >= 2
+    )
+    if pack:
+        s_pad = 4
+        fold = 2
+    elif not use_slots and not static:
         fold = _pick_fold(k, s_pad)
         while fold > 1 and (
             k % fold or fold * s_pad > LANE
@@ -1433,10 +1459,12 @@ def _pallas_forward(
             root_partials.astype(out_dtype), root_logscale.astype(out_dtype)
         )
 
-    # grouped (level-batched) walk: classic lowering only (slot/stream and
-    # fold have their own access patterns); +1 scratch row = pad trash
+    # grouped (level-batched) walk: classic lowering only (slot/stream
+    # have their own access patterns; composes with DNA packing); +1
+    # scratch row = pad trash
     use_group = (
-        GROUP_WALK > 0 and not static and fold == 1 and n_internal >= 2
+        GROUP_WALK > 0 and not static and (fold == 1 or pack)
+        and n_internal >= 2
     )
     n_alloc = n_nodes + 1 if use_group else n_nodes
     scratch_shapes = [
@@ -1469,7 +1497,7 @@ def _pallas_forward(
             kernel = functools.partial(
                 _dynamic_kernel,
                 n_leaves=n_leaves, n_internal=n_internal, cmax=cmax,
-                s_pad=s_pad, n_blocks=1, n_real=s,
+                s_pad=s_pad, n_blocks=fold, n_real=s,
                 group=GROUP_WALK, n_groups=og.shape[0],
                 root=int(order[-1]),
             )
