@@ -88,13 +88,17 @@ def main():
         # is ~1100 topologies whose batched partials buffer alone is ~9 GB
         nbrs += spr_neighbors(tree, max_targets=2, seed=1)
     if "pad" in stages:
+        from phylo_utils_tpu.batched import choose_regroup_width
+        from phylo_utils_tpu.trees import schedule_fill
+
         scheds = [compile_schedule(t) for t in nbrs]
-        stacked = pad_schedules(scheds)
-        nodes = stacked["nodes"]                          # (B, L, W)
-        real = sum(int(np.sum(s.level_nodes < s.n_nodes)) for s in scheds)
-        padded = int(nodes.shape[0] * nodes.shape[1] * nodes.shape[2])
         out["neighborhood_size"] = len(nbrs)
-        out["pad_schedules_fill"] = round(real / padded, 4)
+        out["pad_schedules_fill"] = round(schedule_fill(scheds), 4)
+        u, rg = choose_regroup_width(scheds)
+        out["regroup_width"] = u
+        out["regrouped_fill"] = round(
+            schedule_fill(rg if u else scheds), 4
+        )
 
     # --- NNI+SPR hill climb ----------------------------------------------
     from phylo_utils_tpu.batched import nni_hill_climb

@@ -136,8 +136,6 @@ def main():
                                        group=U, **common)
         )(p_pad0)
         ptU = jnp.swapaxes(p_pad0, -1, -2)
-        if U and order.shape[0] >= 2:
-            ptU = jnp.pad(ptU, ((0, 0), (0, 1), (0, 0), (0, 0)))
         ptU = ptU.at[:, root].set(jnp.eye(s_pad, dtype=jnp.float32))
 
         def bwd2(scale):

@@ -21,6 +21,7 @@ from oracle.core import (  # noqa: F401
     gtr,
     lg,
     wag,
+    matrix,
     unrest,
     discrete_gamma,
     pmat,

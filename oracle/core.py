@@ -133,6 +133,13 @@ def wag(freqs=None) -> OracleModel:
     return _reversible("WAG", WAG_RATES, WAG_FREQS if freqs is None else freqs)
 
 
+def matrix(sym, freqs) -> OracleModel:
+    """Reversible model from an explicit symmetric exchangeability matrix
+    (golden source for per-class matrix mixtures, LG4M/LG4X family)."""
+    return _reversible("matrix", np.asarray(sym, np.float64),
+                       np.asarray(freqs, np.float64))
+
+
 def unrest(rates12: Sequence[float]) -> OracleModel:
     """Unrestricted 12-parameter DNA model. Row-major off-diagonal order
     (q01,q02,q03, q10,q12,q13, q20,q21,q23, q30,q31,q32)."""

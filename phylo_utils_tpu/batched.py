@@ -34,7 +34,31 @@ from phylo_utils_tpu.ops.pruning import mixture_loglik
 from phylo_utils_tpu.ops.pruning import LN2, pow2_rescale
 
 __all__ = ["pad_schedules", "TopologySetEngine", "optimize_branch_lengths",
-           "chunked_brlen_optimize", "nni_hill_climb"]
+           "chunked_brlen_optimize", "nni_hill_climb",
+           "choose_regroup_width"]
+
+
+def choose_regroup_width(schedules: Sequence[ptrees.PruningSchedule],
+                         candidates=(2, 3, 4, 6, 8, 12, 16)):
+    """Pick the group width minimizing the padded level-grid area.
+
+    Returns ``(width, regrouped_schedules)`` — width 0 keeps the original
+    height-level grid (it wins on caterpillar-like trees whose critical
+    path IS the walk). The height-level grid pads every level to the
+    widest (fill 14–22% on 64-taxon NNI sets, APPBENCH r4);
+    ``trees.regroup_schedule`` packs near-full fixed-width groups
+    instead. Area is compared after common padding across the whole
+    candidate set, so the choice is exact for the batch that will run.
+    """
+    area0 = (max(s.n_levels for s in schedules)
+             * max(s.width for s in schedules))
+    best_u, best_area, best_scheds = 0, area0, schedules
+    for u in candidates:
+        rg = [ptrees.regroup_schedule(s, u) for s in schedules]
+        area = max(s.n_levels for s in rg) * u
+        if area < best_area:
+            best_u, best_area, best_scheds = u, area, rg
+    return best_u, best_scheds
 
 _HI = lax.Precision.HIGHEST
 
@@ -153,12 +177,18 @@ class TopologySetEngine:
         compress: bool = True,
         pad_to: Optional[tuple] = None,
         sharding=None,
+        regroup="auto",
     ):
         self.model = model
         self.ncat = int(ncat)
         self.median = bool(median)
         self.dtype = jnp.dtype(dtype) if dtype else jnp.dtype(jnp.result_type(float))
         self.sharding = sharding
+        # regroup: "auto" (pick the area-minimizing fixed group width on
+        # the first candidate set — see choose_regroup_width), an int
+        # width, or 0/None to keep the height-level grid. Sticky after
+        # the first set so swapped candidate sets keep the program shape.
+        self._regroup_u = None if regroup == "auto" else int(regroup or 0)
 
         if isinstance(alignment, pio.CompressedAlignment):
             ca = alignment
@@ -217,6 +247,11 @@ class TopologySetEngine:
         self.trees: List[ptrees.Tree] = trees
         ca = self._compressed
         schedules = [ptrees.compile_schedule(t) for t in trees]
+        if self._regroup_u is None:
+            self._regroup_u, schedules = choose_regroup_width(schedules)
+        elif self._regroup_u:
+            schedules = [ptrees.regroup_schedule(s, self._regroup_u)
+                         for s in schedules]
         padded = pad_schedules(schedules, pad_to=self._pad_dims)
         self._pad_dims = (
             padded["nodes"].shape[1], padded["nodes"].shape[2],
@@ -416,7 +451,16 @@ def chunked_brlen_optimize(
         ca = alignment
     else:
         ca = pio.compress_patterns(alignment, model.alphabet)
+    # regroup + pad dims decided over the WHOLE candidate set up front so
+    # every chunk shares one program shape (a reused engine's sticky
+    # width wins — its compiled programs are keyed to it)
     scheds = [ptrees.compile_schedule(t) for t in candidates]
+    if engine is not None and engine._regroup_u is not None:
+        u = engine._regroup_u
+        if u:
+            scheds = [ptrees.regroup_schedule(s, u) for s in scheds]
+    else:
+        u, scheds = choose_regroup_width(scheds)
     pad = (
         max(s.n_levels for s in scheds),
         max(s.width for s in scheds),
@@ -433,7 +477,8 @@ def chunked_brlen_optimize(
             sub = sub + [sub[-1]] * pad_n
         if tse is None:
             tse = TopologySetEngine(sub, ca, model, ncat=ncat, pad_to=pad,
-                                    dtype=dtype, sharding=sharding)
+                                    dtype=dtype, sharding=sharding,
+                                    regroup=u)
         else:
             if tse._pad_dims is None or any(
                 p > d for p, d in zip(pad, tse._pad_dims)

@@ -59,16 +59,49 @@ class ModelMixtureEngine(LikelihoodEngine):
     """
 
     def __init__(self, tree, alignment, model, mixture: Sequence[Mapping],
-                 **kwargs):
+                 class_models: Optional[Sequence] = None, **kwargs):
+        """``class_models``: optional list of per-class Models (one per
+        mixture category) overriding ``model``'s rate matrix class by
+        class — the LG4M/LG4X family, where each class carries its OWN
+        exchangeability matrix, not just its own frequencies/params.
+        All class models must share state count and parameter names
+        (empirical protein models all expose just ``freqs``)."""
         if not model.reversible:
             raise ValueError("model mixtures require a reversible model")
         if len(mixture) < 2:
             raise ValueError("need at least 2 mixture categories")
+        if class_models is not None:
+            if len(class_models) != len(mixture):
+                raise ValueError(
+                    f"class_models has {len(class_models)} entries for "
+                    f"{len(mixture)} mixture classes"
+                )
+            for cm in class_models:
+                if not cm.reversible:
+                    raise ValueError(
+                        f"class model {cm.name!r} is not reversible"
+                    )
+                if cm.n_states != model.n_states:
+                    raise ValueError(
+                        f"class model {cm.name!r} has {cm.n_states} "
+                        f"states, expected {model.n_states}"
+                    )
+                if set(cm.param_defaults) != set(model.param_defaults):
+                    raise ValueError(
+                        f"class model {cm.name!r} parameter names "
+                        f"{sorted(cm.param_defaults)} differ from the "
+                        f"base model's {sorted(model.param_defaults)}"
+                    )
         kwargs.pop("ncat", None)
         super().__init__(tree, alignment, model, ncat=len(mixture), **kwargs)
+        self._class_models = list(class_models) if class_models else None
+        base_defaults = [
+            (class_models[i] if class_models else model).param_defaults
+            for i in range(len(mixture))
+        ]
         self._mixture0 = [
-            {**{k: v for k, v in model.param_defaults.items()}, **dict(m)}
-            for m in mixture
+            {**{k: v for k, v in d.items()}, **dict(m)}
+            for d, m in zip(base_defaults, mixture)
         ]
 
     def default_params(self) -> Dict:
@@ -108,6 +141,22 @@ class ModelMixtureEngine(LikelihoodEngine):
         cat_weights = params["cat_weights"].astype(self.dtype)
         return params["mixture"], cat_weights / jnp.sum(cat_weights)
 
+    def _class_syms_freqs(self, mixture):
+        """Per-class (sym, freqs) stacks from the stacked mixture params.
+
+        With ``class_models`` each class builds under its OWN model (the
+        LG4M/LG4X per-class rate matrices) — a host-side loop over the K
+        tiny builds; otherwise one shared build vmapped over the stack."""
+        cms = getattr(self, "_class_models", None)
+        if cms is not None:
+            pairs = [
+                cm.build(**{k: v[i] for k, v in mixture.items()})
+                for i, cm in enumerate(cms)
+            ]
+            return (jnp.stack([p[0] for p in pairs]),
+                    jnp.stack([p[1] for p in pairs]))
+        return jax.vmap(lambda cp: self.model.build(**cp))(mixture)
+
     def _mixture_tensors(self, params, dtype, eig=None, rates=None):
         """Per-category P and PER-CATEGORY frequencies.
 
@@ -117,11 +166,7 @@ class ModelMixtureEngine(LikelihoodEngine):
         per-category frequencies ('ksi,ki->ks')."""
         mixture, cat_weights = self._category_model_params(params)
         t = params["branch_lengths"].astype(dtype)           # (n_nodes,)
-
-        def build_one(cat_params):
-            return self.model.build(**cat_params)            # (sym, freqs)
-
-        sym_k, freqs_k = jax.vmap(build_one)(mixture)        # (K,S,S),(K,S)
+        sym_k, freqs_k = self._class_syms_freqs(mixture)     # (K,S,S),(K,S)
         # per-category P for all edges: vmap categories, batch edges inside
         p_k = jax.vmap(
             lambda s, f: p_matrices_reversible(s, f, t)

@@ -129,13 +129,43 @@ def _postorder_arrays(schedule: PruningSchedule):
 # Grouped (level-batched) walk: pack U independent internal-node combines
 # into each serial fori_loop iteration (Hu's-algorithm list scheduling over
 # the in-tree; see _group_walk_schedule). Both rooflines (PARITY.md DNA
-# forward r2, reverse r4) identified the per-node dependency chain — not
-# arithmetic — as the binding constraint; grouping cuts the chain from
-# n_internal steps to ~ceil(critical-path-ish) steps while the U combines
-# inside one iteration expose memory-level parallelism (all loads are
-# hoisted before all stores). 0 disables; measured A/B on the flagship
-# decides the default (VERDICT r4 item 1).
-GROUP_WALK = int(os.environ.get("PHYLO_GROUP_WALK", "0"))
+# forward r2, reverse r4) identified the per-node dependency chain as the
+# binding constraint; grouping retires U nodes per iteration with all
+# loads hoisted before all stores (memory-level parallelism). Measured
+# A/B on the flagship (TPU v5e, 64-taxon GTR+G4, 1024 patterns,
+# benchmarks/group_ab.py, 2026-08-20): U=4 fwd 0.0543 ms vs serial
+# 0.0665 (1.22x), bwd2 0.0886 vs 0.1021 (1.15x), saveall 1.06x; U=8
+# neutral, U=16 worse (pad slots + register pressure). The fitted cost
+# model (per-group cost = a + b*U with a~87 ns step overhead, b~167 ns
+# per-node issue cost) caps the whole lever at ~1.5x — the walk is
+# VPU-ISSUE-bound per node at tile 1024, not chain-latency-bound, so
+# U=4 captures most of what grouping can give. Default: auto = U=4 for
+# VPU-width states (s_pad < MXU_MIN_SPAD; measured), serial for MXU-width
+# (unmeasured). PHYLO_GROUP_WALK=<int> overrides (0 = serial).
+_GROUP_WALK_ENV = os.environ.get("PHYLO_GROUP_WALK", "auto")
+GROUP_WALK = None if _GROUP_WALK_ENV == "auto" else int(_GROUP_WALK_ENV)
+
+
+def _group_size(s_pad: int) -> int:
+    """Effective group size U for a given padded state width."""
+    if GROUP_WALK is None:
+        return 4 if s_pad < MXU_MIN_SPAD else 0
+    return GROUP_WALK
+
+
+# The reverse walk's per-visit live set (gy, P^T gy, both sibling
+# products, inv_m, gyc) is ~2.5x the forward's; at U=4 the grouped
+# reverse sat 24K-188K over the 16M scoped-vmem limit on the flagship
+# engine-grad program (three shave iterations measured 2026-08-20), so
+# the reverse runs a narrower group. U=2 measured 0.0929 ms vs 0.1021
+# serial / 0.0886 U=4 standalone — most of the win at half the stack.
+_GROUP_WALK_BWD_ENV = os.environ.get("PHYLO_GROUP_WALK_BWD", "auto")
+
+
+def _group_size_bwd(s_pad: int) -> int:
+    if _GROUP_WALK_BWD_ENV == "auto":
+        return min(2, _group_size(s_pad))
+    return int(_GROUP_WALK_BWD_ENV)
 
 
 def _group_walk_schedule(
@@ -1026,17 +1056,30 @@ def _dynamic_bwd2_kernel(
         # (same Hu groups as the forward, walked in reverse group order);
         # all loads precede all += stores — within a group the store
         # targets are distinct (each child has ONE parent) and a node's
-        # own gy was stashed by its parent in an earlier group.
+        # own gy was stashed by its parent in an earlier group. Pad slots
+        # carry the trash node id (n_nodes): CLAMP it so every read stays
+        # inside the n_nodes-row buffers (the pad's writes are
+        # count-masked to zero, so reading the root row's junk is inert)
+        # — this keeps the reverse kernel's VMEM footprint identical to
+        # the serial one (the +1-row variant was 188K over the 16M
+        # scoped-vmem limit on the flagship engine grad program).
+        last = np.int32(n_nodes - 1 if n_nodes is not None
+                        else gybuf.shape[0] - 1)
+
         def group_step(g, _):
-            outs = []
+            # stores apply per node (NOT deferred to a group-wide phase):
+            # a fully deferred store phase keeps U*cmax (S, T) cotangent
+            # tiles live on the Mosaic stack — +256K at U=4/tile 1024,
+            # which pushed the flagship engine grad program 76K over the
+            # 16M scoped-vmem limit. Within-group store->load ordering is
+            # still hazard-free (a group member is never another's child).
             for u in range(group):
-                node = rorder_ref[u, g]
+                node = jnp.minimum(rorder_ref[u, g], last)
                 count = rcount_ref[u, g]
-                outs += _visit(
+                for cid, gyc in _visit(
                     node, count, lambda c, u=u: rchild_ref[u * cmax + c, g]
-                )
-            for cid, gyc in outs:
-                gybuf[cid] += gyc
+                ):
+                    gybuf[cid] += gyc
             return 0
 
         jax.lax.fori_loop(0, n_groups, group_step, 0)
@@ -1284,10 +1327,16 @@ def _pallas_forward(
     fold = 1
     # DNA sublane packing: 4 real states occupy only half of the minimum
     # 8-sublane f32 tile, so TWO rate categories pack into one tile
-    # (block-diagonal 4+4 P, per-block rescale). Every (8, T) load/store/
-    # max then serves two categories and the grid's category axis halves —
-    # unlike the MXU category-fold (measured negative, see _pick_fold)
-    # this wastes no lanes and adds no padding. PHYLO_PACK_DNA=0 disables.
+    # (block-diagonal 4+4 P, per-block rescale) and the grid's category
+    # axis halves. MEASURED NEGATIVE on TPU v5e (benchmarks/group_ab.py,
+    # 2026-08-20, flagship 64-taxon GTR+G4): packed fwd 0.167 ms vs
+    # 0.066 unpacked — the per-block rescale's 4-row sub-sublane slices
+    # (below the 8-sublane f32 tile) force masked relayouts that cost
+    # far more than the halved loads/steps save, and the block-diagonal
+    # contraction loses the n_real=4 column trim (8 outer products vs 4).
+    # DEFAULT OFF; kept as an exact, tested, env-gated lowering
+    # (PHYLO_PACK_DNA=1) in case a future Mosaic handles sub-tile
+    # reductions natively.
     pack = (
         os.environ.get("PHYLO_PACK_DNA", "0") == "1"
         and not use_slots and not static and s == 4 and s_pad == 8
@@ -1462,8 +1511,9 @@ def _pallas_forward(
     # grouped (level-batched) walk: classic lowering only (slot/stream
     # have their own access patterns; composes with DNA packing); +1
     # scratch row = pad trash
+    group_u = _group_size(s_pad)
     use_group = (
-        GROUP_WALK > 0 and not static and (fold == 1 or pack)
+        group_u > 0 and not static and (fold == 1 or pack)
         and n_internal >= 2
     )
     n_alloc = n_nodes + 1 if use_group else n_nodes
@@ -1492,13 +1542,13 @@ def _pallas_forward(
     else:
         if use_group:
             og, cg, ng = _group_walk_schedule(
-                order, children, counts, n_leaves, GROUP_WALK, n_nodes
+                order, children, counts, n_leaves, group_u, n_nodes
             )
             kernel = functools.partial(
                 _dynamic_kernel,
                 n_leaves=n_leaves, n_internal=n_internal, cmax=cmax,
                 s_pad=s_pad, n_blocks=fold, n_real=s,
-                group=GROUP_WALK, n_groups=og.shape[0],
+                group=group_u, n_groups=og.shape[0],
                 root=int(order[-1]),
             )
             prefetch = (
@@ -1794,17 +1844,16 @@ def _bwd2_call(
     ``dp_pad[:, root]`` afterwards (the root has no parent edge).
 
     ``group > 0``: grouped reverse walk over the same Hu groups as the
-    forward (reverse group order). ``buf_all``/``ls_all`` must then come
-    from a grouped ``_saveall_call`` (n_nodes + 1 rows incl. the trash
-    row) and ``pt_pad`` must be padded to n_nodes + 1 rows too (the pad
-    visits read its trash row; contents are irrelevant — their writes
-    are count-masked to zero)."""
+    forward (reverse group order). ``buf_all``/``ls_all`` may come from a
+    grouped ``_saveall_call`` (n_nodes + 1 rows incl. the pad trash row);
+    the block specs read only the first n_nodes rows — pad visits clamp
+    their node id in-kernel, so the reverse kernel's VMEM footprint is
+    independent of the grouping."""
     k, _, s_pad, sites_pad = buf_all.shape
     n_internal = order.shape[0]
     cmax = children.shape[1]
     group = group if n_internal >= 2 else 0
-    n_alloc = n_nodes + 1 if group else n_nodes
-    assert buf_all.shape[1] == n_alloc and pt_pad.shape[1] == n_alloc
+    assert buf_all.shape[1] in (n_nodes, n_nodes + 1)
     tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "bwd2",
                       want_dleaf=want_dleaf)
     while sites_pad % tile:
@@ -1858,17 +1907,17 @@ def _bwd2_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_alloc, s_pad, s_pad),
+                (1, n_nodes, s_pad, s_pad),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, kk * 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_alloc, s_pad, tile),
+                (1, n_nodes, s_pad, tile),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_alloc, 1, tile),
+                (1, n_nodes, 1, tile),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
@@ -1880,7 +1929,7 @@ def _bwd2_call(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((n_alloc, s_pad, tile), jnp.float32),    # gybuf
+            pltpu.VMEM((n_nodes, s_pad, tile), jnp.float32),    # gybuf
         ],
     )
     if group:
@@ -2173,7 +2222,7 @@ def make_pallas_loglik_fn(
             lsc_k = jnp.zeros((k, n_leaves, 1, sites_pad), jnp.float32)
             # grouped walk only when the matching grouped bwd2 consumes
             # the (n_nodes + 1)-row residual layout
-            grp = GROUP_WALK if _use_bwd2(s_pad) else 0
+            grp = _group_size(s_pad) if _use_bwd2(s_pad) else 0
             buf_all, ls_all = _saveall_call(
                 p_pad, lp_k, lsc_k, n_real=s, group=grp, **common
             )
@@ -2206,12 +2255,7 @@ def make_pallas_loglik_fn(
             )                                            # (K, 1, S_pad, sp)
             pt_pad = jnp.swapaxes(p_pad, -1, -2)
             if _use_bwd2(s_pad):
-                grp = GROUP_WALK
-                if grp and order.shape[0] >= 2:
-                    # grouped residuals carry a trash row; pt gets one too
-                    pt_pad = jnp.pad(
-                        pt_pad, ((0, 0), (0, 1), (0, 0), (0, 0))
-                    )
+                grp = _group_size_bwd(s_pad)
                 # root's pt row := identity so the kernel's uniform
                 # g = P^T gy step reproduces the seed exactly at the root
                 outs = _bwd2_call(

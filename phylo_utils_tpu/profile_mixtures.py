@@ -73,7 +73,8 @@ class ProfileMixtureEngine(ModelMixtureEngine):
     def __init__(self, tree, alignment, model: Model,
                  profiles: Union[int, Sequence], weights=None,
                  class_rates: Union[str, Sequence] = "equal",
-                 perturb: float = 0.25, seed: int = 0, **kwargs):
+                 perturb: float = 0.25, seed: int = 0,
+                 class_models: Optional[Sequence[Model]] = None, **kwargs):
         if isinstance(profiles, (int, np.integer)):
             k = int(profiles)
             base = np.asarray(model.param_defaults["freqs"], np.float64)
@@ -95,7 +96,8 @@ class ProfileMixtureEngine(ModelMixtureEngine):
                 f"{model.name!r} has {model.n_states}"
             )
         mixture = [{"freqs": tuple(row.tolist())} for row in prof]
-        super().__init__(tree, alignment, model, mixture, **kwargs)
+        super().__init__(tree, alignment, model, mixture,
+                         class_models=class_models, **kwargs)
         self._weights0 = (
             None if weights is None
             else np.asarray(weights, np.float64)
@@ -139,11 +141,8 @@ class ProfileMixtureEngine(ModelMixtureEngine):
         else:
             r = jnp.ones((self.ncat,), dtype)
 
-        def build_one(cat_params, rk):
-            sym, freqs = self.model.build(**cat_params)
-            return sym, freqs, t * rk
-
-        sym_k, freqs_k, t_k = jax.vmap(build_one)(mixture, r)
+        sym_k, freqs_k = self._class_syms_freqs(mixture)
+        t_k = t[None, :] * r[:, None]                        # (K, n_nodes)
         p_k = jax.vmap(p_matrices_reversible)(sym_k, freqs_k, t_k)
         p = jnp.swapaxes(p_k, 0, 1)                          # (n_nodes,K,S,S)
         p = extend_p_identity(p, self.schedule.n_nodes)
@@ -155,19 +154,33 @@ _FREQ_RE = re.compile(
 _MODEL_RE = re.compile(
     r"model\s+(\S+)\s*=\s*([^;]+);", re.IGNORECASE)
 _FMIX_RE = re.compile(r"FMIX\{([^}]*)\}", re.IGNORECASE)
+# one level of brace nesting: class tokens may carry +FU{freqname}
+_MIX_RE = re.compile(r"MIX\{((?:[^{}]|\{[^{}]*\})*)\}", re.IGNORECASE)
+_FU_RE = re.compile(r"\+FU?\{(\S+?)\}", re.IGNORECASE)
 
 
 def parse_nexus_models(path_or_text: str) -> Dict:
     """Parse the IQ-TREE ``models.nex`` interchange format (subset).
 
-    Understands ``frequency <name> = <floats>;`` definitions and
-    ``model <name> = <base>+FMIX{<freq>[:<rate>[:<weight>]],...};``
-    mixture models — the format the published C10-C60 / LG4X class
-    definitions are distributed in. Returns::
+    Understands:
+
+    - ``frequency <name> = <floats>;`` definitions,
+    - ``model <name> = <base>+FMIX{<freq>[:<rate>[:<weight>]],...};``
+      frequency-profile mixtures (C10-C60 distribution format),
+    - ``model <name> = <190 exchangeabilities> <20 freqs>;`` full
+      GTR20-style MATRIX definitions (IQ-TREE's custom-matrix syntax:
+      lower-triangle row-wise, then the equilibrium frequencies),
+    - ``model <name> = MIX{<mat>[+FU{<freq>}][:<rate>[:<weight>]],...};``
+      MATRIX mixtures — the LG4M/LG4X family, each class carrying its
+      own rate matrix (and optionally its own frequency vector via
+      ``+FU{...}``; otherwise the matrix definition's frequencies).
+
+    Returns::
 
         {"frequencies": {name: (n_states,) ndarray},
-         "models": {name: {"base": "POISSON+G4",
-                           "classes": [(freq_name, rate, weight), ...]}}}
+         "matrices": {name: {"sym": (S, S) ndarray, "freqs": (S,)}},
+         "models": {name: {"base": ..., "classes": [...]} |
+                    {"matrix_classes": [(mat, freq|None, rate, weight)]}}
 
     Comments (``[...]``) are stripped; anything this subset doesn't
     recognize is ignored (the full NEXUS grammar is not needed to load
@@ -187,11 +200,55 @@ def parse_nexus_models(path_or_text: str) -> Dict:
             raise ValueError(f"frequency {name!r} has non-positive entries")
         freqs[name] = vals / vals.sum()
 
-    models = {}
+    models: Dict = {}
+    matrices: Dict = {}
     for name, body in _MODEL_RE.findall(text):
+        toks = body.split()
+        if toks and all(_is_float(t) for t in toks):
+            # GTR20-style full matrix definition: 190 lower-triangle
+            # exchangeabilities + 20 frequencies (protein); generally
+            # S(S-1)/2 + S numbers for an S-state alphabet
+            n = len(toks)
+            s = int(round((np.sqrt(1 + 8 * n) - 1) / 2))  # S(S+1)/2 = n
+            if s * (s + 1) // 2 != n or s < 2:
+                raise ValueError(
+                    f"matrix model {name!r}: {n} numbers do not form a "
+                    "lower triangle + frequency vector for any state count"
+                )
+            vals = np.asarray([float(t) for t in toks], np.float64)
+            tri, fv = vals[: n - s], vals[n - s:]
+            if np.any(tri < 0) or np.any(fv <= 0):
+                raise ValueError(
+                    f"matrix model {name!r}: negative exchangeability or "
+                    "non-positive frequency"
+                )
+            sym = np.zeros((s, s), np.float64)
+            kk = 0
+            for i in range(1, s):
+                sym[i, :i] = tri[kk:kk + i]
+                sym[:i, i] = tri[kk:kk + i]
+                kk += i
+            matrices[name] = {"sym": sym, "freqs": fv / fv.sum()}
+            continue
+        m = _MIX_RE.search(body)
+        if m and not _FMIX_RE.search(body):
+            classes = []
+            for part in m.group(1).split(","):
+                bits = [b.strip() for b in part.split(":")]
+                comp = bits[0]
+                fu = _FU_RE.search(comp)
+                fname = fu.group(1) if fu else None
+                mat = _FU_RE.sub("", comp).strip().strip("+")
+                rate = float(bits[1]) if len(bits) > 1 and bits[1] else 1.0
+                weight = (
+                    float(bits[2]) if len(bits) > 2 and bits[2] else None
+                )
+                classes.append((mat, fname, rate, weight))
+            models[name] = {"matrix_classes": classes}
+            continue
         m = _FMIX_RE.search(body)
         if not m:
-            continue                    # not a frequency-mixture model
+            continue                    # not a mixture model
         base = _FMIX_RE.sub("", body).strip().strip("+")
         classes = []
         for part in m.group(1).split(","):
@@ -201,7 +258,15 @@ def parse_nexus_models(path_or_text: str) -> Dict:
             weight = float(bits[2]) if len(bits) > 2 and bits[2] else None
             classes.append((fname, rate, weight))
         models[name] = {"base": base, "classes": classes}
-    return {"frequencies": freqs, "models": models}
+    return {"frequencies": freqs, "matrices": matrices, "models": models}
+
+
+def _is_float(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
 
 
 def profile_mixture_from_nexus(
@@ -229,6 +294,70 @@ def profile_mixture_from_nexus(
             f"{sorted(defs['models'])}"
         )
     spec = defs["models"][name]
+
+    if "matrix_classes" in spec:
+        # LG4M/LG4X-style matrix mixture: each class gets its OWN Model
+        # wrapping its matrix; frequencies come from +FU{...}, else the
+        # matrix definition's own vector
+        class_models, prof = [], []
+        for mat, fname, _, _ in spec["matrix_classes"]:
+            if mat in defs["matrices"]:
+                md = defs["matrices"][mat]
+                sym, mfreqs = md["sym"], md["freqs"]
+            elif mat.upper() in ("LG", "WAG"):
+                from phylo_utils_tpu import models as _m
+
+                builtin = getattr(_m, mat.upper())
+                sym = np.asarray(builtin.build(
+                    **builtin.param_defaults)[0], np.float64)
+                mfreqs = np.asarray(
+                    builtin.param_defaults["freqs"], np.float64
+                )
+            else:
+                raise ValueError(
+                    f"model {name!r} references undefined matrix "
+                    f"{mat!r} (define it as 'model {mat} = <lower "
+                    "triangle + freqs>;' or use LG/WAG)"
+                )
+            if fname is not None:
+                try:
+                    f = defs["frequencies"][fname]
+                except KeyError:
+                    raise ValueError(
+                        f"model {name!r} references undefined "
+                        f"frequency {fname!r}"
+                    ) from None
+            else:
+                f = mfreqs
+            prof.append(np.asarray(f, np.float64))
+
+            def _mk_build(sym_const):
+                def _build(freqs):
+                    freqs = jnp.asarray(freqs)
+                    return jnp.asarray(sym_const, freqs.dtype), freqs
+                return _build
+
+            class_models.append(Model(
+                mat, sym.shape[0], base_model.alphabet,
+                {"freqs": tuple(np.asarray(f, np.float64).tolist())},
+                _mk_build(sym),
+            ))
+        prof = np.stack(prof)
+        rates = np.asarray(
+            [r for _, _, r, _ in spec["matrix_classes"]], np.float64
+        )
+        weights = [w for _, _, _, w in spec["matrix_classes"]]
+        weights = (
+            None if any(w is None for w in weights)
+            else np.asarray(weights, np.float64)
+        )
+        return ProfileMixtureEngine(
+            tree, alignment, base_model, profiles=prof, weights=weights,
+            class_rates=(rates if not np.allclose(rates, 1.0)
+                         else "free"),
+            class_models=class_models, **kwargs,
+        )
+
     try:
         prof = np.stack([defs["frequencies"][f] for f, _, _ in
                          spec["classes"]])

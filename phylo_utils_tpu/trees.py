@@ -254,6 +254,94 @@ def compile_schedule(tree: Tree, binarize: bool = True) -> PruningSchedule:
     )
 
 
+def regroup_schedule(schedule: PruningSchedule,
+                     width: int) -> PruningSchedule:
+    """Re-pack a level schedule into fixed-width dependency GROUPS.
+
+    The height-level grid pads every level to the widest one — measured
+    fill factors of 14–22% on 64-taxon NNI candidate sets (APPBENCH r4).
+    Hu's-algorithm list scheduling (unit tasks on an in-tree, priority =
+    distance to root — makespan-optimal for ``width`` machines) packs the
+    same combines into near-full groups of exactly ``width`` slots:
+    no node is a child of another in its own group, so each group is a
+    valid "level" for the scan-based pruner, and the padded area drops
+    from L×W_max to ceil-ish(n_internal/width)×width (bounded below by
+    the critical path). Padding slots keep the level-grid convention
+    (node id = n_nodes trash row, zero child mask).
+    """
+    ln, lc, lm = (schedule.level_nodes, schedule.level_children,
+                  schedule.level_childmask)
+    n, n_leaves = schedule.n_nodes, schedule.n_leaves
+    cmax = schedule.n_children_max
+    # flatten the level grid back to (node -> children) + depth-to-root
+    kids = {}
+    for lvl in range(ln.shape[0]):
+        for w in range(ln.shape[1]):
+            node = int(ln[lvl, w])
+            if node >= n:
+                continue
+            kids[node] = [int(lc[lvl, w, c]) for c in range(cmax)
+                          if lm[lvl, w, c] > 0]
+    parent = {c: p for p, ks in kids.items() for c in ks if c in kids}
+    root = schedule.root
+    depth = {root: 0}
+    # BFS from the root for depths
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for p in frontier:
+            for c in kids.get(p, ()):
+                if c in kids:
+                    depth[c] = depth[p] + 1
+                    nxt.append(c)
+        frontier = nxt
+    pend = {p: sum(1 for c in ks if c in kids) for p, ks in kids.items()}
+    ready = [p for p, v in pend.items() if v == 0]
+    groups = []
+    scheduled = 0
+    while scheduled < len(kids):
+        ready.sort(key=lambda x: -depth[x])
+        take = ready[:width]
+        ready = ready[width:]
+        groups.append(take)
+        scheduled += len(take)
+        for node in take:
+            p = parent.get(node)
+            if p is not None and p in pend:
+                pend[p] -= 1
+                if pend[p] == 0:
+                    ready.append(p)
+    g = len(groups)
+    nodes = np.full((g, width), n, dtype=np.int32)
+    children = np.zeros((g, width, cmax), dtype=np.int32)
+    mask = np.zeros((g, width, cmax), dtype=np.float32)
+    for gi, grp in enumerate(groups):
+        for w, node in enumerate(grp):
+            nodes[gi, w] = node
+            for c, child in enumerate(kids[node]):
+                children[gi, w, c] = child
+                mask[gi, w, c] = 1.0
+    return PruningSchedule(
+        n_nodes=n,
+        n_leaves=n_leaves,
+        root=root,
+        n_children_max=cmax,
+        level_nodes=nodes,
+        level_children=children,
+        level_childmask=mask,
+        n_real_nodes=schedule.n_real_nodes,
+    )
+
+
+def schedule_fill(schedules) -> float:
+    """Real combine slots / padded level-grid slots after common padding
+    (the APPBENCH `pad_schedules_fill` diagnostic)."""
+    L = max(s.n_levels for s in schedules)
+    W = max(s.width for s in schedules)
+    real = sum(int((s.level_nodes < s.n_nodes).sum()) for s in schedules)
+    return real / float(len(schedules) * L * W)
+
+
 def random_tree(
     n_taxa: int,
     seed: int = 0,

@@ -120,6 +120,25 @@ def test_grouped_no_dleaf_variant(monkeypatch):
     )
 
 
+def test_dna_packed_forward_matches(monkeypatch):
+    """PHYLO_PACK_DNA lowering (two 4-state categories per 8-sublane
+    tile, block-diag P): exact vs the unpacked kernel. Measured negative
+    for speed on v5e (default off) but kept as a correct lowering."""
+    monkeypatch.setenv("PHYLO_PACK_DNA", "1")
+    for U in (0, 4):
+        monkeypatch.setattr(pp, "GROUP_WALK", U)
+        sched = compile_schedule(random_tree(16, seed=10))
+        pmat, leaves, _ = _rand_inputs(sched, k=4, seed=11)
+        rp1, rs1 = pp.make_pallas_prune_fn(sched)(pmat, leaves)
+        monkeypatch.setenv("PHYLO_PACK_DNA", "0")
+        rp0, rs0 = pp.make_pallas_prune_fn(sched)(pmat, leaves)
+        monkeypatch.setenv("PHYLO_PACK_DNA", "1")
+        np.testing.assert_allclose(np.asarray(rp1), np.asarray(rp0),
+                                   rtol=2e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(rs1), np.asarray(rs0),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_tiny_tree_falls_back(monkeypatch):
     """< 2 internal nodes: grouping must quietly disable, not crash."""
     sched = compile_schedule(random_tree(3, seed=8))
