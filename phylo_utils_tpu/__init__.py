@@ -71,7 +71,11 @@ from phylo_utils_tpu.clock import (  # noqa: F401
 )
 from phylo_utils_tpu.likelihood import GammaMixture, LikelihoodEngine  # noqa: F401
 from phylo_utils_tpu.markov import TransitionMatrix  # noqa: F401
-from phylo_utils_tpu.partition import Partition, PartitionedEngine  # noqa: F401
+from phylo_utils_tpu.partition import (  # noqa: F401
+    Partition,
+    PartitionedEngine,
+    StackedPartitionedEngine,
+)
 from phylo_utils_tpu.server import EngineServer  # noqa: F401
 from phylo_utils_tpu.topology_tests import kh_test, sh_test  # noqa: F401
 from phylo_utils_tpu.optimize import (  # noqa: F401

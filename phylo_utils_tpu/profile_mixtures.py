@@ -1,13 +1,14 @@
-"""Protein profile mixtures (CAT/C-series, LG4X-style model families).
+"""Protein profile mixtures (CAT/C-series, LG4M/LG4X model families).
 
-Field-standard heterogeneous-site protein models mix K classes that share
-one exchangeability matrix but differ in equilibrium FREQUENCY PROFILES
-(C10-C60: Quang, Gascuel & Lartillot 2008; PhyloBayes CAT) and optionally
-in per-class RATES (LG4X: Le, Dang & Gascuel 2012 couples four matrices
-with four rates). The reference (kgori/phylo_utils) has nothing in this
-family (SURVEY.md §2 protein-models row); this module builds it on
-``ModelMixtureEngine`` (mixtures.py), whose vmapped per-category Q/P
-construction already handles class-specific frequencies exactly.
+Field-standard heterogeneous-site protein models mix K classes that
+differ in equilibrium FREQUENCY PROFILES (C10-C60: Quang, Gascuel &
+Lartillot 2008; PhyloBayes CAT), in per-class RATES, and — in the
+LG4M/LG4X family (Le, Dang & Gascuel 2012) — in the per-class RATE
+MATRICES themselves (``class_models=``). The reference
+(kgori/phylo_utils) has nothing in this family (SURVEY.md §2
+protein-models row); this module builds it on ``ModelMixtureEngine``
+(mixtures.py): class-specific frequencies ride the vmapped per-category
+Q/P construction, class-specific matrices a host-side per-class build.
 
 Three ways to get profiles:
 
