@@ -164,11 +164,6 @@ def _build_engine(args):
     from phylo_utils_tpu.likelihood import LikelihoodEngine
 
     if getattr(args, "partitions", None):
-        if args.shard_sites:
-            raise SystemExit(
-                "--partitions + --shard-sites is not supported yet "
-                "(partitions dispatch as separate shard-local programs)"
-            )
         if getattr(args, "empirical_freqs", False):
             raise SystemExit(
                 "--empirical-freqs is per-partition under --partitions: "
@@ -176,6 +171,7 @@ def _build_engine(args):
             )
         from phylo_utils_tpu.partition import (
             PartitionedEngine,
+            StackedPartitionedEngine,
             partitions_from_file,
         )
 
@@ -186,10 +182,26 @@ def _build_engine(args):
             )
         except ValueError as e:
             raise SystemExit(f"--partitions: {e}")
-        engine = PartitionedEngine(
-            _read_tree(args.tree), parts, dtype=args.dtype,
-            pruner=args.pruner,
-        )
+        sharding = None
+        if args.shard_sites:
+            from phylo_utils_tpu.parallel import SiteSharding
+
+            sharding = SiteSharding()
+        # same-family loci stack on a vmap batch axis of ONE engine
+        # (compile cost independent of locus count); heterogeneous
+        # mixes fall back to the general inlined-engines formulation
+        try:
+            engine = StackedPartitionedEngine(
+                _read_tree(args.tree), parts, dtype=args.dtype,
+                pruner=args.pruner, sharding=sharding,
+            )
+        except ValueError as e:
+            if "share the model family" not in str(e):
+                raise SystemExit(f"--partitions: {e}")
+            engine = PartitionedEngine(
+                _read_tree(args.tree), parts, dtype=args.dtype,
+                pruner=args.pruner, sharding=sharding,
+            )
         # stash the +F initial frequencies for _engine_params to merge
         engine._partition_init_params = init
         return engine
