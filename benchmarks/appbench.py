@@ -163,24 +163,24 @@ def main():
                   models.GTR, ncat=4)
         for i in range(4)
     ]
-    import optax
+    from phylo_utils_tpu.partition import StackedPartitionedEngine
 
     t0 = time.perf_counter()
-    pe = PartitionedEngine(tree, parts, pruner="pallas", dtype="float32")
+    # stacked formulation (r5): the loci ride a vmap batch axis of ONE
+    # engine, so the program is single-engine-sized and the default
+    # L-BFGS chunk compiles fine — r4's adam workaround (the 4-engine
+    # inlined chunk wedged the degraded remote compiler) is obsolete;
+    # benchmarks/partition_scaling.py holds the looped-vs-stacked curve.
+    pe = StackedPartitionedEngine(tree, parts, pruner="pallas",
+                                  dtype="float32")
     ll0 = pe.loglikelihood()
-    # adam, not the default L-BFGS: two compile attempts of the
-    # four-engine zoom-linesearch chunk sat >18 min in the (degraded,
-    # and at one point double-booked) remote compiler; adam chunks
-    # compile in minutes. config-5's single-engine L-BFGS chunk
-    # compiles fine (profile_fit.py) — this is a harness choice, not an
-    # engine limitation.
-    res = fit(pe, optimizer=optax.adam(2e-2), max_steps=200,
-              steps_per_call=50, patience=100)
+    res = fit(pe, max_steps=200, steps_per_call=50, patience=100)
     part_s = time.perf_counter() - t0
     out["partitioned_fit"] = {
         "wall_s": round(part_s, 2),
         "n_partitions": 4,
-        "optimizer": "adam(2e-2) x200 steps (see source note)",
+        "formulation": "stacked",
+        "optimizer": "lbfgs x200 steps",
         "loglik_start": round(ll0, 2),
         "loglik_end": round(res.loglik, 2),
         "n_steps": res.n_steps,

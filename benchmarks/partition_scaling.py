@@ -11,11 +11,14 @@ formulations on the chip:
   stacked   StackedPartitionedEngine — loci on a vmap batch axis of ONE
             engine (program size independent of G)
 
-Per (formulation, G in --parts): cold wall of the first fit chunk
-(dominated by compile), then warm steps/s of a second fit from the same
-state (program cached). APPBENCH-shaped config: --taxa 64, G loci x
-(--sites/G) columns of one GTR+G4-simulated alignment, pallas pruner,
-adam(2e-2) in --chunk-step scanned chunks.
+Methodology = profile_fit.py's: the adam/L-BFGS CHUNK program (N steps
+fused per dispatch over the engine's ``_loglik_fn``) is built directly;
+``compile_s`` is the first-call wall (trace + remote compile + one
+chunk), ``step_ms`` the min-over-reps warm dispatch time / N with a
+perturbed start per rep (the relay memoizes identical dispatches).
+
+APPBENCH-shaped config: --taxa 64, G loci x (--sites/G) columns of one
+GTR+G4-simulated alignment, pallas pruner.
 
 Usage: python benchmarks/partition_scaling.py [--parts 1,2,4,8]
 Prints one JSON line (plus per-row progress lines).
@@ -38,19 +41,22 @@ def main():
     ap.add_argument("--parts", default="1,2,4,8")
     ap.add_argument("--taxa", type=int, default=64)
     ap.add_argument("--sites", type=int, default=1000)
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--chunk-steps", type=int, default=50)
+    ap.add_argument("--chunk-steps", type=int, default=25)
     ap.add_argument("--formulations", default="stacked,looped")
+    ap.add_argument("--optimizers", default="adam,lbfgs")
     args = ap.parse_args()
     counts = [int(x) for x in args.parts.split(",")]
 
     import jax
+    import jax.numpy as jnp
     import optax
+    from jax import lax
 
     jax.config.update("jax_enable_x64", True)
 
     from phylo_utils_tpu import models
-    from phylo_utils_tpu.optimize import fit
+    from phylo_utils_tpu.optimize import transform_params, \
+        untransform_params
     from phylo_utils_tpu.partition import (
         Partition,
         PartitionedEngine,
@@ -69,6 +75,8 @@ def main():
         "looped": PartitionedEngine,
         "stacked": StackedPartitionedEngine,
     }
+    N = args.chunk_steps
+    acc0 = jnp.zeros((), jnp.float64)
     rows = []
     for g in counts:
         q = args.sites // g
@@ -81,38 +89,89 @@ def main():
             for i in range(g)
         ]
         for form in args.formulations.split(","):
-            cls = classes[form]
-            t0 = time.perf_counter()
-            pe = cls(tree, parts, pruner="pallas", dtype="float32")
-            ll0 = pe.loglikelihood()
-            res1 = fit(pe, optimizer=optax.adam(2e-2),
-                       max_steps=args.chunk_steps,
-                       steps_per_call=args.chunk_steps, patience=10 ** 6)
-            cold_s = time.perf_counter() - t0
-            # warm: same program (chunk shape pinned), fresh run
-            t0 = time.perf_counter()
-            res2 = fit(pe, params0=res1.params,
-                       optimizer=optax.adam(2e-2), max_steps=args.steps,
-                       steps_per_call=args.chunk_steps, patience=10 ** 6)
-            warm_s = time.perf_counter() - t0
-            row = {
-                "formulation": form,
-                "n_partitions": g,
-                "cold_wall_s": round(cold_s, 2),
-                "warm_wall_s": round(warm_s, 2),
-                "warm_steps_per_s": round(res2.n_steps / warm_s, 2),
-                "loglik_start": round(ll0, 2),
-                "loglik_end": round(res2.loglik, 2),
-            }
-            rows.append(row)
-            print(json.dumps({"row": row}), flush=True)
+            pe = classes[form](tree, parts, pruner="pallas",
+                               dtype="float32")
+            full = pe._full_params(None)
+            lp, w = pe._leaf_partials, pe._weights
+            raw0 = jax.tree.map(
+                lambda x: x.astype(jnp.result_type(float)),
+                transform_params(full),
+            )
+
+            def loss(raw):
+                total, _ = pe._loglik_fn(untransform_params(raw), lp, w)
+                return -total.astype(jnp.result_type(float))
+
+            for optname in args.optimizers.split(","):
+                if optname == "lbfgs":
+                    opt = optax.lbfgs()
+
+                    def one_step(raw, st):
+                        vag = optax.value_and_grad_from_state(loss)
+                        val, grads = vag(raw, state=st)
+                        updates, st = opt.update(
+                            grads, st, raw, value=val, grad=grads,
+                            value_fn=loss,
+                        )
+                        return optax.apply_updates(raw, updates), st, val
+                else:
+                    opt = optax.adam(2e-2)
+
+                    def one_step(raw, st):
+                        val, grads = jax.value_and_grad(loss)(raw)
+                        updates, st = opt.update(grads, st, raw)
+                        return optax.apply_updates(raw, updates), st, val
+
+                @jax.jit
+                def run(raw, st, seed):
+                    r = dict(raw)
+                    r["branch_lengths"] = (
+                        raw["branch_lengths"] + 1e-7 * seed
+                    )
+
+                    def body(carry, _):
+                        raw, st = carry
+                        raw, st, val = one_step(raw, st)
+                        return (raw, st), val
+
+                    (raw, st), vals = lax.scan(body, (r, st), None,
+                                               length=N)
+                    return vals[-1]
+
+                st0 = opt.init(raw0)
+                shapes = jax.eval_shape(lambda r, s: one_step(r, s)[1],
+                                        raw0, st0)
+                st0 = jax.tree.map(
+                    lambda x, sh: jnp.asarray(x, sh.dtype), st0, shapes
+                )
+                t0 = time.perf_counter()
+                ll_end = float(run(raw0, st0, jnp.float64(0.0)))
+                compile_s = time.perf_counter() - t0
+                best = float("inf")
+                for s in range(1, 4):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(
+                        run(raw0, st0, jnp.float64(1000.0 * s))
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                row = {
+                    "formulation": form,
+                    "optimizer": optname,
+                    "n_partitions": g,
+                    "compile_s": round(compile_s, 2),
+                    "step_ms": round(best / N * 1e3, 3),
+                    "warm_steps_per_s": round(N / best, 2),
+                    "chunk_loss_end": round(ll_end, 2),
+                }
+                rows.append(row)
+                print(json.dumps({"row": row}), flush=True)
 
     print(json.dumps({
-        "metric": "partitioned-fit scaling (cold compile + warm steps/s) "
-                  "vs partition count, looped vs stacked",
+        "metric": "partitioned-fit scaling (chunk compile + warm "
+                  "steps/s) vs partition count, looped vs stacked",
         "config": {"taxa": args.taxa, "sites": args.sites,
                    "model": "GTR+G4 per locus", "pruner": "pallas",
-                   "optimizer": f"adam(2e-2) x{args.chunk_steps}-chunks"},
+                   "chunk_steps": N},
         "rows": rows,
         "device": str(jax.devices()[0]),
     }))
