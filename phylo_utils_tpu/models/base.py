@@ -91,6 +91,23 @@ def _eigh_host(b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     )
 
 
+@jax.custom_batching.sequential_vmap
+def _eigh_f64_seq(b: jnp.ndarray):
+    """f64 eigh that NEVER lowers to the batched TPU kernel.
+
+    Root-caused 2026-08-20 (r5, stacked 4-locus GTR fit): the platform's
+    emulated-f64 eigh returns all-NaN eigenpairs for specific
+    WELL-CONDITIONED 4x4 inputs when vmapped/batched — the identical
+    matrix decomposes fine unbatched (regression exhibit: the saved
+    /tmp-era matrix is reproduced in tests/test_eigh_robustness.py).
+    sequential_vmap lowers any vmapped call to a lax.map of unbatched
+    eighs, which sidesteps the batched kernel entirely; model builds
+    decompose one tiny (S, S) matrix per class/locus, so the
+    serialization costs nothing measurable next to P(t) reconstruction.
+    """
+    return jnp.linalg.eigh(b)
+
+
 def eigen_reversible(
     sym_rates: jnp.ndarray, freqs: jnp.ndarray, host: Optional[bool] = None
 ) -> Eigen:
@@ -121,6 +138,8 @@ def eigen_reversible(
         )
     if host if host is not None else HOST_EIGH:
         w, u = _eigh_host(b)
+    elif b.dtype == jnp.float64:
+        w, u = _eigh_f64_seq(b)
     else:
         w, u = jnp.linalg.eigh(b)
     v = u / sqrtp[:, None]
