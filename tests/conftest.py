@@ -61,6 +61,12 @@ _SMOKE_TESTS = {
     # optimization basics
     ("test_optimize", "test_transform_roundtrip"),
     ("test_optimize", "test_fit_improves_and_reaches_optimum_neighborhood"),
+    # round-5 additions: platform-bug regression + one config per new
+    # subsystem (grouped kernels are exercised by the pallas rows above)
+    ("test_eigh_robustness", "test_sequential_eigh_matches_unbatched"),
+    ("test_stacked_partition", "test_stacked_matches_general"),
+    ("test_regroup", "test_tse_regrouped_matches_level_grid"),
+    ("test_grouped_walk", "test_grouped_value_and_grad_match_classic"),
 }
 
 
