@@ -59,7 +59,9 @@ def main():
         jax.random.key(3), tree, model, args.patterns * 3, ncat=1
     )
 
-    variants = [("pallas", {}), ("xla", {})]
+    # streaming is the DEFAULT for S_pad >= 32 since r5 (measured >=
+    # classic everywhere wide); "pallas" pins classic for the A/B
+    variants = [("pallas", {"PHYLO_FORCE_STREAM": "0"}), ("xla", {})]
     if args.stream:
         variants.insert(1, ("pallas-stream", {"PHYLO_FORCE_STREAM": "1"}))
 

@@ -1309,15 +1309,26 @@ def _pallas_forward(
     cmax = children.shape[1]
     static = n_internal <= STATIC_UNROLL_MAX
     # classic whole-tree scratch when it fits; otherwise the O(depth)
-    # slot-reuse kernel (big trees). PHYLO_FORCE_STREAM=1 forces the
-    # HBM-streaming slot kernel even when the classic block fits —
-    # measurement knob for wide-state (codon) configs where the P input
-    # block dominates VMEM and per-node DMA granularity may beat the
-    # block-pipelined copy (round-3 VERDICT item 6 experiment).
+    # slot-reuse kernel (big trees). For WIDE states (S_pad >= 32:
+    # codon) the HBM-streaming slot kernel is the DEFAULT — the r5
+    # decision sweep (benchmarks/codon_ab.py on TPU v5e, 2026-08-20)
+    # measured stream >= classic at every point: 100 taxa x 1024 codon
+    # patterns 331.6k vs 327.0k patterns/s (+1.4%), 300 taxa x 1024
+    # 152.7k vs 151.4k (+0.8%), logL spreads <= 7e-6 — the P input
+    # block's VMEM traffic never wins once the per-child DMA is double-
+    # buffered. PHYLO_FORCE_STREAM=1 forces streaming at ANY width,
+    # =0 disables it where the classic block fits (narrow-state
+    # measurements showed classic ahead there; stream also serializes
+    # outer vmaps — see the sequential_vmap note below — which the
+    # saturated wide-state kernel doesn't mind but narrow ones would).
+    stream_env = os.environ.get("PHYLO_FORCE_STREAM", "auto")
     force_stream = (
-        os.environ.get("PHYLO_FORCE_STREAM", "0") == "1"
-        and slot_data is not None
+        slot_data is not None
         and not static
+        and (
+            stream_env == "1"
+            or (stream_env == "auto" and s_pad >= 32)
+        )
     )
     use_slots = force_stream or (
         slot_data is not None

@@ -51,14 +51,18 @@ __all__ = ["ProfileMixtureEngine", "parse_nexus_models",
 
 
 class ProfileMixtureEngine(ModelMixtureEngine):
-    """Frequency-profile mixture over a shared exchangeability matrix.
+    """Frequency-profile mixture; optionally per-class rate MATRICES.
 
     Parameters
     ----------
     tree, alignment : as LikelihoodEngine
     model : a reversible Model whose only free parameter is ``freqs``
         (LG, WAG, any PAML ``.dat`` empirical model) — its exchangeability
-        matrix is shared by every class.
+        matrix is shared by every class unless ``class_models`` is given.
+    class_models : optional list of per-class Models (same state count
+        and parameter names): each class then evolves under its OWN
+        exchangeability matrix — the LG4M/LG4X family proper (four
+        matrices coupled with four free rates via ``class_rates``).
     profiles : (K, n_states) array of per-class equilibrium frequencies,
         or an int K to start from the model's base frequencies perturbed
         per class (the ML-estimation starting point).
