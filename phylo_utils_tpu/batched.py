@@ -39,7 +39,8 @@ __all__ = ["pad_schedules", "TopologySetEngine", "optimize_branch_lengths",
 
 
 def choose_regroup_width(schedules: Sequence[ptrees.PruningSchedule],
-                         candidates=(2, 3, 4, 6, 8, 12, 16)):
+                         candidates=(2, 3, 4, 6, 8, 12, 16),
+                         max_level_factor: float = 1.6):
     """Pick the group width minimizing the padded level-grid area.
 
     Returns ``(width, regrouped_schedules)`` — width 0 keeps the original
@@ -49,13 +50,25 @@ def choose_regroup_width(schedules: Sequence[ptrees.PruningSchedule],
     ``trees.regroup_schedule`` packs near-full fixed-width groups
     instead. Area is compared after common padding across the whole
     candidate set, so the choice is exact for the batch that will run.
+
+    ``max_level_factor`` bounds the regrouped LEVEL COUNT at that
+    multiple of the original grid's: the batched gradient's scan-VJP
+    stores the full partials carry PER LEVEL, so a narrow width that
+    minimizes area can multiply residual memory by G/L — the r5
+    area-only chooser picked U=2–3 on 64-taxon sets (G≈3–5×L) and blew
+    the chip's HBM on the aLRT gradient chunk. Wider groups keep ≥80%
+    fill at G ≲ 1.5 L.
     """
-    area0 = (max(s.n_levels for s in schedules)
-             * max(s.width for s in schedules))
+    l0 = max(s.n_levels for s in schedules)
+    area0 = l0 * max(s.width for s in schedules)
+    cap = max(int(l0 * max_level_factor), 1)
     best_u, best_area, best_scheds = 0, area0, schedules
     for u in candidates:
         rg = [ptrees.regroup_schedule(s, u) for s in schedules]
-        area = max(s.n_levels for s in rg) * u
+        g = max(s.n_levels for s in rg)
+        if g > cap:
+            continue
+        area = g * u
         if area < best_area:
             best_u, best_area, best_scheds = u, area, rg
     return best_u, best_scheds
