@@ -91,7 +91,7 @@ def _eigh_host(b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     )
 
 
-@jax.custom_batching.sequential_vmap
+@jax.custom_batching.custom_vmap
 def _eigh_f64_seq(b: jnp.ndarray):
     """f64 eigh that NEVER lowers to the batched TPU kernel.
 
@@ -106,6 +106,19 @@ def _eigh_f64_seq(b: jnp.ndarray):
     serialization costs nothing measurable next to P(t) reconstruction.
     """
     return jnp.linalg.eigh(b)
+
+
+@_eigh_f64_seq.def_vmap
+def _eigh_f64_seq_vmap(axis_size, in_batched, b):
+    # hand-rolled sequential_vmap with a size-0 escape: lax.map's scan
+    # rejects empty carries ("no values to scan over"), and jacobian/SE
+    # machinery does produce zero-size batch axes
+    (batched,) = in_batched
+    if not batched:
+        return _eigh_f64_seq(b), (False, False)
+    if axis_size == 0:
+        return jnp.linalg.eigh(b), (True, True)   # nothing to compute
+    return jax.lax.map(_eigh_f64_seq, b), (True, True)
 
 
 def eigen_reversible(
