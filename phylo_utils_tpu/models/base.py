@@ -105,7 +105,9 @@ def _eigh_f64_seq(b: jnp.ndarray):
     decompose one tiny (S, S) matrix per class/locus, so the
     serialization costs nothing measurable next to P(t) reconstruction.
     """
-    return jnp.linalg.eigh(b)
+    w, u = jnp.linalg.eigh(b)
+    return w, u    # plain tuple (not EighResult): the vmap rule's
+    # batching spec must match the output pytree structure exactly
 
 
 @_eigh_f64_seq.def_vmap
@@ -115,9 +117,16 @@ def _eigh_f64_seq_vmap(axis_size, in_batched, b):
     # machinery does produce zero-size batch axes
     (batched,) = in_batched
     if not batched:
-        return _eigh_f64_seq(b), (False, False)
+        # plain eigh, NOT the wrapped fn: re-entering the custom fn with
+        # an unbatched arg from inside its own rule recurses forever
+        # (jacfwd/hessian hit this); an unbatched arg lowers the
+        # unbatched kernel anyway.
+        w, u = jnp.linalg.eigh(b)
+        return (w, u), (False, False)
     if axis_size == 0:
-        return jnp.linalg.eigh(b), (True, True)   # nothing to compute
+        w, u = jnp.linalg.eigh(b)                 # nothing to compute
+        return (w, u), (True, True)
+    # map the WRAPPED fn: nested vmaps must sequentialize every level
     return jax.lax.map(_eigh_f64_seq, b), (True, True)
 
 

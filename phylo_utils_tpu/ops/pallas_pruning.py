@@ -140,8 +140,11 @@ def _postorder_arrays(schedule: PruningSchedule):
 # per-node issue cost) caps the whole lever at ~1.5x — the walk is
 # VPU-ISSUE-bound per node at tile 1024, not chain-latency-bound, so
 # U=4 captures most of what grouping can give. Default: auto = U=4 for
-# VPU-width states (s_pad < MXU_MIN_SPAD; measured), serial for MXU-width
-# (unmeasured). PHYLO_GROUP_WALK=<int> overrides (0 = serial).
+# VPU-width states (s_pad < MXU_MIN_SPAD; measured) and U=2 for MXU
+# widths (32-taxon LG+G4 A/B, 2026-08-20: fwd 0.2218 ms at U=2 vs
+# 0.2269 serial / 0.2313 U=4; engine vag 0.4703 vs 0.4845/0.4787 —
+# the wider-state combine is contraction-heavy, so only a shallow group
+# pays). PHYLO_GROUP_WALK=<int> overrides (0 = serial).
 _GROUP_WALK_ENV = os.environ.get("PHYLO_GROUP_WALK", "auto")
 GROUP_WALK = None if _GROUP_WALK_ENV == "auto" else int(_GROUP_WALK_ENV)
 
@@ -149,7 +152,7 @@ GROUP_WALK = None if _GROUP_WALK_ENV == "auto" else int(_GROUP_WALK_ENV)
 def _group_size(s_pad: int) -> int:
     """Effective group size U for a given padded state width."""
     if GROUP_WALK is None:
-        return 4 if s_pad < MXU_MIN_SPAD else 0
+        return 4 if s_pad < MXU_MIN_SPAD else 2
     return GROUP_WALK
 
 
