@@ -141,6 +141,7 @@ def main():
         def bwd2(scale):
             outs = pp._bwd2_call(
                 p_pad0, ptU, bufU, lsU, gseed * scale,
+                np.asarray([root], np.int32),
                 n_real=s, want_dleaf=False, group=U, **common
             )
             return outs[0].sum()

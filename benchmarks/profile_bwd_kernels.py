@@ -116,6 +116,7 @@ def main():
 
     def bwd2(scale, want):
         outs = pp._bwd2_call(p_pad0, pt_root_eye, buf0, ls0, gseed * scale,
+                             root_ids,
                              n_real=s, want_dleaf=want, **common)
         return outs[0].sum()
 

@@ -192,18 +192,22 @@ def _group_walk_schedule(
     if n_int < 2:
         raise ValueError("grouping needs >= 2 internal nodes")
     node_row = {int(order[i]): i for i in range(n_int)}
-    root = int(order[-1])
-    # distance to root (Hu's priority): parents of each internal node
+    # distance to root (Hu's priority): parents of each internal node.
+    # The schedule may be a FOREST (segment schedules: every boundary
+    # output roots its own tree) — any node first seen without a depth
+    # is a root at depth 0.
     parent = {}
     for i in range(n_int):
         for c in range(int(counts[i])):
             ch = int(children[i, c])
             if ch >= n_leaves:
                 parent[ch] = int(order[i])
-    depth = {root: 0}
-    # order is post-order: walk top-down in reverse to fill depths
+    depth = {}
+    # order is post-order (per tree): walk top-down in reverse to fill
     for i in range(n_int - 1, -1, -1):
         node = int(order[i])
+        if node not in depth:
+            depth[node] = 0                  # a (forest) root
         for c in range(int(counts[i])):
             ch = int(children[i, c])
             if ch >= n_leaves:
@@ -964,12 +968,15 @@ def _dynamic_bwd2_kernel(
     rorder_ref, rchild_ref, rcount_ref,
     # tensor inputs (VMEM)
     p_ref,        # (1, n_nodes, S_pad, S_pad)
-    pt_ref,       # (1, n_nodes, S_pad, S_pad) — P^T; ROOT ROW = IDENTITY
+    pt_ref,       # (1, n_nodes, S_pad, S_pad) — P^T; SEED ROWS = IDENTITY
     buf_ref,      # (1, n_nodes, S_pad, T) — forward partials (rescaled)
     ls_ref,       # (1, n_nodes, 1, T)     — forward logscale chain
-    gseed_ref,    # (1, 1, S_pad, T) — dL/d(root partials)
+    gseed_ref,    # (1, n_seed, S_pad, T) — dL/d(partials) of the seed
+                  # nodes (whole tree: n_seed=1, the root; segments: the
+                  # boundary outputs — each a root of the segment forest)
     # outputs (VMEM): dp always; dleaf only when want_dleaf; then scratch
     *outs_and_scratch,
+    seed_ids,     # numpy (n_seed,) node ids (static constants)
     n_leaves: int,
     n_internal: int,
     cmax: int,
@@ -978,7 +985,6 @@ def _dynamic_bwd2_kernel(
     want_dleaf: bool = True,
     group: int = 0,
     n_groups: int = 0,
-    root: int = None,
     n_nodes: int = None,
 ):
     """Deferred-edge reverse walk (r4 redesign of _dynamic_bwd_kernel).
@@ -1017,12 +1023,14 @@ def _dynamic_bwd2_kernel(
         dp_ref[...] = jnp.zeros(dp_ref.shape, dp_ref.dtype)
 
     # accumulate (not overwrite): padding children write masked zeros and
-    # must not clobber a real child's stash written earlier
+    # must not clobber a real child's stash written earlier. Seeds go in
+    # as gy stashes; their pt rows are the identity (caller glue) so the
+    # uniform g = P^T gy step reproduces each seed exactly — and each
+    # seed node is a root of the (segment) forest, so nothing else ever
+    # adds into its stash.
     gybuf[...] = jnp.zeros(gybuf.shape, gybuf.dtype)
-    if group:
-        gybuf[np.int32(root)] = gseed_ref[0, 0]
-    else:
-        gybuf[rorder_ref[0]] = gseed_ref[0, 0]
+    for j in range(int(seed_ids.shape[0])):
+        gybuf[np.int32(seed_ids[j])] = gseed_ref[0, j]
 
     def _visit(node, count, child_at):
         """One node's reverse step: returns [(cid, masked gyc), ...]."""
@@ -1147,6 +1155,7 @@ VMEM_MARGIN = float(os.environ.get("PHYLO_VMEM_MARGIN", "1.0"))
 def _working_bytes(
     tile: int, n_nodes: int, n_leaves: int, s_pad: int, mode: str,
     n_slots: int = 0, n_blocks: int = 1, want_dleaf: bool = True,
+    n_seed: int = 1,
 ) -> int:
     """Estimated VMEM bytes of one kernel program (f32).
 
@@ -1193,7 +1202,7 @@ def _working_bytes(
             + 2 * n_nodes                  # logscale input x2
             + n_nodes * s_pad              # gybuf scratch
             + (2 * n_leaves * s_pad if want_dleaf else 0)  # dleaf out x2
-            + 2 * s_pad                    # seed input x2
+            + 2 * n_seed * s_pad           # seed input x2
         )
         p_bytes *= 6                       # p, p^T inputs + dp output, each x2
     else:
@@ -1219,7 +1228,7 @@ def _working_bytes(
 def _pick_tile(
     tile: int, sites: int, n_nodes: int, n_leaves: int, s_pad: int,
     mode: str = "fwd", n_slots: int = 0, n_blocks: int = 1,
-    want_dleaf: bool = True,
+    want_dleaf: bool = True, n_seed: int = 1,
 ) -> int:
     """Shrink the site tile until the kernel's VMEM working set fits."""
     tile = min(tile, _round_up(sites, LANE))  # don't pad tiny alignments
@@ -1227,7 +1236,7 @@ def _pick_tile(
         if (
             _working_bytes(
                 tile, n_nodes, n_leaves, s_pad, mode, n_slots, n_blocks,
-                want_dleaf,
+                want_dleaf, n_seed,
             )
             <= VMEM_BUDGET
         ):
@@ -1845,17 +1854,21 @@ def _backward_call(
 
 
 def _bwd2_call(
-    p_pad, pt_pad, buf_all, ls_all, gseed, *,
+    p_pad, pt_pad, buf_all, ls_all, gseeds, seed_ids, *,
     order, children, counts, n_nodes, n_leaves, tile, interpret,
     n_real=None, want_dleaf=True, group=0,
 ):
     """Deferred-edge reverse walk: returns ``(dp_pad (K, n_nodes, S_pad,
     S_pad)[, dleaf_k (K, n_leaves, S_pad, sites_pad)])``.
 
-    Same residuals as _backward_call (the classic saveall outputs).
-    ``pt_pad`` must have its ROOT row set to the identity (the kernel
-    reads it to seed g_root = seed exactly); the caller must also zero
-    ``dp_pad[:, root]`` afterwards (the root has no parent edge).
+    Same residuals and seed semantics as _backward_call (the classic
+    saveall outputs; ``gseeds (K, n_seed, S_pad, sites_pad)`` are the
+    cotangents of the ``seed_ids`` nodes' rescaled partials — the root
+    for whole trees, the boundary outputs for segments). ``pt_pad`` must
+    have every SEED row set to the identity (the kernel's uniform
+    g = P^T gy step then reproduces each seed exactly); the caller must
+    also zero ``dp_pad[:, seed_ids]`` afterwards (seed nodes have no
+    parent edge inside this walk).
 
     ``group > 0``: grouped reverse walk over the same Hu groups as the
     forward (reverse group order). ``buf_all``/``ls_all`` may come from a
@@ -1868,14 +1881,17 @@ def _bwd2_call(
     cmax = children.shape[1]
     group = group if n_internal >= 2 else 0
     assert buf_all.shape[1] in (n_nodes, n_nodes + 1)
+    seed_ids = np.asarray(seed_ids, np.int32)
+    n_seed = int(seed_ids.shape[0])
     tile = _pick_tile(tile, sites_pad, n_nodes, n_leaves, s_pad, "bwd2",
-                      want_dleaf=want_dleaf)
+                      want_dleaf=want_dleaf, n_seed=n_seed)
     while sites_pad % tile:
         tile //= 2
     n_tiles = sites_pad // tile
 
     kernel = functools.partial(
         _dynamic_bwd2_kernel,
+        seed_ids=seed_ids,
         n_leaves=n_leaves, n_internal=n_internal, cmax=cmax, s_pad=s_pad,
         n_real=n_real, want_dleaf=want_dleaf, n_nodes=n_nodes,
     )
@@ -1885,7 +1901,6 @@ def _bwd2_call(
         )
         kernel = functools.partial(
             kernel, group=group, n_groups=og.shape[0],
-            root=int(order[-1]),
         )
     out_shape = [
         jax.ShapeDtypeStruct((k, n_nodes, s_pad, s_pad), jnp.float32),
@@ -1936,7 +1951,7 @@ def _bwd2_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s_pad, tile),
+                (1, n_seed, s_pad, tile),
                 lambda kk, t, *_: (kk, kk * 0, kk * 0, t),
                 memory_space=pltpu.VMEM,
             ),
@@ -1965,7 +1980,7 @@ def _bwd2_call(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*prefetch, p_pad, pt_pad, buf_all, ls_all, gseed)
+    )(*prefetch, p_pad, pt_pad, buf_all, ls_all, gseeds)
 
 
 def _dfs_internal_post(schedule: PruningSchedule):
@@ -2277,7 +2292,7 @@ def make_pallas_loglik_fn(
                     pt_pad.at[:, root].set(
                         jnp.eye(s_pad, dtype=jnp.float32)
                     ),
-                    buf_all, ls_all, gseeds,
+                    buf_all, ls_all, gseeds, root_ids,
                     n_real=s, want_dleaf=diff_leaves, group=grp, **common
                 )
                 # the root has no parent edge: its dp row is the batched
@@ -2321,24 +2336,45 @@ def make_pallas_loglik_fn(
         )
         bloc = np.asarray(seg.boundary_local, np.int32)
         anc = np.asarray(seg.vleaf_anc_boundary, np.int32)
+        # deferred-edge reverse for segments too (r5): bwd2's working set
+        # is strictly smaller than the classic bwd the segments are sized
+        # for, and its multi-seed form handles the boundary outputs (each
+        # a root of the segment forest). Grouped saveall residuals carry
+        # the +1 trash row only on this path (bwd2 slices them).
+        use2 = bwd2_env != "0"
+        sgrp = _group_size(s_pad) if use2 else 0
+        bgrp = _group_size_bwd(s_pad) if use2 else 0
 
         @jax.custom_vjp
         def f(p_seg, vleaf, vlsc):
-            buf, ls = _saveall_call(p_seg, vleaf, vlsc, **arrays)
+            buf, ls = _saveall_call(p_seg, vleaf, vlsc, group=sgrp,
+                                    **arrays)
             return buf[:, bloc], ls[:, bloc]
 
         def f_fwd(p_seg, vleaf, vlsc):
-            buf, ls = _saveall_call(p_seg, vleaf, vlsc, **arrays)
+            buf, ls = _saveall_call(p_seg, vleaf, vlsc, group=sgrp,
+                                    **arrays)
             return (buf[:, bloc], ls[:, bloc]), (p_seg, buf, ls)
 
         def f_bwd(res, cts):
             p_seg, buf, ls = res
             ct_b, ct_l = cts
             pt = jnp.swapaxes(p_seg, -1, -2)
-            dp, dvleaf = _backward_call(
-                p_seg, pt, buf, ls, ct_b.astype(jnp.float32), bloc,
-                **arrays
-            )
+            if use2:
+                # boundary pt rows := identity (seed reproduction); their
+                # dp rows are epilogue artifacts (no parent edge in this
+                # segment) — zeroed below
+                pt = pt.at[:, bloc].set(jnp.eye(s_pad, dtype=jnp.float32))
+                dp, dvleaf = _bwd2_call(
+                    p_seg, pt, buf, ls, ct_b.astype(jnp.float32), bloc,
+                    want_dleaf=True, group=bgrp, **arrays
+                )
+                dp = dp.at[:, bloc].set(0.0)
+            else:
+                dp, dvleaf = _backward_call(
+                    p_seg, pt, buf, ls, ct_b.astype(jnp.float32), bloc,
+                    **arrays
+                )
             # a vleaf's input logscale adds exactly once into its tree
             # root's output logscale (and nowhere else) — route the
             # cotangent straight from that boundary output
